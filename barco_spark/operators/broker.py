@@ -1,0 +1,118 @@
+"""Broker-semantics queries: the reference's produce-path expressed
+relationally over the `events` table.
+
+The reference routes each record by partition key -> murmur3 token ->
+(broker, rangeIndex) bucket, then assigns contiguous per-bucket offsets
+(/root/reference/internal/producing/coalescer.go:85-172,
+internal/types/token.go:44-66). Here the same semantics are computed
+declaratively: a deterministic hash-bucket (md5-based so the DuckDB
+oracle reproduces it bit-for-bit) and ROW_NUMBER offsets per bucket.
+
+The byte-exact Cassandra ring (functions/tokens.py) is exercised in
+tests/test_tokens.py; queries below use an engine-portable hash so the
+oracle can verify the *shape* of the routing (stable bucket, contiguous
+0-based offsets, per-key ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from barco_spark.config import DEFAULT
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+_B = DEFAULT.buckets  # 12 = brokers x consumerRanges
+
+
+@register(
+    "events_bucket_offsets",
+    f"""
+    SELECT event_id, user_id,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {_B} AS bucket,
+           ROW_NUMBER() OVER (
+             PARTITION BY ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {_B}
+             ORDER BY ts, event_id) - 1 AS "offset"
+    FROM events
+    """,
+    "broker",
+    doc=(
+        "Produce path W1/P1-P2: key->bucket routing + contiguous 0-based "
+        "per-bucket offsets in arrival order (coalescer.go:85-172)."
+    ),
+)
+def events_bucket_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _B
+    ).alias("bucket")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", bucket)
+    w = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "bucket",
+        (F.row_number().over(w) - 1).alias("offset"),
+    )
+
+
+@register(
+    "topic_stats",
+    """
+    SELECT event_type AS topic,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           COUNT(DISTINCT user_id) AS n_producers,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    "broker",
+    doc="Per-topic log stats (topics are implicit values of a column, SURVEY §1.1).",
+)
+def topic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("topic"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count_distinct(F.col("user_id")).alias("n_producers"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "consumer_poll_batch",
+    """
+    WITH numbered AS (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS "offset"
+      FROM events WHERE event_type = 'click')
+    SELECT event_id, user_id, ts, "offset"
+    FROM numbered WHERE "offset" >= 5 AND "offset" < 15
+    """,
+    "broker",
+    doc=(
+        "Consume path R2/R8: poll the next batch after a committed offset "
+        "(committed=5, threshold=10) per key-log, mirroring group_read_queue."
+    ),
+)
+def consumer_poll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.row_number().over(w) - 1).alias("offset"),
+        )
+        .filter((F.col("offset") >= 5) & (F.col("offset") < 15))
+    )

@@ -1,0 +1,376 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All candidate generation is blocking-based (LSH bands / hash blocks) so
+the pairwise work is local to a bucket — the shape that survives 100 TB:
+no global cross join, one shuffle per blocking key, and verification
+joins are on pre-bucketed pairs.
+
+Determinism contract: the base hash is the portable 28-bit md5 prefix
+(operators/text.py:h28), MinHash permutations are (a*h+b) mod p with all
+intermediates < 2^60 (no overflow in either engine, safe under Spark
+ANSI mode), and Jaccard is a single integer division at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from barco_spark.operators.text import h28, h28_sql
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+# MinHash permutation constants: sig_i = min_s (A[i]*h28(s) + B[i]) % P
+MINHASH_A = [1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121]
+MINHASH_B = [12345 + 777 * i for i in range(8)]
+MINHASH_P = 1_000_000_007
+N_BANDS = 4  # 4 bands x 2 rows (k=8)
+
+SIMHASH_BITS = 28
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    "dedup",
+    doc="Exact dedup: hash-groupBy on content digest, keep min id.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingles + MinHash signatures
+# --------------------------------------------------------------------------
+def _shingles_col() -> Column:
+    """Distinct 3-word shingles of `words` (docs with <3 words -> whole text)."""
+    w = F.col("words")
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+               ELSE [array_to_string(words, ' ')] END) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def _minhash_fn(i: int):
+    # factory (not a default-arg lambda): a 2-arg lambda would make
+    # pyspark pass the array index as the second argument
+    def fn(s: Column) -> Column:
+        return (MINHASH_A[i] * h28(s) + MINHASH_B[i]) % MINHASH_P
+
+    return fn
+
+
+def _minhash_cols() -> list[Column]:
+    return [
+        F.array_min(F.transform(F.col("shingles"), _minhash_fn(i))).alias(f"s{i}")
+        for i in range(len(MINHASH_A))
+    ]
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n             ".join(
+        f"list_min(list_transform(shingles, s -> ({MINHASH_A[i]} * {h28_sql('s')} "
+        f"+ {MINHASH_B[i]}) % {MINHASH_P})) AS s{i}"
+        for i in range(len(MINHASH_A))
+    )
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+             {_minhash_sql_cols()}
+    FROM sh
+    """,
+    "dedup",
+    doc="k=8 MinHash signature per document over distinct 3-word shingles.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("words"))
+        .select("doc_id", _shingles_col().alias("shingles"))
+    )
+    return d.select("doc_id", *_minhash_cols())
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH candidate pairs + Jaccard verification
+# --------------------------------------------------------------------------
+def _band_sql(b: int) -> str:
+    return f"(s{2*b}::VARCHAR || '_' || s{2*b+1}::VARCHAR)"
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, shingles,
+             {_minhash_sql_cols()}
+      FROM sh),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, {_band_sql(b)} AS band_val FROM sig" for b in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.shingles, y.shingles)) AS n_common,
+             len(x.shingles) + len(y.shingles)
+               - len(list_intersect(x.shingles, y.shingles)) AS n_union
+      FROM cand c JOIN sig x ON c.doc_a = x.doc_id
+                  JOIN sig y ON c.doc_b = y.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM verified
+    WHERE CAST(n_common AS DOUBLE) / n_union >= 0.4
+    """,
+    "dedup",
+    doc=(
+        "MinHash LSH near-dup pipeline: shingle -> k=8 signature -> 4 bands "
+        "-> bucket-join candidates -> exact Jaccard verify >= 0.4. "
+        "At scale the band join is the only shuffle; no cross join exists."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("words"))
+        .select("doc_id", _shingles_col().alias("shingles"))
+    )
+    sig = sh.select("doc_id", "shingles", *_minhash_cols())
+
+    bands = None
+    for b in range(N_BANDS):
+        one = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "_", F.col(f"s{2*b}").cast("string"), F.col(f"s{2*b+1}").cast("string")
+            ).alias("band_val"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            (
+                F.size("sh_a")
+                + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).alias("n_union"),
+        )
+    )
+    return (
+        verified.select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    bit_sums = ",\n             ".join(
+        f"list_sum(list_transform(words, x -> CASE WHEN ({h28_sql('x')} >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM w)
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash
+    FROM bits
+    """
+
+
+@register(
+    "simhash_signatures",
+    _simhash_sql(),
+    "dedup",
+    doc="28-bit SimHash per document (token-hash bit votes, no explode).",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    def bit_vote(j: int):
+        def fn(x: Column) -> Column:
+            return (
+                F.when(F.shiftright(h28(x), j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+            )
+
+        return fn
+
+    bit_cols = [
+        F.aggregate(
+            F.transform(F.col("words"), bit_vote(j)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = d.select("doc_id", *bit_cols)
+    combine = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    return bits.select("doc_id", combine.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    bits AS (
+      SELECT doc_id,
+             {",".join(f"list_sum(list_transform(words, x -> CASE WHEN ({h28_sql('x')} >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS b{j}" for j in range(SIMHASH_BITS))}
+      FROM w),
+    sig AS (
+      SELECT doc_id, CAST({" + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+      FROM bits)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    "dedup",
+    doc=(
+        "SimHash near-dup pairs with Hamming distance <= 2. The pairwise "
+        "check here is the verification stage; at scale candidates come "
+        "from banding the simhash into 4x7-bit blocks first."
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.expr("sh_a ^ sh_b")).alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= 2)
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard with prefix blocking
+# --------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(string_split(text, ' ')) AS wset,
+             string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2] AS block
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) AS jaccard
+    FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) >= 0.5
+    """,
+    "dedup",
+    doc="Word-set Jaccard with 2-word-prefix blocking (no cross join).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.split(F.col("text"), " ")
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.array_distinct(w).alias("wset"),
+            F.concat_ws(" ", w[0], w[1]).alias("block"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("wset").alias("wset_a"),
+        F.col("block"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("wset").alias("wset_b"),
+        F.col("block"),
+    )
+    inter = F.size(F.array_intersect("wset_a", "wset_b"))
+    union = F.size("wset_a") + F.size("wset_b") - inter
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )

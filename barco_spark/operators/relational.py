@@ -1,0 +1,566 @@
+"""Relational operator surface (SURVEY.md §2.7) over the TPC-H-ish tables.
+
+The reference broker has no relational operators at all (SURVEY.md §2.7
+— verified ABSENT); this module supplies the full inventory Spark-first:
+scans with pushdown, projections/filters, every join shape, hash
+aggregation with partial/final phases, rollup/cube/grouping sets,
+sorts/limits/top-k, set operations and scalar functions.
+
+Scale notes (100 TB design point):
+- Dimension tables (region/nation/customer/supplier/part) are broadcast
+  (`F.broadcast`) so fact-side scans never shuffle for the join.
+- Aggregations are expressed as groupBy().agg() => Catalyst plans
+  partial (map-side) + final aggregation automatically.
+- Money math is DECIMAL so partial aggregation is order-independent —
+  required for deterministic results under any partitioning.
+- Filters sit directly on the scan so parquet gets PushedFilters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _dec4(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+# --------------------------------------------------------------------------
+# Aggregation: TPC-H Q1 style pricing summary (partial+final hash agg)
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "aggregation",
+    doc="Full-scan hash aggregation with exact decimal money math.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    cnt = F.count(F.lit(1))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    _dec2("l_extendedprice")
+                    * (one - _dec4("l_discount"))
+                    * (one + _dec4("l_tax"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(_dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec4("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join + agg + top-k: TPC-H Q3 style shipping priority
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "join",
+    doc="Broadcast dim join -> hash agg -> global top-k (TakeOrderedAndProject).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way star join: TPC-H Q5 style local supplier volume
+# --------------------------------------------------------------------------
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    "join",
+    doc="Six-way star join; all dims broadcast so the fact scan shuffles once.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    supplier = t(spark, sf_dir, "supplier")
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scan + filter + projection (predicate pushdown / column pruning)
+# --------------------------------------------------------------------------
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+      AND l_quantity > 45
+    """,
+    "scan",
+    doc="Filters land in parquet PushedFilters; ReadSchema is 5 columns.",
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+            & (F.col("l_quantity") > 45)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join shapes: broadcast inner, left outer, semi, anti, range
+# --------------------------------------------------------------------------
+@register(
+    "join_broadcast_agg",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "join",
+)
+def join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .join(F.broadcast(t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec2("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    "join",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .join(t(spark, sf_dir, "orders"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+    "join",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        t(spark, sf_dir, "customer")
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .join(t(spark, sf_dir, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    )
+
+
+@register(
+    "join_range_interval",
+    """
+    SELECT o_orderkey,
+           COUNT(*) AS n_shipped_30d,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_30d
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderkey
+    """,
+    "join",
+    doc="Equi key + range predicate (range predicate evaluated post-join-key match).",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .join(
+            t(spark, sf_dir, "lineitem"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") <= F.expr("o_orderdate + INTERVAL 30 DAY")),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped_30d"),
+            F.sum(_dec2("l_quantity")).cast("double").alias("qty_30d"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants: distinct, rollup, cube, grouping sets
+# --------------------------------------------------------------------------
+@register(
+    "agg_distinct",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    "aggregation",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = F.count(F.lit(1))
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count_distinct(F.col("c_nationkey")).alias("n_nations"),
+            cnt.alias("n_customers"),
+            (F.sum(_dec2("c_acctbal")).cast("double") / cnt).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "aggregation",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "aggregation",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "aggregation",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k
+# --------------------------------------------------------------------------
+@register(
+    "sort_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    "sort",
+    doc="Global top-k: Spark plans TakeOrderedAndProject (no full sort).",
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "setop",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "setop",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().exceptAll(s.distinct())
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT c_custkey, 'BUILDING' AS seg FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, 'MACHINERY' AS seg FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    "setop",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit("BUILDING").alias("seg")
+    )
+    m = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey", F.lit("MACHINERY").alias("seg")
+    )
+    return b.unionByName(m)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: strings, math, dates, json
+# --------------------------------------------------------------------------
+@register(
+    "scalar_string_math",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_type, 1, 5) AS type5,
+           ABS(p_size - 25) AS size_dist,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS marked_up,
+           p_partkey % 7 AS bucket7
+    FROM part
+    """,
+    "scalar",
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (_dec2("p_retailprice") * F.lit("1.1").cast("decimal(2,1)"))
+        .cast("double")
+        .alias("marked_up"),
+        (F.col("p_partkey") % 7).alias("bucket7"),
+    )
+
+
+@register(
+    "scalar_dates",
+    """
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS order_year,
+           MONTH(o_orderdate) AS order_month,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           o_orderdate + INTERVAL 7 DAY AS week_later
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    "scalar",
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+            F.expr("o_orderdate + INTERVAL 7 DAY").alias("week_later"),
+        )
+    )
+
+
+@register(
+    "json_extract_agg",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    "scalar",
+    doc="The reference never parses payloads (SURVEY §1.2); we parse on demand.",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("int").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

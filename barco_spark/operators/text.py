@@ -1,0 +1,268 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Language-ID (marker-word heuristic), quality scoring, token counting
+(whitespace + regex), and document fingerprinting (shingle-hash
+winnowing) over the `documents` table.
+
+Determinism contract with the DuckDB oracle: all cross-row aggregates
+are integer sums (exact in any order); doubles only appear in final
+single divisions. The portable 28-bit hash is
+`int(md5(s)[:7 hex], 16)` on both engines, so fingerprints match
+bit-for-bit.
+
+Scale notes: everything is per-row narrow work + one hash aggregation —
+no shuffle besides the final groupBy; at 100 TB this is the ideal
+map-heavy shape. No Python UDFs anywhere: split/transform/aggregate are
+JVM higher-order functions inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# language marker words for the heuristic language-ID
+LANG_MARKERS = {
+    "en": ["the", "a", "and"],
+    "es": ["el", "la", "que"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "zh": ["de", "shi", "bu"],
+}
+
+
+def h28(col: Column) -> Column:
+    """Portable 28-bit hash: first 7 hex chars of md5, as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def h28_sql(expr: str) -> str:
+    """DuckDB rendering of the same 28-bit hash."""
+    return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"
+
+
+def words_col() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_metrics",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the','a','of','and','to'))) AS n_stopwords
+      FROM documents)
+    SELECT doc_id, lang, n_tokens, n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_span,
+           (CAST(n_tokens AS DOUBLE) / (n_tokens + 20))
+             * (1 - CAST(n_stopwords AS DOUBLE) / n_tokens) AS quality_score
+    FROM w
+    """,
+    "text",
+    doc="Per-document quality metrics; single divisions only (deterministic).",
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(words_col()).alias("n_tokens"),
+        F.size(F.filter(words_col(), lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stopwords"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_stopwords",
+        (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_span"),
+        (
+            (F.col("n_tokens").cast("double") / (F.col("n_tokens") + 20))
+            * (
+                F.lit(1)
+                - F.col("n_stopwords").cast("double") / F.col("n_tokens")
+            )
+        ).alias("quality_score"),
+    )
+
+
+def _marker_count_sql(markers: list[str]) -> str:
+    lst = ",".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({lst})))"
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             {_marker_count_sql(LANG_MARKERS['en'])} AS s_en,
+             {_marker_count_sql(LANG_MARKERS['es'])} AS s_es,
+             {_marker_count_sql(LANG_MARKERS['de'])} AS s_de,
+             {_marker_count_sql(LANG_MARKERS['fr'])} AS s_fr,
+             {_marker_count_sql(LANG_MARKERS['zh'])} AS s_zh
+      FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE
+               WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+               WHEN s_fr >= s_zh THEN 'fr'
+               ELSE 'zh' END AS predicted_lang
+      FROM scored)
+    SELECT lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+    "text",
+    doc="Heuristic n-gram/marker language ID -> confusion matrix vs labels.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+
+    def score(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words_col(), lambda x: F.array_contains(arr, x)))
+
+    scored = d.select(
+        "lang",
+        score(LANG_MARKERS["en"]).alias("s_en"),
+        score(LANG_MARKERS["es"]).alias("s_es"),
+        score(LANG_MARKERS["de"]).alias("s_de"),
+        score(LANG_MARKERS["fr"]).alias("s_fr"),
+        score(LANG_MARKERS["zh"]).alias("s_zh"),
+    )
+    pred = scored.select(
+        "lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de"))
+            & (F.col("s_es") >= F.col("s_fr"))
+            & (F.col("s_es") >= F.col("s_zh")),
+            F.lit("es"),
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_zh")),
+            F.lit("de"),
+        )
+        .when(F.col("s_fr") >= F.col("s_zh"), F.lit("fr"))
+        .otherwise(F.lit("zh"))
+        .alias("predicted_lang"),
+    )
+    return pred.groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "token_count_regex",
+    """
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS total_tokens,
+           SUM(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+')))) AS total_distinct_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    "text",
+    doc="BPE-ish regex token counting aggregated per source (integer-exact).",
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0)
+    return (
+        t(spark, sf_dir, "documents")
+        .select("source", toks.alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.col("toks"))).alias("total_tokens"),
+            F.sum(F.size(F.array_distinct(F.col("toks")))).alias(
+                "total_distinct_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 5
+                  THEN list_transform(range(1, len(words) - 3),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4])
+                  ELSE [array_to_string(words, ' ')] END AS shingles
+      FROM w)
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> {h28_sql('s')})) AS fingerprint,
+           len(list_distinct(shingles)) AS n_shingles
+    FROM sh
+    """,
+    "text",
+    doc="Winnowing-lite fingerprint: min 28-bit hash over 5-gram shingles.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", words_col().alias("words"))
+    shingles = F.when(
+        F.size("words") >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 5),
+            lambda i: F.concat_ws(
+                " ",
+                F.col("words")[i],
+                F.col("words")[i + 1],
+                F.col("words")[i + 2],
+                F.col("words")[i + 3],
+                F.col("words")[i + 4],
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
+    sh = d.select("doc_id", shingles.alias("shingles"))
+    return sh.select(
+        "doc_id",
+        F.array_min(F.transform(F.col("shingles"), lambda s: h28(s))).alias(
+            "fingerprint"
+        ),
+        F.size(F.array_distinct(F.col("shingles"))).alias("n_shingles"),
+    )
+
+
+@register(
+    "top_terms",
+    """
+    SELECT term, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 20
+    """,
+    "text",
+    doc="Explode + count + top-k: vocabulary head (map-side combine then one shuffle).",
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(words_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term"))
+        .limit(20)
+    )

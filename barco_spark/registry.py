@@ -1,0 +1,54 @@
+"""Query registry: every operator the engine claims, with its oracle.
+
+Each entry pairs a Spark DataFrame builder `(spark, sf_dir) -> DataFrame`
+with the equivalent ANSI SQL that DuckDB runs on the same parquet views.
+The driver hash-compares the two at sf0.01 (CORRECTNESS gate); the local
+mirror of that gate is tests/test_oracle_parity.py.
+
+Float determinism convention: money aggregates are computed in
+DECIMAL(18,2) (exact, order-independent) and cast to DOUBLE at the end;
+averages are exact-decimal-sum / count in DOUBLE; cumulative/windowed
+double sums rely on a total ordering so both engines fold in the same
+order. Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    category: str
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None, category: str, doc: str = ""
+) -> Callable[[Callable], Callable]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        QUERIES[name] = QuerySpec(name, fn, oracle, category, doc)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so their @register calls run."""
+    import barco_spark.operators.relational  # noqa: F401
+    import barco_spark.operators.windows  # noqa: F401
+    import barco_spark.operators.broker  # noqa: F401
+    import barco_spark.operators.dedup  # noqa: F401
+    import barco_spark.operators.similarity  # noqa: F401
+    import barco_spark.operators.text  # noqa: F401
+
+    return QUERIES
