@@ -1,0 +1,371 @@
+"""EventLog: the reference broker's data plane on Spark + Parquet.
+
+Maps the reference's storage/consumption model (SURVEY.md §1-§2):
+
+- topic            -> `topic=` directory partition of one log root
+                      (implicit creation: producing to a new topic just
+                      writes a new partition dir — mirrors
+                      internal/data/topics/topics.go:30-36)
+- token/rangeIndex -> `bucket=` sub-partition, `buckets` fixed (default
+                      brokers x consumerRanges = 12,
+                      docs/features/partitioning/README.md:8-11)
+- segment/chunk    -> zstd parquet files (chunk compression W2,
+                      internal/producing/coalescer.go:174-198)
+- producer.offset  -> per-(topic,bucket) max offset, derived from
+                      parquet footer stats (W4,
+                      internal/data/offset_file_writer.go:16-47)
+- consumer offsets -> `_consumer_offsets/` parquet per group (R8,
+                      internal/consuming/offset_state.go:456-490)
+- poll             -> next batch after committed offset per bucket (R2,
+                      internal/consuming/group_read_queue.go:87-170)
+- reset policy     -> earliest/latest (R9,
+                      internal/types/models_offset.go:94-101)
+- rebalance        -> deterministic bucket assignment for N consumers
+                      (R3, internal/consuming/consumer_state.go:308-350)
+- retention        -> TTL cleanup of old files (W7,
+                      internal/data/datalog_cleaner.go:16-100)
+
+Scale design (100 TB): offsets are per-bucket contiguous int64 assigned
+with a single shuffle per produce batch (repartition on bucket =
+single-writer-per-bucket, like the per-(topic,token,range) coalescer
+goroutine W1); the high-watermark lookup reads only parquet footers of
+one topic partition (pruned scan), not data pages. Bucket count is
+decoupled from executor count on purpose — scaling compute never
+re-projects offsets (avoids the reference's R10 offset-splice
+machinery entirely, see SURVEY.md §7d).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from barco_spark.config import DEFAULT, EngineConfig
+from barco_spark.functions.tokens import bucket_for_key_udf, fast_bucket_expr
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition_key", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("payload", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("offset", LongType()),
+    ]
+)
+
+OFFSETS_SCHEMA = StructType(
+    [
+        StructField("group", StringType()),
+        StructField("topic", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("committed", LongType()),  # next offset to read
+        StructField("committed_at", TimestampType()),
+    ]
+)
+
+
+def assign_buckets(consumer_ids: list[str], buckets: int) -> dict[str, list[int]]:
+    """Deterministic consumer-group assignment (R3).
+
+    Mirrors the reference's rebalance arithmetic
+    (internal/consuming/consumer_state.go:308-350): sort consumer keys,
+    deal buckets out contiguously (ceil split) so the mapping is a pure
+    function of (consumer list, bucket count) — stateless, identical on
+    every node, no coordination needed.
+    """
+    ids = sorted(set(consumer_ids))
+    n = len(ids)
+    if n == 0:
+        return {}
+    per = -(-buckets // n)  # ceil
+    out: dict[str, list[int]] = {cid: [] for cid in ids}
+    for b in range(buckets):
+        out[ids[min(b // per, n - 1)]].append(b)
+    return out
+
+
+@dataclass
+class PollResult:
+    batch: DataFrame
+    next_offsets: dict[tuple[str, int], int]  # (topic, bucket) -> next offset
+
+
+class EventLog:
+    """Batch produce/consume facade over a partitioned parquet log."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        config: EngineConfig = DEFAULT,
+        exact_tokens: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.config = config
+        self.buckets = config.buckets
+        # exact_tokens: route with the bit-exact Cassandra murmur3 ring
+        # (pandas UDF, P1/P2) instead of the JVM-only fast path.
+        self.exact_tokens = exact_tokens
+        self._data_path = f"{self.root}/data"
+        self._offsets_path = f"{self.root}/_consumer_offsets"
+
+    # ------------------------------------------------------------------
+    # Produce path (S1/S2, W1-W3)
+    # ------------------------------------------------------------------
+    def produce(
+        self,
+        topic: str,
+        payloads: list[str] | list[tuple[str | None, str]] | DataFrame,
+        partition_key: str | None = None,
+        ndjson: bool = False,
+    ) -> int:
+        """Append records to a topic; returns the number written.
+
+        `payloads` may be a list of payload strings (all sharing
+        `partition_key`), a list of (key, payload) tuples, or a
+        DataFrame with `payload` (+ optional `partition_key`,
+        `timestamp`) columns. `ndjson=True` splits each payload on
+        newlines into separate records (S2,
+        internal/producing/models.go:44-87).
+        """
+        if isinstance(payloads, DataFrame):
+            df = payloads
+            if "partition_key" not in df.columns:
+                df = df.withColumn("partition_key", F.lit(partition_key))
+        else:
+            schema = StructType(
+                [
+                    StructField("partition_key", StringType()),
+                    StructField("payload", StringType()),
+                ]
+            )
+            if payloads and isinstance(payloads[0], tuple):
+                rows = list(payloads)
+            else:
+                rows = [(partition_key, p) for p in payloads]
+            df = self.spark.createDataFrame(rows, schema)
+        if "timestamp" not in df.columns:
+            # producer-supplied timestamp defaults to arrival time
+            # (internal/producing/server.go:178-183)
+            df = df.withColumn("timestamp", F.current_timestamp())
+        if ndjson:
+            df = (
+                df.select(
+                    "*", F.posexplode(F.split(F.col("payload"), "\n")).alias("_pos", "_line")
+                )
+                .drop("payload")
+                .withColumnRenamed("_line", "payload")
+                .filter(F.length("payload") > 0)
+            )
+        # arrival sequence, captured before the bucket shuffle so offsets
+        # reflect produce order (per-key ordering guarantee,
+        # docs/rest_api/README.md:69-72)
+        df = df.withColumn("_seq", F.monotonically_increasing_id())
+
+        if self.exact_tokens:
+            keyed_bucket = bucket_for_key_udf(
+                self.config.brokers, self.config.consumer_ranges
+            )(F.col("partition_key"))
+            rr = F.pmod(F.monotonically_increasing_id(), F.lit(self.buckets)).cast(
+                "int"
+            )
+            df = df.withColumn("bucket", F.coalesce(keyed_bucket, rr))
+        else:
+            df = df.withColumn(
+                "bucket", fast_bucket_expr(F.col("partition_key"), self.buckets)
+            )
+
+        # contiguous per-bucket offsets: single shuffle on bucket
+        # (single-writer-per-bucket, mirroring the coalescer W1), then
+        # continue from the stored high watermark (producer.offset W4)
+        watermarks = self.high_watermarks(topic)  # bucket -> next offset
+        wm_df = self.spark.createDataFrame(
+            [(b, watermarks.get(b, 0)) for b in range(self.buckets)],
+            ["bucket", "wm"],
+        )
+        w = Window.partitionBy("bucket").orderBy("timestamp", "_seq")
+        out = (
+            df.repartition(min(self.buckets, self.config.shuffle_partitions), "bucket")
+            .withColumn("rn", F.row_number().over(w) - 1)
+            .join(F.broadcast(wm_df), "bucket")
+            .select(
+                F.lit(topic).alias("topic"),
+                "partition_key",
+                "timestamp",
+                "payload",
+                "bucket",
+                (F.col("wm") + F.col("rn")).alias("offset"),
+            )
+        )
+        n = out.count()
+        (
+            out.write.mode("append")
+            .partitionBy("topic", "bucket")
+            .option("compression", "zstd")
+            .parquet(self._data_path)
+        )
+        return n
+
+    def high_watermarks(self, topic: str) -> dict[int, int]:
+        """Next offset per bucket (max written + 1); {} for a new topic.
+
+        Mirrors producer.offset (W4): an aggregate-only query that
+        Parquet answers from footer statistics of one topic partition.
+        """
+        try:
+            rows = (
+                self.spark.read.schema(EVENT_SCHEMA)
+                .parquet(self._data_path)
+                .filter(F.col("topic") == topic)
+                .groupBy("bucket")
+                .agg(F.max("offset").alias("mx"))
+                .collect()
+            )
+        except Exception:
+            return {}
+        return {r["bucket"]: r["mx"] + 1 for r in rows}
+
+    # ------------------------------------------------------------------
+    # Consume path (R1/R2/R8/R9/R12)
+    # ------------------------------------------------------------------
+    def register(
+        self, group: str, topics: list[str], reset: str = "latest"
+    ) -> None:
+        """Register a consumer group (R1) with a reset policy (R9).
+
+        `latest` (reference default) commits the current high watermark
+        so the group only sees new data; `earliest` commits 0.
+        """
+        rows = []
+        now = None
+        for topic in topics:
+            wm = self.high_watermarks(topic) if reset == "latest" else {}
+            for b in range(self.buckets):
+                rows.append((group, topic, b, wm.get(b, 0), now))
+        df = self.spark.createDataFrame(rows, OFFSETS_SCHEMA).withColumn(
+            "committed_at", F.current_timestamp()
+        )
+        df.write.mode("append").option("compression", "zstd").parquet(
+            self._offsets_path
+        )
+
+    def committed(self, group: str, topic: str) -> dict[int, int]:
+        """Latest committed (next-to-read) offset per bucket for a group."""
+        try:
+            df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(self._offsets_path)
+        except Exception:
+            return {}
+        w = Window.partitionBy("bucket").orderBy(
+            F.col("committed_at").desc(), F.col("committed").desc()
+        )
+        rows = (
+            df.filter((F.col("group") == group) & (F.col("topic") == topic))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("bucket", "committed")
+            .collect()
+        )
+        return {r["bucket"]: r["committed"] for r in rows}
+
+    def poll(
+        self,
+        group: str,
+        topic: str,
+        max_records_per_bucket: int = 1000,
+        buckets: list[int] | None = None,
+        auto_commit: bool = True,
+    ) -> DataFrame:
+        """Next batch after the committed offsets (R2), per bucket.
+
+        `buckets` restricts the poll to this consumer's assignment
+        (from `assign_buckets`, R3). Auto-commits the advanced offsets
+        (R8) unless disabled; at-least-once on failure, matching the
+        reference (docs/faq/README.md:14).
+        """
+        committed = self.committed(group, topic)
+        targets = buckets if buckets is not None else list(range(self.buckets))
+        cm_df = self.spark.createDataFrame(
+            [(b, committed.get(b, 0)) for b in targets], ["bucket", "committed"]
+        )
+        data = (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .parquet(self._data_path)
+            .filter(F.col("topic") == topic)
+            .join(F.broadcast(cm_df), "bucket")
+            .filter(F.col("offset") >= F.col("committed"))
+            .filter(F.col("offset") < F.col("committed") + max_records_per_bucket)
+            .select("topic", "partition_key", "timestamp", "payload", "bucket", "offset")
+            .sortWithinPartitions("bucket", "offset")
+        )
+        if auto_commit:
+            new_next = (
+                data.groupBy("bucket").agg((F.max("offset") + 1).alias("nxt")).collect()
+            )
+            if new_next:
+                self.commit(
+                    group, topic, {r["bucket"]: r["nxt"] for r in new_next}
+                )
+        return data
+
+    def commit(self, group: str, topic: str, next_offsets: dict[int, int]) -> None:
+        """Manual commit (R12, postManualCommit)."""
+        rows = [(group, topic, b, nxt, None) for b, nxt in next_offsets.items()]
+        df = self.spark.createDataFrame(rows, OFFSETS_SCHEMA).withColumn(
+            "committed_at", F.current_timestamp()
+        )
+        df.write.mode("append").option("compression", "zstd").parquet(
+            self._offsets_path
+        )
+
+    def goodbye(self, group: str, topic: str) -> None:
+        """Commit-and-leave (R12). Offsets persist for reuse on return."""
+        # Offsets are already durable on every commit; nothing to tear
+        # down — queries are explicit in Spark (no liveness eviction R13).
+        return None
+
+    # ------------------------------------------------------------------
+    # Maintenance (W7)
+    # ------------------------------------------------------------------
+    def retention_cleanup(self, max_age_hours: float | None = None) -> int:
+        """Delete data files older than the retention window (W7).
+
+        The reference scans every 5 min and deletes .dlog files older
+        than `retentionHours` (default 168h,
+        internal/data/datalog_cleaner.go:16-100). Returns files deleted.
+        """
+        import os
+
+        if max_age_hours is None:
+            max_age_hours = self.config.retention_hours
+        max_age_s = max_age_hours * 3600.0
+        cutoff = time.time() - max_age_s
+        deleted = 0
+        for dirpath, _dirnames, filenames in os.walk(self._data_path):
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, fn)
+                if os.path.getmtime(path) < cutoff:
+                    os.remove(path)
+                    deleted += 1
+        return deleted
+
+    # ------------------------------------------------------------------
+    # Reads for analytics
+    # ------------------------------------------------------------------
+    def read(self, topic: str | None = None) -> DataFrame:
+        df = self.spark.read.schema(EVENT_SCHEMA).parquet(self._data_path)
+        return df.filter(F.col("topic") == topic) if topic else df

@@ -1,0 +1,139 @@
+"""Produce->consume roundtrips, mirroring the reference's own
+integration suite (internal/test/integration/roundtrip_test.go).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from barco_spark.sources.eventlog import EventLog, assign_buckets
+
+
+@pytest.fixture()
+def log(spark, tmp_path):
+    return EventLog(spark, str(tmp_path / "log"))
+
+
+def test_roundtrip_smoke(log):
+    # roundtrip_test.go:80-117: produce one JSON message, poll returns it
+    # exactly once, next poll is empty
+    log.register("g1", ["abc"], reset="earliest")
+    n = log.produce("abc", ['{"hello": "world"}'], partition_key="123")
+    assert n == 1
+    batch = log.poll("g1", "abc").collect()
+    assert len(batch) == 1
+    assert batch[0]["payload"] == '{"hello": "world"}'
+    assert batch[0]["offset"] == 0
+    assert log.poll("g1", "abc").count() == 0
+
+
+def test_ndjson_produce(log):
+    # roundtrip_test.go:258: NDJSON body becomes N records
+    log.register("g1", ["t"], reset="earliest")
+    body = "\n".join(json.dumps({"i": i}) for i in range(5))
+    assert log.produce("t", [body], ndjson=True) == 5
+    assert log.poll("g1", "t").count() == 5
+
+
+def test_per_key_ordering(log):
+    # same partition key => same bucket => contiguous offsets in produce
+    # order (docs/rest_api/README.md:69-72)
+    log.register("g", ["t"], reset="earliest")
+    msgs = [json.dumps({"seq": i}) for i in range(20)]
+    log.produce("t", msgs, partition_key="k1")
+    rows = (
+        log.poll("g", "t")
+        .filter(F.col("partition_key") == "k1")
+        .orderBy("offset")
+        .collect()
+    )
+    assert len(rows) == 20
+    assert len({r["bucket"] for r in rows}) == 1  # one bucket per key
+    assert [r["offset"] for r in rows] == list(range(20))
+    assert [json.loads(r["payload"])["seq"] for r in rows] == list(range(20))
+
+
+def test_offsets_continue_across_batches(log):
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", ["a", "b"], partition_key="k")
+    log.produce("t", ["c", "d"], partition_key="k")
+    rows = log.poll("g", "t").orderBy("offset").collect()
+    assert [r["offset"] for r in rows] == [0, 1, 2, 3]
+    assert [r["payload"] for r in rows] == ["a", "b", "c", "d"]
+
+
+def test_consumer_groups_independent(log):
+    log.register("g1", ["t"], reset="earliest")
+    log.register("g2", ["t"], reset="earliest")
+    log.produce("t", ["x"], partition_key="k")
+    assert log.poll("g1", "t").count() == 1
+    assert log.poll("g1", "t").count() == 0
+    # g2 has its own offsets: still sees the record
+    assert log.poll("g2", "t").count() == 1
+
+
+def test_reset_latest_skips_history(log):
+    log.produce("t", ["old1", "old2"], partition_key="k")
+    log.register("g", ["t"], reset="latest")  # default policy R9
+    assert log.poll("g", "t").count() == 0
+    log.produce("t", ["new"], partition_key="k")
+    rows = log.poll("g", "t").collect()
+    assert [r["payload"] for r in rows] == ["new"]
+
+
+def test_keyless_round_robin_spreads(log):
+    # empty key => round-robin placement (discoverer.go:370-411)
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", [f"m{i}" for i in range(48)])
+    buckets = {r["bucket"] for r in log.poll("g", "t").collect()}
+    assert len(buckets) > 1
+
+
+def test_assignment_deterministic():
+    # R3: pure function of (consumer list, bucket count); order-free
+    a = assign_buckets(["c2", "c1", "c3"], 12)
+    b = assign_buckets(["c1", "c3", "c2"], 12)
+    assert a == b
+    assert sorted(x for lst in a.values() for x in lst) == list(range(12))
+    # single consumer owns everything
+    assert assign_buckets(["solo"], 12) == {"solo": list(range(12))}
+
+
+def test_partitioned_poll_covers_all(log):
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", [(f"key{i}", f"m{i}") for i in range(40)])
+    assignment = assign_buckets(["c1", "c2"], log.buckets)
+    n1 = log.poll("g", "t", buckets=assignment["c1"]).count()
+    n2 = log.poll("g", "t", buckets=assignment["c2"]).count()
+    assert n1 + n2 == 40
+    assert log.poll("g", "t").count() == 0  # everything committed
+
+
+def test_manual_commit(log):
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", ["a", "b", "c"], partition_key="k")
+    batch = log.poll("g", "t", auto_commit=False)
+    assert batch.count() == 3
+    # without commit, the same data is re-served (at-least-once)
+    assert log.poll("g", "t", auto_commit=False).count() == 3
+    rows = batch.groupBy("bucket").agg((F.max("offset") + 1).alias("nxt")).collect()
+    log.commit("g", "t", {r["bucket"]: r["nxt"] for r in rows})
+    assert log.poll("g", "t").count() == 0
+
+
+def test_topics_isolated(log):
+    log.register("g", ["t1", "t2"], reset="earliest")
+    log.produce("t1", ["a"], partition_key="k")
+    log.produce("t2", ["b", "c"], partition_key="k")
+    assert log.poll("g", "t1").count() == 1
+    assert log.poll("g", "t2").count() == 2
+
+
+def test_retention_cleanup(log):
+    log.produce("t", ["a"], partition_key="k")
+    # age 0 => everything is older than the cutoff
+    deleted = log.retention_cleanup(max_age_hours=0)
+    assert deleted >= 1
