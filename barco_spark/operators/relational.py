@@ -108,6 +108,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Broadcast dim join -> hash agg -> global top-k (TakeOrderedAndProject).",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale shape: customer is the only broadcast side; orders+lineitem
+    # are fact tables and join via shuffle (AQE upgrades to broadcast at
+    # small SF automatically — never hint a fact-table broadcast)
     one = F.lit(1).cast("decimal(18,4)")
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
@@ -118,7 +121,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+            orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -166,9 +169,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = t(spark, sf_dir, "lineitem")
+    # scale shape: orders/customer join by shuffle (facts); supplier is
+    # modest (10k x SF) and nation/region are tiny => broadcast those.
+    # AQE upgrades the small-SF shuffle joins to broadcast at runtime.
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supplier),
             (F.col("l_suppkey") == F.col("s_suppkey"))

@@ -1,0 +1,369 @@
+"""Extended relational coverage: more TPC-H-shaped queries, subqueries,
+pivot, array aggregation, approximate distinct.
+
+Same determinism conventions as operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _dec4(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    "aggregation",
+    doc="TPC-H Q6 shape: pure filter+agg, fully pushed to the scan.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec2("l_extendedprice") * _dec4("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "join",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top 20.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_case_agg",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    "aggregation",
+    doc="TPC-H Q12 shape: CASE-conditional counts inside the aggregate.",
+)
+def q12_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t(spark, sf_dir, "orders")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    "join",
+    doc="TPC-H Q14 shape: promo revenue share; part dim broadcast.",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    disc = _dec2("l_extendedprice") * (one - _dec4("l_discount"))
+    return (
+        li.join(F.broadcast(t(spark, sf_dir, "part")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.round(F.sum(disc), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_custkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 50
+    """,
+    "aggregation",
+    doc="TPC-H Q18 shape: HAVING over a join aggregate, top 50.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .join(t(spark, sf_dir, "lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(F.sum(_dec2("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 150)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    "join",
+    doc="TPC-H Q19 shape: OR-of-ANDs join predicates.",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & size.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & size.between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & size.between(1, 35) & q.between(20, 40))
+    )
+    return joined.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "subquery_scalar_avg",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 2
+      FROM orders)
+    """,
+    "subquery",
+    doc="Scalar subquery (exact-decimal mean so the threshold is engine-equal).",
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _sq_orders
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 2
+          FROM _sq_orders)
+        """
+    )
+
+
+@register(
+    "subquery_correlated_exists",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+    """,
+    "subquery",
+    doc="Correlated EXISTS, decorrelated by Catalyst into a semi join.",
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("_sq_supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_sq_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM _sq_supplier
+        WHERE EXISTS (
+          SELECT 1 FROM _sq_lineitem
+          WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+        """
+    )
+
+
+@register(
+    "array_agg_per_nation",
+    """
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_customers,
+           list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    "aggregation",
+    doc="Array aggregation: sorted distinct collect per group.",
+)
+def array_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        )
+    )
+
+
+@register(
+    "events_pivot",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'error') AS error
+    FROM events
+    GROUP BY user_id
+    """,
+    "aggregation",
+    doc="Pivot: per-user event-type counts (explicit value list => no "
+    "extra pass to discover pivot values).",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "approx_count_distinct",
+    None,  # HLL sketches are engine-specific; rows-only check
+    "aggregation",
+    doc="approx_count_distinct (HyperLogLog++); exactness is checked "
+    "against count_distinct in tests/test_relational_extra.py.",
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct(F.col("user_id")).alias("exact_users"),
+        )
+    )
+
+
+@register(
+    "events_exact_tokens",
+    None,  # Cassandra murmur3 not expressible in DuckDB; rows-only
+    "broker",
+    doc="P1/P2 exact path: partition keys routed with the bit-exact "
+    "Cassandra murmur3 ring via an Arrow-batched pandas UDF "
+    "(vectors verified in tests/test_tokens.py).",
+)
+def events_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.functions.tokens import bucket_for_key_udf, murmur3_token_udf
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("partition_key")
+    )
+    return ev.select(
+        "partition_key",
+        murmur3_token_udf()(F.col("partition_key")).alias("token"),
+        bucket_for_key_udf()(F.col("partition_key")).alias("bucket"),
+    ).distinct()

@@ -1,0 +1,109 @@
+"""Physical-plan contracts: pushdown, pruning, broadcast, shuffle count.
+
+These lock in the 100 TB design properties at any SF — a correct
+result with the wrong plan fails here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from barco_spark.plans import (
+    has_broadcast_join,
+    has_pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from barco_spark.registry import load_all
+from barco_spark.tables import t
+
+QUERIES = load_all()
+
+
+def test_scan_filter_pushdown(spark, sf_dir):
+    df = QUERIES["scan_filter_project"].build(spark, sf_dir)
+    assert has_pushed_filters(df, "l_quantity")
+
+
+def test_scan_column_pruning(spark, sf_dir):
+    df = QUERIES["scan_filter_project"].build(spark, sf_dir)
+    schemas = read_schema_columns(df)
+    assert schemas, "no scan found"
+    # 4 projected + 1 filter column; never the full 11-column lineitem
+    assert all(len(cols) <= 5 for cols in schemas), schemas
+
+
+def test_q1_prunes_lineitem(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].build(spark, sf_dir)
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["q5_region_revenue"].build(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q5_filter_pushdown_on_orders(spark, sf_dir):
+    df = QUERIES["q5_region_revenue"].build(spark, sf_dir)
+    assert has_pushed_filters(df, "o_orderdate")
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    from barco_spark.plans import explain_str
+
+    df = QUERIES["join_semi"].build(spark, sf_dir)
+    assert "LeftSemi" in explain_str(df)
+
+
+def test_window_single_shuffle(spark, sf_dir):
+    df = QUERIES["window_topk_per_group"].build(spark, sf_dir)
+    # one exchange for the window partition key, nothing else
+    assert shuffle_count(df) == 1
+
+
+def test_agg_partial_final(spark, sf_dir):
+    from barco_spark.plans import explain_str
+
+    df = QUERIES["q1_pricing_summary"].build(spark, sf_dir)
+    plan = explain_str(df)
+    # partial (map-side) + final aggregation => exactly one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert shuffle_count(df) == 1
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    from barco_spark.plans import explain_str
+
+    df = QUERIES["sort_topk"].build(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
+    from barco_spark.plans import explain_str
+
+    df = QUERIES["ann_cosine_topk"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # corpus side must not be exchanged for the join itself: the only
+    # exchange allowed is the ranking window's partition-by query_id
+    assert shuffle_count(df) <= 1
+
+
+def test_eventlog_produce_single_shuffle(spark, tmp_path):
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.produce("t", [f"m{i}" for i in range(10)], partition_key="k")
+    # poll plan: pruned scan + broadcast of committed offsets, no shuffle
+    df = log.poll("g-unregistered", "t", auto_commit=False)
+    assert shuffle_count(df) == 0
+    assert has_broadcast_join(df)
