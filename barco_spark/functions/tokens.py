@@ -154,6 +154,57 @@ def token_to_bucket_py(token: int, brokers: int = 3, ranges: int = 4) -> int:
     return int(idx) * ranges + int(range_index)
 
 
+def range_bounds(
+    broker_index: int, range_index: int, cluster_size: int, ranges: int = 4
+) -> tuple[int, int]:
+    """[start, end) token bounds of one (broker, rangeIndex) slice.
+
+    Mirrors RangeByTokenAndClusterSize (token.go:87-116): the broker's
+    chunk is `ranges` equal slices; the final slice absorbs the
+    remainder up to the next broker token (or MaxInt64 for the last
+    broker).
+    """
+    step = CHUNK_SIZE_UNIT * _ring_factor(cluster_size)
+    start = token_at_index(cluster_size, broker_index)
+    range_size = step // ranges
+    lo = start + range_size * range_index
+    if range_index == ranges - 1:
+        hi = (
+            token_at_index(cluster_size, broker_index + 1)
+            if broker_index < cluster_size - 1
+            else (1 << 63) - 1
+        )
+    else:
+        hi = start + range_size * (range_index + 1)
+    return lo, hi
+
+
+def project_bucket(bucket: int, from_brokers: int, to_brokers: int, ranges: int = 4) -> list[int]:
+    """Project a bucket across a cluster resize (P5/R10 analogue).
+
+    Doubling the cluster splits each broker's range in two: bucket b
+    maps to [2b, 2b+1]-style descendants; halving joins two source
+    buckets into one. Mirrors ProjectRangeByClusterSize
+    (token.go:133-163) / offsetSplit-offsetJoin
+    (offset_state.go:616-774). Our engine fixes the bucket count so
+    this is only needed when interoperating with a resizing reference
+    deployment.
+    """
+    if to_brokers == from_brokers:
+        return [bucket]
+    if to_brokers not in (from_brokers * 2, from_brokers // 2):
+        raise ValueError("cluster sizes must differ by a factor of 2")
+    broker, r = divmod(bucket, ranges)
+    lo, hi = range_bounds(broker, r, from_brokers, ranges)
+    out = []
+    for nb in range(to_brokers):
+        for nr in range(ranges):
+            nlo, nhi = range_bounds(nb, nr, to_brokers, ranges)
+            if nlo < hi and lo < nhi:  # token intervals intersect
+                out.append(nb * ranges + nr)
+    return out
+
+
 def murmur3_token_udf() -> Column:
     """pandas UDF factory: string key -> signed int64 Cassandra token."""
 

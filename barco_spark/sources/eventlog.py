@@ -320,6 +320,47 @@ class EventLog:
                 )
         return data
 
+    def poll_json(
+        self,
+        group: str,
+        topic: str,
+        max_records_per_bucket: int = 1000,
+        buckets: list[int] | None = None,
+        auto_commit: bool = True,
+    ) -> DataFrame:
+        """Poll marshalled as the reference's JSON response shape (O2).
+
+        One row per served bucket: `{topic, bucket, startOffset,
+        values: [payload, ...]}` as a JSON string — the analogue of
+        marshalJsonResponse (internal/consuming/models.go:136-199),
+        where each response item carries a chunk's worth of values.
+        """
+        batch = self.poll(
+            group, topic, max_records_per_bucket, buckets, auto_commit
+        )
+        per_bucket = (
+            batch.groupBy("topic", "bucket")
+            .agg(
+                F.min("offset").alias("startOffset"),
+                F.array_sort(
+                    F.collect_list(F.struct("offset", "payload"))
+                ).alias("_ordered"),
+            )
+            .select(
+                "topic",
+                "bucket",
+                "startOffset",
+                F.transform(F.col("_ordered"), lambda s: s["payload"]).alias(
+                    "values"
+                ),
+            )
+        )
+        return per_bucket.select(
+            F.to_json(
+                F.struct("topic", "bucket", "startOffset", "values")
+            ).alias("response")
+        )
+
     def commit(self, group: str, topic: str, next_offsets: dict[int, int]) -> None:
         """Manual commit (R12, postManualCommit)."""
         rows = [(group, topic, b, nxt, None) for b, nxt in next_offsets.items()]

@@ -137,3 +137,16 @@ def test_retention_cleanup(log):
     # age 0 => everything is older than the cutoff
     deleted = log.retention_cleanup(max_age_hours=0)
     assert deleted >= 1
+
+
+def test_poll_json_response_shape(log):
+    import json as _json
+
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", ["a", "b", "c"], partition_key="k")
+    rows = log.poll_json("g", "t").collect()
+    assert len(rows) == 1  # one key -> one bucket -> one response item
+    obj = _json.loads(rows[0]["response"])
+    assert obj["topic"] == "t"
+    assert obj["startOffset"] == 0
+    assert obj["values"] == ["a", "b", "c"]

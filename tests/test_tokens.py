@@ -49,3 +49,47 @@ def test_bucket_range():
     for key in [b"a", b"b", b"xyz", b"123456", b"\x00\x01"]:
         b = token_to_bucket_py(murmur3_token_py(key), 3, 4)
         assert 0 <= b < 12
+
+
+def test_range_bounds_partition_ring():
+    from barco_spark.functions.tokens import range_bounds
+
+    # the 12 slices of a 3-broker/4-range ring tile [MinInt64, MaxInt64)
+    prev_hi = None
+    for b in range(12):
+        lo, hi = range_bounds(b // 4, b % 4, 3, 4)
+        assert lo < hi
+        if prev_hi is not None:
+            assert lo == prev_hi
+        prev_hi = hi
+    assert range_bounds(0, 0, 3, 4)[0] == -(1 << 63)
+    assert range_bounds(2, 3, 3, 4)[1] == (1 << 63) - 1
+
+
+def test_project_bucket_split_and_join():
+    from barco_spark.functions.tokens import project_bucket, range_bounds
+
+    # scale-up 3->6: every bucket maps to >=1 descendant; descendants
+    # cover the source token interval exactly
+    for b in range(12):
+        kids = project_bucket(b, 3, 6)
+        assert kids
+        lo, hi = range_bounds(b // 4, b % 4, 3, 4)
+        klo = min(range_bounds(k // 4, k % 4, 6, 4)[0] for k in kids)
+        khi = max(range_bounds(k // 4, k % 4, 6, 4)[1] for k in kids)
+        assert klo <= lo and khi >= hi
+    # scale-down 6->3 is the inverse relation
+    for b in range(24):
+        parents = project_bucket(b, 6, 3)
+        assert parents
+        for p in parents:
+            assert b in project_bucket(p, 3, 6)
+
+
+def test_project_bucket_identity_and_error():
+    import pytest
+    from barco_spark.functions.tokens import project_bucket
+
+    assert project_bucket(5, 3, 3) == [5]
+    with pytest.raises(ValueError):
+        project_bucket(0, 3, 9)
