@@ -367,3 +367,111 @@ def events_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         murmur3_token_udf()(F.col("partition_key")).alias("token"),
         bucket_for_key_udf()(F.col("partition_key")).alias("bucket"),
     ).distinct()
+
+
+@register(
+    "scalar_string_extra",
+    """
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS vowelless,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           trim(concat('  ', p_brand, '  ')) AS brand_trim,
+           replace(p_type, 'PROMO', 'SALE') AS type_repl,
+           split_part(p_brand, '#', 2) AS brand_num,
+           reverse(p_brand) AS brand_rev,
+           contains(p_name, 'a') AS has_a
+    FROM part
+    WHERE p_partkey < 100
+    """,
+    "scalar",
+    doc="String function battery: regexp_replace/lpad/trim/replace/split_part/reverse/contains.",
+)
+def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("vowelless"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_trim"
+        ),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("SALE")).alias("type_repl"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.contains(F.col("p_name"), F.lit("a")).alias("has_a"),
+    )
+
+
+@register(
+    "null_handling",
+    """
+    SELECT c_custkey,
+           COALESCE(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 END), 0) AS n_orders,
+           COALESCE(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), -1.0) AS max_price,
+           NULLIF(COUNT(o_orderkey), 0) AS n_or_null
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 250000
+    GROUP BY c_custkey
+    """,
+    "scalar",
+    doc="NULL semantics through outer joins: COALESCE / NULLIF / conditional COUNT.",
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    joined = t(spark, sf_dir, "customer").join(
+        orders,
+        (F.col("o_custkey") == F.col("c_custkey")) & (F.col("o_totalprice") > 250000),
+        "left",
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderkey").isNotNull(), 1)), F.lit(0)
+        ).alias("n_orders"),
+        F.coalesce(
+            F.max(_dec2("o_totalprice")).cast("double"), F.lit(-1.0)
+        ).alias("max_price"),
+        F.nullif(F.count("o_orderkey"), F.lit(0)).alias("n_or_null"),
+    )
+
+
+@register(
+    "q7_volume_by_year",
+    """
+    SELECT n_name AS supp_nation,
+           YEAR(l_shipdate) AS ship_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS volume
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name, YEAR(l_shipdate)
+    """,
+    "join",
+    doc="TPC-H Q7 shape: supplier-nation volume by ship year.",
+)
+def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    one = F.lit(1).cast("decimal(18,4)")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(
+            F.broadcast(t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
+            .cast("double")
+            .alias("volume")
+        )
+    )
