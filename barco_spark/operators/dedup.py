@@ -185,7 +185,15 @@ def _band_sql(b: int) -> str:
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _hashed_shingles(spark, sf_dir).select("doc_id", "shingles", *_minhash_cols())
+    # materialize signatures once: the plan references sig three times
+    # (bands + both sides of the verify join); without this Spark
+    # recomputes the shingle/hash subtree each time. At warehouse scale
+    # the same stage would persist to a signatures table.
+    sig = (
+        _hashed_shingles(spark, sf_dir)
+        .select("doc_id", "shingles", *_minhash_cols())
+        .localCheckpoint(eager=False)
+    )
 
     bands = None
     for b in range(N_BANDS):
@@ -320,7 +328,8 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = simhash_signatures(spark, sf_dir)
+    # materialize once: both sides of the pair join share this subtree
+    sig = simhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     pairs = F.broadcast(a).join(b, F.col("doc_a") < F.col("doc_b")).select(
