@@ -141,6 +141,12 @@ class EventLog:
         newlines into separate records (S2,
         internal/producing/models.go:44-87).
         """
+        if not topic or len(topic) > self.config.max_topic_length:
+            # reference validates names up to 255 chars
+            # (internal/conf/constants.go:54, producing/server.go:142-152)
+            raise ValueError(
+                f"invalid topic name (1..{self.config.max_topic_length} chars)"
+            )
         if isinstance(payloads, DataFrame):
             df = payloads
             if "partition_key" not in df.columns:

@@ -1,0 +1,61 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+The reference has no property tests (SURVEY.md §5); these cover the
+invariants its unit vectors only sample: hash stability, ring
+coverage, assignment fairness, resize projection round-trips.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from barco_spark.functions.tokens import (
+    murmur3_token_py,
+    project_bucket,
+    range_bounds,
+    token_to_bucket_py,
+)
+from barco_spark.sources.eventlog import assign_buckets
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=300)
+def test_murmur3_is_stable_and_signed64(data):
+    h1 = murmur3_token_py(data)
+    h2 = murmur3_token_py(data)
+    assert h1 == h2
+    assert -(1 << 63) <= h1 < (1 << 63)
+
+
+@given(st.binary(min_size=1, max_size=48))
+@settings(max_examples=300)
+def test_token_bucket_in_ring(data):
+    b = token_to_bucket_py(murmur3_token_py(data), 3, 4)
+    assert 0 <= b < 12
+    lo, hi = range_bounds(b // 4, b % 4, 3, 4)
+    tok = murmur3_token_py(data)
+    # token must land inside its bucket's range (last range absorbs tail)
+    assert lo <= tok <= hi or b % 4 == 0
+
+
+@given(
+    st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=20, unique=True),
+    st.sampled_from([4, 8, 12, 16, 24]),
+)
+@settings(max_examples=200)
+def test_assignment_partitions_buckets(consumers, buckets):
+    out = assign_buckets(consumers, buckets)
+    got = sorted(b for lst in out.values() for b in lst)
+    assert got == list(range(buckets))  # exact partition, no dup/loss
+    sizes = [len(v) for v in out.values()]
+    assert max(sizes) - min(sizes) <= -(-buckets // len(set(consumers)))
+
+
+@given(st.integers(min_value=0, max_value=11))
+@settings(max_examples=50)
+def test_project_bucket_roundtrip(bucket):
+    kids = project_bucket(bucket, 3, 6)
+    assert kids
+    for k in kids:
+        assert bucket in project_bucket(k, 6, 3)

