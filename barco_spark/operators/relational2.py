@@ -475,3 +475,101 @@ def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("volume")
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    SELECT p_partkey, l_suppkey, l_extendedprice
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size > 40
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+    "subquery",
+    doc="TPC-H Q2 shape (no partsupp table in this schema): correlated "
+    "MIN subquery picking the cheapest lineitem per part.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "part").createOrReplaceTempView("_q2_part")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q2_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, l_suppkey, l_extendedprice
+        FROM _q2_part JOIN _q2_lineitem ON p_partkey = l_partkey
+        WHERE p_size > 40
+          AND l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice) FROM _q2_lineitem l2
+            WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "subquery",
+    doc="TPC-H Q15 shape: CTE revenue view + scalar-max subquery.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("_q15_supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q15_lineitem")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
+          FROM _q15_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM _q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+@register(
+    "q20_promo_shippers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+    """,
+    "subquery",
+    doc="TPC-H Q20 shape: nested IN subqueries with HAVING.",
+)
+def q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("_q20_supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q20_lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("_q20_part")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM _q20_supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM _q20_lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM _q20_part WHERE p_type = 'PROMO')
+          GROUP BY l_suppkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+        """
+    )

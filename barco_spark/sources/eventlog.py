@@ -131,8 +131,13 @@ class EventLog:
         payloads: list[str] | list[tuple[str | None, str]] | DataFrame,
         partition_key: str | None = None,
         ndjson: bool = False,
+        return_count: bool = True,
     ) -> int:
         """Append records to a topic; returns the number written.
+
+        `return_count=False` skips the counting action so the pipeline
+        executes exactly once (the streaming produce path uses this —
+        otherwise every micro-batch would be computed twice).
 
         `payloads` may be a list of payload strings (all sharing
         `partition_key`), a list of (key, payload) tuples, or a
@@ -216,7 +221,7 @@ class EventLog:
                 (F.col("wm") + F.col("rn")).alias("offset"),
             )
         )
-        n = out.count()
+        n = out.count() if return_count else -1
         (
             out.write.mode("append")
             .partitionBy("topic", "bucket")

@@ -56,7 +56,7 @@ def stream_produce(
             cols.insert(0, F.lit(None).cast("string").alias("partition_key"))
         if "timestamp" in batch_df.columns:
             cols.append(F.col("timestamp"))
-        log.produce(topic, batch_df.select(*cols))
+        log.produce(topic, batch_df.select(*cols), return_count=False)
 
     writer = source.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -55,8 +55,12 @@ def main() -> None:
     run("q1_pricing_summary")
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for name in HEADLINE:
-        timings[name] = round(run(name), 4)
+        try:
+            timings[name] = round(run(name), 4)
+        except Exception as ex:  # a broken query must not kill the bench
+            failures[name] = f"{type(ex).__name__}: {ex}"[:200]
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -64,17 +68,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -203,3 +203,53 @@ def test_stream_dedup(spark, tmp_path, log):
     )
     q.awaitTermination(120)
     assert sorted(r["payload"] for r in results) == ["dup", "uniq"]
+
+
+def test_sliding_window_stream(spark, tmp_path, log):
+    from barco_spark.streaming.windows import sliding_counts
+
+    rows = [
+        ("k", "a", "2024-01-01 00:02:00"),
+        ("k", "b", "2024-01-01 00:07:00"),
+        ("k", "c", "2024-01-01 00:12:00"),
+    ]
+    df = spark.createDataFrame(rows, ["partition_key", "payload", "ts"]).withColumn(
+        "timestamp", F.col("ts").cast("timestamp")
+    )
+    log.produce("t", df.select("partition_key", "payload", "timestamp"))
+    results: list = []
+
+    def sink(d, _b):
+        results.clear()
+        results.extend(d.collect())
+
+    q = (
+        sliding_counts(stream_consume(log, "t"), "10 minutes", "5 minutes")
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    counts = {str(r["window_start"]): r["n"] for r in results}
+    # event at 00:02 belongs to [23:55,00:05) and [00:00,00:10); etc.
+    assert counts["2024-01-01 00:00:00"] == 2  # a, b
+    assert counts["2024-01-01 00:05:00"] == 2  # b, c
+    assert counts["2024-01-01 00:10:00"] == 1  # c
+
+
+def test_produce_metrics(spark, tmp_path, log):
+    from barco_spark.metrics import produce_metrics
+
+    src_dir = str(tmp_path / "src")
+    _write_source_files(spark, src_dir, [("k", f"m{i}") for i in range(25)])
+    source = (
+        spark.readStream.schema("partition_key string, payload string").json(src_dir)
+    )
+    q = stream_produce(log, source, "t", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    m = produce_metrics(q)
+    assert m.batches >= 1
+    # 25 source rows + at most a couple from the isEmpty probe
+    assert 25 <= m.total_rows <= 27
