@@ -573,3 +573,41 @@ def q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
         """
     )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    GROUP BY c_nationkey
+    """,
+    "subquery",
+    doc="TPC-H Q22 shape: above-average balance + anti-join on big orders.",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_q22_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_q22_orders")
+    return spark.sql(
+        """
+        SELECT c_nationkey AS nationkey,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM _q22_customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM _q22_customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM _q22_orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        GROUP BY c_nationkey
+        """
+    )

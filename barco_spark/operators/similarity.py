@@ -192,3 +192,94 @@ def lsh_bucket_col(v: Column, n_planes: int, dim: int) -> Column:
             d = term if d is None else d + term
         bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket.cast("int")
+
+
+def _planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    return [
+        [_plane_component(j, i) for i in range(dim)] for j in range(n_planes)
+    ]
+
+
+def _bucket_sql(v: str, planes: list[list[float]]) -> str:
+    """DuckDB rendering of the sign-bit bucket (sequential fold per plane)."""
+    terms = []
+    for j, comps in enumerate(planes):
+        arr = "[" + ",".join(repr(c) for c in comps) + "]"
+        d = (
+            f"list_reduce(list_transform(range(1, {len(comps)} + 1), "
+            f"i -> {v}[i] * ({arr})[i]), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_col(v: Column, planes: list[list[float]]) -> Column:
+    bucket = F.lit(0)
+    for j, comps in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in comps])
+        d = F.aggregate(
+            F.zip_with(v, arr, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+_PLANES = _planes()
+
+
+@register(
+    "ann_lsh_search",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_bucket_sql('v', _PLANES)} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM bucketed WHERE vec_id >= {N_QUERY}),
+    scored AS (
+      SELECT query_id, cand_id,
+             {_DOT_SQL.format(a="qv", b="cv")}
+               / sqrt({_NORM2_SQL.format(a="qv")} * {_NORM2_SQL.format(a="cv")}) AS cosine_sim
+      FROM q JOIN c USING (bucket)),
+    ranked AS (
+      SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    "similarity",
+    doc=(
+        "LSH-bucketed ANN (the 100 TB scale path): corpus and queries "
+        "bucketed by 8 deterministic hyperplane sign bits; each query "
+        "scores only its own bucket (equi join, no cross join), then "
+        "per-query top-3. Same hyperplanes on both engines, so the "
+        "oracle matches bit-for-bit."
+    ),
+)
+def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = e.select("vec_id", "v", _bucket_col(F.col("v"), _PLANES).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = bucketed.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id",
+        "cand_id",
+        (dot("qv", "cv") / F.sqrt(norm2("qv") * norm2("cv"))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.select(
+            "query_id", "cand_id", "cosine_sim", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 3)
+    )

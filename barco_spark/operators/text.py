@@ -266,3 +266,62 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("term"))
         .limit(20)
     )
+
+
+ROLL_B = 31
+ROLL_P = 1_000_000_007
+_B_POWS = [ROLL_B**k for k in range(5)]  # B^0..B^4
+
+
+@register(
+    "doc_rolling_fingerprints",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    h AS (SELECT doc_id, list_transform(words, x -> {h28_sql('x')}) AS hs FROM w),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 5
+               THEN list_transform(range(1, len(hs) - 3),
+                    s -> (hs[s] * {_B_POWS[4]} + hs[s+1] * {_B_POWS[3]}
+                        + hs[s+2] * {_B_POWS[2]} + hs[s+3] * {_B_POWS[1]}
+                        + hs[s+4]) % {ROLL_P})
+               ELSE [hs[1] % {ROLL_P}] END AS rolls
+      FROM h)
+    SELECT doc_id,
+           list_min(rolls) AS min_fp,
+           list_max(rolls) AS max_fp,
+           len(list_distinct(rolls)) AS n_windows
+    FROM r
+    """,
+    "text",
+    doc=(
+        "Rabin-Karp rolling hash over 5-word windows (polynomial base 31 "
+        "mod 1e9+7, all intermediates < 2^63); min/max fingerprint + "
+        "distinct window count per document."
+    ),
+)
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), lambda x: h28(x)).alias("hs"),
+    )
+    hs = F.col("hs")
+
+    def window_hash(s: Column) -> Column:
+        acc = None
+        for k in range(5):
+            term = hs[s + k] * F.lit(_B_POWS[4 - k])
+            acc = term if acc is None else acc + term
+        return acc % ROLL_P
+
+    rolls = F.when(
+        F.size(hs) >= 5,
+        F.transform(F.sequence(F.lit(0), F.size(hs) - 5), window_hash),
+    ).otherwise(F.array(hs[0] % ROLL_P))
+    r = d.select("doc_id", rolls.alias("rolls"))
+    return r.select(
+        "doc_id",
+        F.array_min("rolls").alias("min_fp"),
+        F.array_max("rolls").alias("max_fp"),
+        F.size(F.array_distinct("rolls")).alias("n_windows"),
+    )

