@@ -298,13 +298,18 @@ class EventLog:
         max_records_per_bucket: int = 1000,
         buckets: list[int] | None = None,
         auto_commit: bool = True,
+        max_bytes_per_bucket: int | None = None,
     ) -> DataFrame:
         """Next batch after the committed offsets (R2), per bucket.
 
         `buckets` restricts the poll to this consumer's assignment
-        (from `assign_buckets`, R3). Auto-commits the advanced offsets
-        (R8) unless disabled; at-least-once on failure, matching the
-        reference (docs/faq/README.md:14).
+        (from `assign_buckets`, R3). `max_bytes_per_bucket` caps the
+        batch by cumulative payload size, mirroring the reference's
+        2 MiB ConsumerReadThreshold (internal/conf/config.go:260-262) —
+        the batch always includes at least one record per bucket so a
+        single oversized payload cannot wedge the consumer. Auto-commits
+        the advanced offsets (R8) unless disabled; at-least-once on
+        failure, matching the reference (docs/faq/README.md:14).
         """
         committed = self.committed(group, topic)
         targets = buckets if buckets is not None else list(range(self.buckets))
@@ -321,6 +326,21 @@ class EventLog:
             .select("topic", "partition_key", "timestamp", "payload", "bucket", "offset")
             .sortWithinPartitions("bucket", "offset")
         )
+        if max_bytes_per_bucket is not None:
+            w = (
+                Window.partitionBy("bucket")
+                .orderBy("offset")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            data = (
+                data.withColumn("_cum", F.sum(F.length("payload")).over(w))
+                .withColumn("_first", F.first("offset").over(w))
+                .filter(
+                    (F.col("_cum") <= max_bytes_per_bucket)
+                    | (F.col("offset") == F.col("_first"))
+                )
+                .drop("_cum", "_first")
+            )
         if auto_commit:
             new_next = (
                 data.groupBy("bucket").agg((F.max("offset") + 1).alias("nxt")).collect()

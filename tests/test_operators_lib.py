@@ -1,0 +1,91 @@
+"""Library-operator tests: generic as-of join, bucketed co-located
+joins, byte-capped polling."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from barco_spark.operators.asof import asof_join
+from barco_spark.plans import shuffle_count
+from barco_spark.sources.eventlog import EventLog
+from barco_spark.sources.warehouse import bucketed_join, write_bucketed
+from barco_spark.tables import t
+
+
+def test_asof_join_matches_reference_query(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="p_ts", right_ts="c_ts",
+        value_cols=["click_id"],
+    )
+    got = {r["purchase_id"]: r["c_ts_asof"] for r in out.collect()}
+
+    # independent formulation from the oracle-verified registry query
+    from barco_spark.registry import load_all
+
+    expected = {
+        r["purchase_id"]: r["last_click_ts"]
+        for r in load_all()["asof_join_last_click"].build(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("lts"), "event_id"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("rts"), F.col("value").alias("cv")
+    )
+    out = asof_join(left, right, "user_id", "lts", "rts", ["cv"])
+    assert shuffle_count(out) == 1  # union + one window shuffle, no join
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    suffix = uuid.uuid4().hex[:8]
+    lt, rt = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    try:
+        write_bucketed(
+            t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "key"),
+            lt,
+            "key",
+            buckets=8,
+        )
+        write_bucketed(
+            t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "key"),
+            rt,
+            "key",
+            buckets=8,
+        )
+        joined = bucketed_join(spark, lt, rt, "key")
+        assert shuffle_count(joined) == 0, "bucketed join must not exchange"
+        plain = t(spark, sf_dir, "orders").join(
+            t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_poll_byte_threshold(spark, tmp_path):
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", ["x" * 100 for _ in range(10)], partition_key="k")
+    batch = log.poll("g", "t", auto_commit=False, max_bytes_per_bucket=350)
+    assert batch.count() == 3  # 3 * 100 <= 350 < 4 * 100
+    # an oversized first record is still served (no consumer wedge)
+    log2 = EventLog(spark, str(tmp_path / "log2"))
+    log2.register("g", ["t"], reset="earliest")
+    log2.produce("t", ["y" * 1000], partition_key="k")
+    assert log2.poll("g", "t", auto_commit=False, max_bytes_per_bucket=10).count() == 1
