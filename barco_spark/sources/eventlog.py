@@ -135,9 +135,10 @@ class EventLog:
     ) -> int:
         """Append records to a topic; returns the number written.
 
-        `return_count=False` skips the counting action so the pipeline
-        executes exactly once (the streaming produce path uses this —
-        otherwise every micro-batch would be computed twice).
+        The row count is a free by-product of the two-phase offset
+        assignment (the tiny per-(bucket, partition) count matrix), so
+        `return_count` is kept only for API stability — no extra job
+        runs either way.
 
         `payloads` may be a list of payload strings (all sharing
         `partition_key`), a list of (key, payload) tuples, or a
@@ -199,29 +200,60 @@ class EventLog:
                 "bucket", fast_bucket_expr(F.col("partition_key"), self.buckets)
             )
 
-        # contiguous per-bucket offsets: single shuffle on bucket
-        # (single-writer-per-bucket, mirroring the coalescer W1), then
-        # continue from the stored high watermark (producer.offset W4)
+        # Contiguous per-bucket offsets, two-phase (the coalescer W1 at
+        # scale): a window over (bucket) alone would cap parallelism at
+        # `buckets` tasks AND skew under hash collisions (12 distinct
+        # values hashed into 32 partitions leave idle cores). Instead:
+        #   phase 1: local row_number per (bucket, source partition) —
+        #            parallel across ALL source partitions;
+        #   phase 2: per-bucket prefix sums of the tiny
+        #            (bucket, partition) count matrix, broadcast back.
+        # Offsets follow arrival order (source-partition order, then
+        # _seq), matching the reference's arrival-order assignment
+        # (internal/producing/coalescer.go:85-172).
         watermarks = self.high_watermarks(topic)  # bucket -> next offset
-        wm_df = self.spark.createDataFrame(
-            [(b, watermarks.get(b, 0)) for b in range(self.buckets)],
-            ["bucket", "wm"],
+        df = df.withColumn("_pid", F.spark_partition_id())
+        # count matrix from the pre-window frame: map-side combined, so
+        # this job shuffles only (bucket, pid, count) rows — no data
+        # pass is duplicated and nothing needs to be persisted
+        counts = (
+            df.groupBy("bucket", "_pid").agg(F.count(F.lit(1)).alias("c")).collect()
         )
-        w = Window.partitionBy("bucket").orderBy("timestamp", "_seq")
+        n = sum(r["c"] for r in counts)
+        # base[bucket][pid] = watermark + rows of earlier pids in this
+        # bucket, embedded as a literal array-of-arrays: the offset
+        # lookup is O(1) expression work — no join, so the 1 KiB payload
+        # rows are never copied through a join operator
+        max_pid = max((r["_pid"] for r in counts), default=0)
+        base = [
+            [watermarks.get(b, 0)] * (max_pid + 1) for b in range(self.buckets)
+        ]
+        acc: dict[int, int] = {}
+        for r in sorted(counts, key=lambda r: (r["bucket"], r["_pid"])):
+            b = r["bucket"]
+            base[b][r["_pid"]] += acc.get(b, 0)
+            acc[b] = acc.get(b, 0) + r["c"]
+        base_lit = F.array(
+            *[F.array(*[F.lit(v).cast("bigint") for v in row]) for row in base]
+        )
+        w_local = Window.partitionBy("bucket", "_pid").orderBy("timestamp", "_seq")
         out = (
-            df.repartition(min(self.buckets, self.config.shuffle_partitions), "bucket")
-            .withColumn("rn", F.row_number().over(w) - 1)
-            .join(F.broadcast(wm_df), "bucket")
+            df.withColumn("_lrn", F.row_number().over(w_local) - 1)
             .select(
                 F.lit(topic).alias("topic"),
                 "partition_key",
                 "timestamp",
                 "payload",
                 "bucket",
-                (F.col("wm") + F.col("rn")).alias("offset"),
+                (
+                    F.element_at(
+                        F.element_at(base_lit, F.col("bucket") + 1),
+                        F.col("_pid") + 1,
+                    )
+                    + F.col("_lrn")
+                ).alias("offset"),
             )
         )
-        n = out.count() if return_count else -1
         (
             out.write.mode("append")
             .partitionBy("topic", "bucket")
