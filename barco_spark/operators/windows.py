@@ -210,3 +210,81 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "events_type_correlation",
+    """
+    WITH hourly AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY 1, 2),
+    paired AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n,
+             CAST(SUM(a.v) AS DOUBLE) AS sx,
+             CAST(SUM(b.v) AS DOUBLE) AS sy,
+             CAST(SUM(a.v * b.v) AS DOUBLE) AS sxy,
+             CAST(SUM(a.v * a.v) AS DOUBLE) AS sxx,
+             CAST(SUM(b.v * b.v) AS DOUBLE) AS syy
+      FROM hourly a JOIN hourly b ON a.h = b.h AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT type_a, type_b, n AS n_hours,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)) AS pearson
+    FROM paired
+    """,
+    "window",
+    doc=(
+        "Time-series correlation matrix: hourly value series per event "
+        "type, Pearson over shared hours. All totals are exact decimal "
+        "sums cast to double, so the correlation is bit-deterministic "
+        "(F.corr/corr() would fold doubles in partition order)."
+    ),
+)
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("v")
+        )
+    )
+    a = hourly.select(
+        F.col("h"), F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = hourly.select(
+        F.col("h"), F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    paired = (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("va").cast("double").alias("sx"),
+            F.sum("vb").cast("double").alias("sy"),
+            F.sum(F.col("va") * F.col("vb")).cast("double").alias("sxy"),
+            F.sum(F.col("va") * F.col("va")).cast("double").alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).cast("double").alias("syy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    return paired.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_hours"),
+        (
+            (n_d * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("pearson"),
+    )
