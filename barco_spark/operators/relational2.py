@@ -611,3 +611,95 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+@register(
+    "map_functions",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS clicks,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchases,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    "scalar",
+    doc=(
+        "Map-typed columns: per-user counts are built as a "
+        "map<event_type, count> (map_from_entries over collected "
+        "structs), then extracted with element_at and map_keys — the "
+        "oracle states the same result relationally."
+    ),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "c")))
+            ).alias("type_counts")
+        )
+    )
+    return counts.select(
+        "user_id",
+        F.coalesce(F.element_at(F.col("type_counts"), F.lit("click")), F.lit(0)).alias(
+            "clicks"
+        ),
+        F.coalesce(
+            F.element_at(F.col("type_counts"), F.lit("purchase")), F.lit(0)
+        ).alias("purchases"),
+        F.size(F.map_keys(F.col("type_counts"))).alias("n_types"),
+    )
+
+
+@register(
+    "calendar_gap_fill",
+    """
+    WITH days AS (
+      SELECT CAST(unnest(generate_series(TIMESTAMP '1997-01-01',
+                                         TIMESTAMP '1997-03-31',
+                                         INTERVAL 1 DAY)) AS TIMESTAMP) AS day),
+    daily AS (
+      SELECT CAST(DATE_TRUNC('day', o_orderdate) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT d.day, COALESCE(daily.n, 0) AS n_orders
+    FROM days d LEFT JOIN daily USING (day)
+    """,
+    "scalar",
+    doc=(
+        "Time-series gap filling: a generated calendar spine "
+        "(F.sequence + explode) left-joined to daily counts, zero-"
+        "filled. At scale the spine is tiny and broadcast."
+    ),
+)
+def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("timestamp"),
+                F.lit("1997-03-31").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        F.broadcast(days)
+        .join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+    )
