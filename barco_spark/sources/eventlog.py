@@ -140,6 +140,13 @@ class EventLog:
         `return_count` is kept only for API stability — no extra job
         runs either way.
 
+        Concurrency contract: one logical producer per topic at a time
+        (concurrent produce calls would read the same high watermark
+        and collide on offsets). The reference has the same invariant —
+        one coalescer goroutine per (topic, token, range)
+        (internal/producing/coalescer.go:19); the streaming path
+        serializes batches through foreachBatch naturally.
+
         `payloads` may be a list of payload strings (all sharing
         `partition_key`), a list of (key, payload) tuples, or a
         DataFrame with `payload` (+ optional `partition_key`,
@@ -441,8 +448,66 @@ class EventLog:
         return None
 
     # ------------------------------------------------------------------
+    # Introspection (C2/C9 analogues)
+    # ------------------------------------------------------------------
+    def topics(self) -> list[str]:
+        """List existing topics (directory partitions), like the
+        discovery client service (C2)."""
+        try:
+            rows = (
+                self.spark.read.schema(EVENT_SCHEMA)
+                .parquet(self._data_path)
+                .select("topic")
+                .distinct()
+                .collect()
+            )
+        except Exception:
+            return []
+        return sorted(r["topic"] for r in rows)
+
+    def lag(self, group: str, topic: str) -> DataFrame:
+        """Consumer lag per bucket: high watermark minus committed
+        (the broker's consumer-lag metric, C9/R11)."""
+        wm = self.high_watermarks(topic)
+        committed = self.committed(group, topic)
+        rows = [
+            (topic, b, wm.get(b, 0), committed.get(b, 0), wm.get(b, 0) - committed.get(b, 0))
+            for b in range(self.buckets)
+        ]
+        return self.spark.createDataFrame(
+            rows, ["topic", "bucket", "high_watermark", "committed", "lag"]
+        )
+
+    # ------------------------------------------------------------------
     # Maintenance (W7)
     # ------------------------------------------------------------------
+    def compact(self, topic: str, target_files_per_bucket: int = 1) -> None:
+        """Rewrite a topic's many small files into few large ones.
+
+        Every produce batch appends >=1 file per bucket; over time a
+        bucket accumulates small files (the reference rolls segments at
+        1 GiB instead, internal/conf/config.go:286-289). Compaction
+        preserves rows and offsets exactly — only the file layout
+        changes. Not concurrency-safe with an in-flight produce to the
+        same topic (same single-writer-per-topic assumption as produce).
+        """
+        import shutil
+
+        src = self.read(topic)
+        tmp = f"{self.root}/_compact_tmp"
+        (
+            src.repartition(target_files_per_bucket * self.buckets, "bucket")
+            .sortWithinPartitions("bucket", "offset")
+            .write.mode("overwrite")
+            .partitionBy("topic", "bucket")
+            .option("compression", "zstd")
+            .parquet(tmp)
+        )
+        topic_dir = f"{self._data_path}/topic={topic}"
+        shutil.rmtree(topic_dir)
+        shutil.move(f"{tmp}/topic={topic}", topic_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def retention_cleanup(self, max_age_hours: float | None = None) -> int:
         """Delete data files older than the retention window (W7).
 

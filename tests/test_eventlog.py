@@ -150,3 +150,43 @@ def test_poll_json_response_shape(log):
     assert obj["topic"] == "t"
     assert obj["startOffset"] == 0
     assert obj["values"] == ["a", "b", "c"]
+
+
+def test_topics_listing(log):
+    assert log.topics() == []
+    log.produce("zeta", ["a"], partition_key="k")
+    log.produce("alpha", ["b"], partition_key="k")
+    assert log.topics() == ["alpha", "zeta"]
+
+
+def test_consumer_lag(log):
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", ["a", "b", "c"], partition_key="k")
+    total_lag = sum(r["lag"] for r in log.lag("g", "t").collect())
+    assert total_lag == 3
+    log.poll("g", "t")
+    assert sum(r["lag"] for r in log.lag("g", "t").collect()) == 0
+
+
+def test_compact_preserves_offsets(log):
+    log.register("g", ["t"], reset="earliest")
+    for i in range(5):  # 5 produce batches => many small files
+        log.produce("t", [f"m{i}a", f"m{i}b"], partition_key="k")
+    import glob
+
+    before = len(glob.glob(f"{log.root}/data/topic=t/**/*.parquet", recursive=True))
+    rows_before = sorted(
+        (r["offset"], r["payload"]) for r in log.read("t").collect()
+    )
+    log.compact("t")
+    after = len(glob.glob(f"{log.root}/data/topic=t/**/*.parquet", recursive=True))
+    rows_after = sorted(
+        (r["offset"], r["payload"]) for r in log.read("t").collect()
+    )
+    assert rows_after == rows_before
+    assert after < before
+    # offsets still continue correctly after compaction
+    log.produce("t", ["post"], partition_key="k")
+    assert [r["payload"] for r in log.poll("g", "t").orderBy("offset").collect()][
+        -1
+    ] == "post"
