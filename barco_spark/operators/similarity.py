@@ -182,16 +182,12 @@ def _plane_component(j: int, i: int) -> float:
 
 
 def lsh_bucket_col(v: Column, n_planes: int, dim: int) -> Column:
-    """Sign-bit LSH bucket id: bit j = (v . r_j) >= 0, folded to an int."""
-    bucket = F.lit(0)
-    for j in range(n_planes):
-        comps = [F.lit(_plane_component(j, i)) for i in range(dim)]
-        d = None
-        for i in range(dim):
-            term = v[i] * comps[i]
-            d = term if d is None else d + term
-        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    """Sign-bit LSH bucket id: bit j = (v . r_j) >= 0, folded to an int.
+
+    Thin wrapper over the single shared implementation (`_bucket_col`)
+    so ann_lsh_buckets and ann_lsh_search can never drift apart.
+    """
+    return _bucket_col(v, _planes(n_planes, dim)).cast("int")
 
 
 def _planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:

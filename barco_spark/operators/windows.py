@@ -117,8 +117,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(order).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(order).cast("long")
-                > 30 * 60
+                # microsecond-exact gap test, matching the oracle's
+                # `ts - LAG(ts) > INTERVAL 30 MINUTE` (whole-second
+                # casts would truncate and can flip boundary sessions)
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order))
+                > 30 * 60 * 1_000_000
             ),
             F.lit(1),
         )

@@ -51,8 +51,10 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from pyspark.errors import AnalysisException
+
 from barco_spark.config import DEFAULT, EngineConfig
-from barco_spark.functions.tokens import bucket_for_key_udf, fast_bucket_expr
+from barco_spark.functions.tokens import bucket_for_key_udf
 
 EVENT_SCHEMA = StructType(
     [
@@ -121,6 +123,10 @@ class EventLog:
         self.exact_tokens = exact_tokens
         self._data_path = f"{self.root}/data"
         self._offsets_path = f"{self.root}/_consumer_offsets"
+        # in-memory served-but-not-yet-committed positions per
+        # (group, topic): the reference's reader state (R8); lost on
+        # restart by design => redelivery from the durable commit
+        self._served: dict[tuple[str, str], dict[int, int]] = {}
 
     # ------------------------------------------------------------------
     # Produce path (S1/S2, W1-W3)
@@ -194,17 +200,26 @@ class EventLog:
         # docs/rest_api/README.md:69-72)
         df = df.withColumn("_seq", F.monotonically_increasing_id())
 
+        # Keyless spreading must be DETERMINISTIC across jobs (produce
+        # evaluates the lineage twice: count matrix + write; a
+        # monotonically_increasing_id-based round-robin could disagree
+        # between the two runs when the upstream has nondeterministic
+        # ordering, corrupting the offset matrix). Content-hash routing
+        # gives the same spread with replay-stable placement.
+        rr = F.pmod(
+            F.xxhash64(F.coalesce(F.col("payload"), F.lit(""))), F.lit(self.buckets)
+        ).cast("int")
         if self.exact_tokens:
             keyed_bucket = bucket_for_key_udf(
                 self.config.brokers, self.config.consumer_ranges
             )(F.col("partition_key"))
-            rr = F.pmod(F.monotonically_increasing_id(), F.lit(self.buckets)).cast(
-                "int"
-            )
             df = df.withColumn("bucket", F.coalesce(keyed_bucket, rr))
         else:
+            key = F.col("partition_key")
+            keyed = F.pmod(F.hash(key), F.lit(self.buckets)).cast("int")
             df = df.withColumn(
-                "bucket", fast_bucket_expr(F.col("partition_key"), self.buckets)
+                "bucket",
+                F.when(key.isNull() | (key == F.lit("")), rr).otherwise(keyed),
             )
 
         # Contiguous per-bucket offsets, two-phase (the coalescer W1 at
@@ -284,7 +299,10 @@ class EventLog:
                 .agg(F.max("offset").alias("mx"))
                 .collect()
             )
-        except Exception:
+        except AnalysisException:
+            # log dir doesn't exist yet (new topic root); any OTHER read
+            # failure must propagate — swallowing it would restart
+            # offsets at 0 and duplicate the sequence
             return {}
         return {r["bucket"]: r["mx"] + 1 for r in rows}
 
@@ -297,14 +315,23 @@ class EventLog:
         """Register a consumer group (R1) with a reset policy (R9).
 
         `latest` (reference default) commits the current high watermark
-        so the group only sees new data; `earliest` commits 0.
+        so the group only sees new data; `earliest` commits 0. The reset
+        policy applies ONLY to groups with no committed offsets for the
+        topic — re-registering on consumer restart is an idempotent
+        no-op that keeps the group's position, exactly like the
+        reference (idempotent putRegister, consuming/server.go:203-291;
+        defaults only fill missing offsets, offset_state.go:149-314).
         """
         rows = []
         now = None
         for topic in topics:
+            if self.committed(group, topic):
+                continue  # existing position wins over the reset policy
             wm = self.high_watermarks(topic) if reset == "latest" else {}
             for b in range(self.buckets):
                 rows.append((group, topic, b, wm.get(b, 0), now))
+        if not rows:
+            return
         df = self.spark.createDataFrame(rows, OFFSETS_SCHEMA).withColumn(
             "committed_at", F.current_timestamp()
         )
@@ -316,8 +343,8 @@ class EventLog:
         """Latest committed (next-to-read) offset per bucket for a group."""
         try:
             df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(self._offsets_path)
-        except Exception:
-            return {}
+        except AnalysisException:
+            return {}  # no commits yet; real read errors propagate
         w = Window.partitionBy("bucket").orderBy(
             F.col("committed_at").desc(), F.col("committed").desc()
         )
@@ -342,26 +369,53 @@ class EventLog:
         """Next batch after the committed offsets (R2), per bucket.
 
         `buckets` restricts the poll to this consumer's assignment
-        (from `assign_buckets`, R3). `max_bytes_per_bucket` caps the
+        (from `assign_buckets`, R3; an empty assignment polls nothing
+        and returns an empty batch). `max_bytes_per_bucket` caps the
         batch by cumulative payload size, mirroring the reference's
         2 MiB ConsumerReadThreshold (internal/conf/config.go:260-262) —
         the batch always includes at least one record per bucket so a
-        single oversized payload cannot wedge the consumer. Auto-commits
-        the advanced offsets (R8) unless disabled; at-least-once on
-        failure, matching the reference (docs/faq/README.md:14).
+        single oversized payload cannot wedge the consumer.
+
+        Auto-commit is at-least-once, exactly like the reference (the
+        reader commits the PREVIOUS position on each poll,
+        internal/data/segment_reader.go:256-288): serving a batch
+        records its end in this instance's memory; the durable commit
+        happens on the NEXT poll (or goodbye()). A consumer that
+        crashes mid-batch restarts from the last durable commit and is
+        re-served the unacknowledged batch (docs/faq/README.md:14).
+
+        Batch boundaries are pure arithmetic on (position, high
+        watermark) — offsets are contiguous per bucket — so polling
+        adds NO extra data scan; the returned DataFrame is the only
+        read of the log (byte-capped mode is the one exception: the
+        cumulative-size cutoff needs the payload lengths).
         """
+        key = (group, topic)
+        served_prev = self._served.get(key, {})
+        if auto_commit and served_prev:
+            # durable ack of everything served to this consumer so far
+            self.commit(group, topic, served_prev)
         committed = self.committed(group, topic)
+        position = {**committed, **served_prev}
+        hwm = self.high_watermarks(topic)
         targets = buckets if buckets is not None else list(range(self.buckets))
-        cm_df = self.spark.createDataFrame(
-            [(b, committed.get(b, 0)) for b in targets], ["bucket", "committed"]
-        )
+        bounds = []
+        nexts: dict[int, int] = {}
+        for b in targets:
+            start = position.get(b, 0)
+            end = min(start + max_records_per_bucket, hwm.get(b, 0))
+            if end > start:
+                bounds.append((b, start, end))
+                nexts[b] = end
+        if not bounds:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        cm_df = self.spark.createDataFrame(bounds, ["bucket", "start", "end"])
         data = (
             self.spark.read.schema(EVENT_SCHEMA)
             .parquet(self._data_path)
             .filter(F.col("topic") == topic)
             .join(F.broadcast(cm_df), "bucket")
-            .filter(F.col("offset") >= F.col("committed"))
-            .filter(F.col("offset") < F.col("committed") + max_records_per_bucket)
+            .filter((F.col("offset") >= F.col("start")) & (F.col("offset") < F.col("end")))
             .select("topic", "partition_key", "timestamp", "payload", "bucket", "offset")
             .sortWithinPartitions("bucket", "offset")
         )
@@ -380,14 +434,14 @@ class EventLog:
                 )
                 .drop("_cum", "_first")
             )
-        if auto_commit:
-            new_next = (
+            # the byte cutoff shortens the batch; the served watermark
+            # must reflect what was actually delivered (one scan)
+            trimmed = (
                 data.groupBy("bucket").agg((F.max("offset") + 1).alias("nxt")).collect()
             )
-            if new_next:
-                self.commit(
-                    group, topic, {r["bucket"]: r["nxt"] for r in new_next}
-                )
+            nexts = {r["bucket"]: r["nxt"] for r in trimmed}
+        if auto_commit:
+            self._served[key] = {**served_prev, **nexts}
         return data
 
     def poll_json(
@@ -442,10 +496,13 @@ class EventLog:
         )
 
     def goodbye(self, group: str, topic: str) -> None:
-        """Commit-and-leave (R12). Offsets persist for reuse on return."""
-        # Offsets are already durable on every commit; nothing to tear
-        # down — queries are explicit in Spark (no liveness eviction R13).
-        return None
+        """Commit-and-leave (R12): flush this consumer's served-but-
+        uncommitted positions durably, then drop the reader state.
+        Offsets persist for reuse on return."""
+        key = (group, topic)
+        served = self._served.pop(key, {})
+        if served:
+            self.commit(group, topic, served)
 
     # ------------------------------------------------------------------
     # Introspection (C2/C9 analogues)
@@ -461,7 +518,7 @@ class EventLog:
                 .distinct()
                 .collect()
             )
-        except Exception:
+        except AnalysisException:
             return []
         return sorted(r["topic"] for r in rows)
 
@@ -493,6 +550,12 @@ class EventLog:
         """
         import shutil
 
+        if "://" in self.root:
+            raise NotImplementedError(
+                "compact() manipulates files directly and supports local "
+                "paths only; on object stores run a rewrite job + "
+                "lifecycle rules instead (see deploy/README.md)"
+            )
         src = self.read(topic)
         tmp = f"{self.root}/_compact_tmp"
         (
@@ -517,6 +580,12 @@ class EventLog:
         """
         import os
 
+        if "://" in self.root:
+            raise NotImplementedError(
+                "retention_cleanup() walks the local filesystem; on "
+                "object stores use bucket lifecycle/TTL rules "
+                "(see deploy/README.md)"
+            )
         if max_age_hours is None:
             max_age_hours = self.config.retention_hours
         max_age_s = max_age_hours * 3600.0

@@ -164,7 +164,8 @@ def test_consumer_lag(log):
     log.produce("t", ["a", "b", "c"], partition_key="k")
     total_lag = sum(r["lag"] for r in log.lag("g", "t").collect())
     assert total_lag == 3
-    log.poll("g", "t")
+    log.poll("g", "t")  # serves the batch (commit happens on NEXT poll)
+    log.poll("g", "t")  # promotes the served position durably
     assert sum(r["lag"] for r in log.lag("g", "t").collect()) == 0
 
 
@@ -190,3 +191,58 @@ def test_compact_preserves_offsets(log):
     assert [r["payload"] for r in log.poll("g", "t").orderBy("offset").collect()][
         -1
     ] == "post"
+
+
+def test_register_restart_keeps_position(spark, tmp_path):
+    # R9: the reset policy applies only to NEW groups; a consumer that
+    # restarts and re-registers must keep its committed position
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", ["a", "b"], partition_key="k")
+    assert log.poll("g", "t").count() == 2
+    log.goodbye("g", "t")  # durable ack
+    log.produce("t", ["c"], partition_key="k")
+    # restart: fresh instance re-registers with the default latest reset
+    log2 = EventLog(spark, str(tmp_path / "log"))
+    log2.register("g", ["t"], reset="latest")
+    rows = log2.poll("g", "t").collect()
+    assert [r["payload"] for r in rows] == ["c"]  # not skipped
+
+
+def test_at_least_once_redelivery_on_crash(spark, tmp_path):
+    # a consumer that is served a batch but dies before its next poll
+    # (no goodbye) must be re-served that batch on restart
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", ["a", "b"], partition_key="k")
+    assert log.poll("g", "t").count() == 2  # served, NOT yet committed
+    # crash: new instance, no goodbye; durable commit never happened
+    log2 = EventLog(spark, str(tmp_path / "log"))
+    assert log2.poll("g", "t").count() == 2  # redelivered
+    assert log2.poll("g", "t").count() == 0  # second poll committed them
+
+
+def test_poll_empty_assignment(log):
+    # a starved consumer (assign_buckets with more consumers than
+    # buckets) polls an empty assignment and must idle, not crash
+    log.produce("t", ["a"], partition_key="k")
+    assert log.poll("g", "t", buckets=[]).count() == 0
+
+
+def test_keyless_routing_stable(log):
+    # content-hash round-robin: same payloads -> same buckets on replay
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", [f"m{i}" for i in range(20)])
+    a = {r["payload"]: r["bucket"] for r in log.poll("g", "t").collect()}
+    log2_root = log.root + "2"
+    from barco_spark.sources.eventlog import EventLog
+
+    log2 = EventLog(log.spark, log2_root)
+    log2.register("g", ["t"], reset="earliest")
+    log2.produce("t", [f"m{i}" for i in range(20)])
+    b = {r["payload"]: r["bucket"] for r in log2.poll("g", "t").collect()}
+    assert a == b
