@@ -241,6 +241,11 @@ def fast_bucket_expr(key: Column | str, num_buckets: int) -> Column:
     this is the default hot path at scale. Null/empty keys get a
     round-robin bucket (reference keyless behavior,
     discoverer.go:370-411) via a per-partition monotonic id.
+
+    Caveat: the monotonic-id round-robin is position-based and thus NOT
+    stable across re-executions of a nondeterministic lineage; pipelines
+    that evaluate the frame more than once (e.g. EventLog.produce) must
+    use content-hash spreading instead (see eventlog.py).
     """
     key_col = F.col(key) if isinstance(key, str) else key
     keyed = F.pmod(F.hash(key_col), F.lit(num_buckets))

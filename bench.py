@@ -47,14 +47,18 @@ def main() -> None:
     spark = get_spark(app_name="barco-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         df = queries[name].build(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run(name: str) -> float:
+        # best of two: first execution may pay codegen/JIT warmup
+        return min(run_once(name), run_once(name))
+
     # warmup: spin up executors / codegen once
-    run("q1_pricing_summary")
+    run_once("q1_pricing_summary")
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

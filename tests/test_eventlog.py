@@ -246,3 +246,19 @@ def test_keyless_routing_stable(log):
     log2.produce("t", [f"m{i}" for i in range(20)])
     b = {r["payload"]: r["bucket"] for r in log2.poll("g", "t").collect()}
     assert a == b
+
+
+def test_consumer_group_shrink(log):
+    # scale-down analogue (reference scale_down_test.go): c2 leaves;
+    # c1 takes over all buckets and consumption continues seamlessly
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", [(f"k{i}", f"m{i}") for i in range(24)])
+    two = assign_buckets(["c1", "c2"], log.buckets)
+    n_c1 = log.poll("g", "t", buckets=two["c1"]).count()
+    log.poll("g", "t", buckets=two["c1"])  # promote c1's served offsets
+    # c2 never polls (died); c1 now owns everything
+    solo = assign_buckets(["c1"], log.buckets)
+    remaining = log.poll("g", "t", buckets=solo["c1"]).count()
+    assert n_c1 + remaining == 24
+    log.poll("g", "t", buckets=solo["c1"])
+    assert log.poll("g", "t").count() == 0
