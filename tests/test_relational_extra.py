@@ -93,3 +93,21 @@ def test_topic_validation(spark, tmp_path):
         log.produce("", ["x"])
     with pytest.raises(ValueError):
         log.produce("t" * 300, ["x"])
+
+
+def test_curation_invariants(spark, sf_dir):
+    from barco_spark.operators.pipeline import curate
+    from barco_spark.registry import load_all
+
+    q = load_all()
+    kept = {r["doc_id"] for r in curate(spark, sf_dir).collect()}
+    assert kept  # the pipeline keeps a non-trivial corpus
+    # no surviving near-dup pair: for every verified pair, doc_b dropped
+    pairs = q["dedup_minhash_lsh"].build(spark, sf_dir).collect()
+    for p in pairs:
+        assert p["doc_b"] not in kept
+    # funnel stats add up
+    stats = q["curation_stats"].build(spark, sf_dir).collect()
+    for r in stats:
+        assert r["n_input"] == r["dropped_quality"] + r["dropped_dup"] + r["n_kept"]
+    assert sum(r["n_kept"] for r in stats) == len(kept)
