@@ -38,7 +38,6 @@ machinery entirely, see SURVEY.md §7d).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -96,12 +95,6 @@ def assign_buckets(consumer_ids: list[str], buckets: int) -> dict[str, list[int]
     for b in range(buckets):
         out[ids[min(b // per, n - 1)]].append(b)
     return out
-
-
-@dataclass
-class PollResult:
-    batch: DataFrame
-    next_offsets: dict[tuple[str, int], int]  # (topic, bucket) -> next offset
 
 
 class EventLog:
