@@ -95,3 +95,31 @@ def stream_dedup(
     memory is bounded at any scale.
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "timestamp",
+    right_ts: str = "timestamp",
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi join with an event-time bound.
+
+    Both sides are watermarked so Spark can bound the join state: a
+    right row is retained only until `left_ts` could still fall within
+    `[right_ts, right_ts + within]`. This is the streaming analogue of
+    the as-of/range join family — state size is O(watermark window),
+    not O(stream length), at any scale.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"l.{left_ts}") >= F.col(f"r.{right_ts}"))
+        & (F.col(f"l.{left_ts}") <= F.expr(f"r.{right_ts} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how)

@@ -297,3 +297,42 @@ def test_stateful_running_totals(spark, tmp_path):
     q.awaitTermination(120)
     state = {r["key"]: (r["n_events"], r["total_value"], r["max_value"]) for r in results}
     assert state["a"] == (3, 13.0, 10.0)
+
+
+def test_stream_stream_join(spark, tmp_path, log):
+    from barco_spark.streaming.windows import stream_stream_join
+
+    clicks = [
+        ("u1", "c1", "2024-01-01 00:00:00"),
+        ("u1", "c2", "2024-01-01 03:00:00"),
+    ]
+    purchases = [
+        ("u1", "p1", "2024-01-01 00:30:00"),  # within 1h of c1
+        ("u1", "p2", "2024-01-01 05:00:00"),  # within 1h of nothing
+    ]
+    for topic, rows in [("clicks", clicks), ("purchases", purchases)]:
+        df = spark.createDataFrame(
+            rows, ["partition_key", "payload", "ts"]
+        ).withColumn("timestamp", F.col("ts").cast("timestamp"))
+        log.produce(topic, df.select("partition_key", "payload", "timestamp"))
+
+    lhs = stream_consume(log, "purchases").select(
+        "partition_key", F.col("payload").alias("purchase"), "timestamp"
+    )
+    rhs = stream_consume(log, "clicks").select(
+        "partition_key", F.col("payload").alias("click"), "timestamp"
+    )
+    joined = stream_stream_join(
+        lhs, rhs, "partition_key", within="1 hour"
+    ).select(F.col("l.purchase"), F.col("r.click"))
+    results: list = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda d, _b: results.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = sorted((r["purchase"], r["click"]) for r in results)
+    assert pairs == [("p1", "c1")]
