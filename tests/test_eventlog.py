@@ -262,3 +262,20 @@ def test_consumer_group_shrink(log):
     assert n_c1 + remaining == 24
     log.poll("g", "t", buckets=solo["c1"])
     assert log.poll("g", "t").count() == 0
+
+
+def test_dev_mode_single_broker(spark, tmp_path):
+    # reference dev mode: one broker, fewer ranges
+    # (internal/test/integration/dev_mode_test.go:29-112)
+    from barco_spark.config import EngineConfig
+    from barco_spark.sources.eventlog import EventLog
+
+    cfg = EngineConfig(brokers=1, consumer_ranges=4)
+    log = EventLog(spark, str(tmp_path / "log"), config=cfg)
+    assert log.buckets == 4
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", [(f"k{i}", f"m{i}") for i in range(12)])
+    rows = log.poll("g", "t").collect()
+    assert len(rows) == 12
+    assert all(0 <= r["bucket"] < 4 for r in rows)
+    assert log.poll("g", "t").count() == 0  # same consumer: batch served once
