@@ -6,11 +6,15 @@ entirely from the already-oracle-verified building blocks
 (operators/text.py metrics, operators/dedup.py MinHash LSH), so the
 whole pipeline is itself oracle-checkable end-to-end.
 
-Dedup strategy is keep-first: for every verified near-dup pair
-(doc_a < doc_b, jaccard >= 0.4) the higher id is dropped — an anti
-join, no connected-components pass. At 100 TB: metrics are narrow
-map work, the LSH band join is the only wide stage, and the final
-anti join broadcasts the (small) drop list.
+Dedup strategy is keep-first among quality-passing documents: a
+verified near-dup pair (doc_a < doc_b, jaccard >= 0.4) drops doc_b
+ONLY when its keeper doc_a passed the quality filter — otherwise doc_b
+is the surviving representative of that content (dropping both would
+silently lose it). No connected-components pass: transitive chains are
+covered because a doc_a that was itself dropped as a duplicate has a
+surviving keeper upstream. At 100 TB: metrics are narrow map work, the
+LSH band join is the only wide stage, and the final anti join
+broadcasts the (small) drop list.
 """
 
 from __future__ import annotations
@@ -24,29 +28,38 @@ from barco_spark.registry import QUERIES, register
 
 QUALITY_THRESHOLD = 0.6
 
+
 # compose the oracle from the registered fragments so both engines run
 # literally the same logic (nested CTEs are legal in DuckDB)
-def _curated_sql() -> str:
-    metrics_sql = QUERIES["text_metrics"].oracle
-    pairs_sql = QUERIES["dedup_minhash_lsh"].oracle
+def _base_sql() -> str:
     return f"""
-    WITH metrics AS ({metrics_sql}),
-    pairs AS ({pairs_sql})
+    metrics AS ({QUERIES["text_metrics"].oracle}),
+    pairs AS ({QUERIES["dedup_minhash_lsh"].oracle}),
+    drops AS (
+      -- doc_b is dropped only when its keeper doc_a survives quality
+      SELECT DISTINCT p.doc_b AS doc_id
+      FROM pairs p JOIN metrics m ON p.doc_a = m.doc_id
+      WHERE m.quality_score >= {QUALITY_THRESHOLD})
+    """
+
+
+def _curated_sql() -> str:
+    return f"""
+    WITH {_base_sql()}
     SELECT doc_id, lang, n_tokens, quality_score
     FROM metrics
     WHERE quality_score >= {QUALITY_THRESHOLD}
-      AND doc_id NOT IN (SELECT doc_b FROM pairs)
+      AND doc_id NOT IN (SELECT doc_id FROM drops)
     """
 
 
 def _stats_sql() -> str:
     return f"""
-    WITH metrics AS ({QUERIES["text_metrics"].oracle}),
-    pairs AS ({QUERIES["dedup_minhash_lsh"].oracle}),
+    WITH {_base_sql()},
     flagged AS (
       SELECT m.*,
              (quality_score < {QUALITY_THRESHOLD}) AS low_quality,
-             doc_id IN (SELECT doc_b FROM pairs) AS near_dup
+             doc_id IN (SELECT doc_id FROM drops) AS near_dup
       FROM metrics m)
     SELECT lang,
            COUNT(*) AS n_input,
@@ -59,44 +72,54 @@ def _stats_sql() -> str:
     """
 
 
+def _metrics_and_drops(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    metrics = text_metrics(spark, sf_dir)
+    passing = metrics.filter(F.col("quality_score") >= QUALITY_THRESHOLD).select(
+        F.col("doc_id").alias("doc_a")
+    )
+    drops = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .join(passing, "doc_a")  # keeper must survive quality
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return metrics, drops
+
+
 def curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curated corpus: quality-filtered, near-dup-free document set."""
-    metrics = text_metrics(spark, sf_dir)
-    drop = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
-    ).distinct()
+    metrics, drops = _metrics_and_drops(spark, sf_dir)
     return (
         metrics.filter(F.col("quality_score") >= QUALITY_THRESHOLD)
-        .join(F.broadcast(drop), "doc_id", "left_anti")
+        .join(F.broadcast(drops), "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tokens", "quality_score")
     )
 
 
-@register(
-    "curation_pipeline",
-    _curated_sql(),
-    "pipeline",
-    doc="End-to-end curation: quality filter + MinHash near-dup removal "
-    "(keep-first), composed from oracle-verified fragments.",
-)
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curate(spark, sf_dir)
+def curate_with_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus + funnel stats computed from ONE pass of the expensive
+    stages (the MinHash drop list is materialized once and reused;
+    calling the two registry queries separately recomputes it)."""
+    metrics, drops = _metrics_and_drops(spark, sf_dir)
+    drops = drops.localCheckpoint(eager=False)
+    corpus = (
+        metrics.filter(F.col("quality_score") >= QUALITY_THRESHOLD)
+        .join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
+    stats = _stats_from(metrics, drops)
+    return corpus, stats
 
 
-@register(
-    "curation_stats",
-    _stats_sql(),
-    "pipeline",
-    doc="Per-language curation funnel: input / dropped-by-quality / "
-    "dropped-as-dup / kept / tokens kept.",
-)
-def curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    metrics = text_metrics(spark, sf_dir)
-    dup_ids = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
-    ).distinct().withColumn("near_dup", F.lit(True))
+def _stats_from(metrics: DataFrame, drops: DataFrame) -> DataFrame:
     flagged = (
-        metrics.join(F.broadcast(dup_ids), "doc_id", "left")
+        metrics.join(
+            F.broadcast(drops.withColumn("near_dup", F.lit(True))), "doc_id", "left"
+        )
         .withColumn("near_dup", F.coalesce(F.col("near_dup"), F.lit(False)))
         .withColumn("low_quality", F.col("quality_score") < QUALITY_THRESHOLD)
     )
@@ -110,3 +133,27 @@ def curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
     )
+
+
+@register(
+    "curation_pipeline",
+    _curated_sql(),
+    "pipeline",
+    doc="End-to-end curation: quality filter + MinHash near-dup removal "
+    "(keep-first among quality-passing docs), composed from "
+    "oracle-verified fragments.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate(spark, sf_dir)
+
+
+@register(
+    "curation_stats",
+    _stats_sql(),
+    "pipeline",
+    doc="Per-language curation funnel: input / dropped-by-quality / "
+    "dropped-as-dup / kept / tokens kept.",
+)
+def curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    metrics, drops = _metrics_and_drops(spark, sf_dir)
+    return _stats_from(metrics, drops)

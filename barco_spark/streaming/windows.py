@@ -117,9 +117,14 @@ def stream_stream_join(
     """
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
+    # backtick-quote caller-supplied names so columns with spaces/dots
+    # or reserved words parse correctly
     cond = (
-        (F.col(f"l.{key}") == F.col(f"r.{key}"))
-        & (F.col(f"l.{left_ts}") >= F.col(f"r.{right_ts}"))
-        & (F.col(f"l.{left_ts}") <= F.expr(f"r.{right_ts} + INTERVAL {within}"))
+        (F.col(f"l.`{key}`") == F.col(f"r.`{key}`"))
+        & (F.col(f"l.`{left_ts}`") >= F.col(f"r.`{right_ts}`"))
+        & (
+            F.col(f"l.`{left_ts}`")
+            <= F.col(f"r.`{right_ts}`") + F.expr(f"INTERVAL {within}")
+        )
     )
     return lw.join(rw, cond, how)

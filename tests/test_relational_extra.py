@@ -111,3 +111,33 @@ def test_curation_invariants(spark, sf_dir):
     for r in stats:
         assert r["n_input"] == r["dropped_quality"] + r["dropped_dup"] + r["n_kept"]
     assert sum(r["n_kept"] for r in stats) == len(kept)
+
+
+def test_curation_keeps_representative_when_keeper_low_quality(spark):
+    # if A~B are near-dups and keeper A fails quality, B must SURVIVE
+    # (dropping both would lose the content entirely)
+    from barco_spark.operators.pipeline import QUALITY_THRESHOLD, curate
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 10  # long, high quality
+    short = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # short => low quality
+    rows = [
+        (1, short.strip(), "en", "s", len(short)),  # low-quality keeper
+        (2, base.strip(), "en", "s", len(base)),  # near-dup of 1's shingles
+        (3, "x1 x2 x3 " * 40, "en", "s", 360),  # unrelated control
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    kept = {r["doc_id"] for r in curate(spark, d).collect()}
+    assert 2 in kept  # survives even though its keeper (1) was dropped
+    assert 1 not in kept  # low quality
+
+
+def test_curate_with_stats_consistent(spark, sf_dir):
+    from barco_spark.operators.pipeline import curate_with_stats
+
+    corpus, stats = curate_with_stats(spark, sf_dir)
+    assert corpus.count() == sum(r["n_kept"] for r in stats.collect())
