@@ -600,3 +600,23 @@ class EventLog:
     def read(self, topic: str | None = None) -> DataFrame:
         df = self.spark.read.schema(EVENT_SCHEMA).parquet(self._data_path)
         return df.filter(F.col("topic") == topic) if topic else df
+
+
+def parse_topic(
+    log: EventLog, topic: str, schema: str, keep_meta: bool = True
+) -> DataFrame:
+    """Opaque payloads -> typed columns, on demand.
+
+    The broker never interprets payloads (SURVEY.md §1.2); consumers
+    parse when they need structure. `schema` is a DDL string for
+    from_json (e.g. "productId INT, units INT"); malformed payloads
+    yield NULL fields, mirroring permissive JSON consumption.
+    """
+    df = log.read(topic)
+    parsed = df.withColumn("_parsed", F.from_json(F.col("payload"), schema))
+    cols = (
+        ["topic", "partition_key", "timestamp", "bucket", "offset"]
+        if keep_meta
+        else []
+    )
+    return parsed.select(*cols, "_parsed.*")

@@ -279,3 +279,21 @@ def test_dev_mode_single_broker(spark, tmp_path):
     assert len(rows) == 12
     assert all(0 <= r["bucket"] < 4 for r in rows)
     assert log.poll("g", "t").count() == 0  # same consumer: batch served once
+
+
+def test_parse_topic(log):
+    from barco_spark.sources.eventlog import parse_topic
+
+    log.produce(
+        "t",
+        ['{"productId": 123, "units": -5}', '{"productId": 7}', "not json"],
+        partition_key="k",
+    )
+    rows = (
+        parse_topic(log, "t", "productId INT, units INT")
+        .orderBy("offset")
+        .collect()
+    )
+    assert [r["productId"] for r in rows] == [123, 7, None]
+    assert [r["units"] for r in rows] == [-5, None, None]
+    assert rows[0]["offset"] == 0  # metadata retained
