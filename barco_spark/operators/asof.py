@@ -30,6 +30,11 @@ def asof_join(
 
     Returns all left columns plus `<right_ts><suffix>` and each value
     column as `<col><suffix>`.
+
+    Tie behavior: when multiple right rows share the same (key,
+    right_ts), which one matches is unspecified (the running window has
+    no further ordering) — pre-deduplicate or disambiguate timestamps
+    if the distinction matters.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)

@@ -89,3 +89,33 @@ def test_poll_byte_threshold(spark, tmp_path):
     log2.register("g", ["t"], reset="earliest")
     log2.produce("t", ["y" * 1000], partition_key="k")
     assert log2.poll("g", "t", auto_commit=False, max_bytes_per_bucket=10).count() == 1
+
+
+def test_asof_join_random_matches_bruteforce(spark):
+    # randomized cross-check of the union+last_value as-of join against
+    # a brute-force python computation (seeded, deterministic)
+    import random
+
+    rng = random.Random(42)
+    keys = ["a", "b", "c"]
+    # unique timestamps: ties among equal right timestamps are
+    # explicitly unspecified in asof_join (documented)
+    lts_vals = rng.sample(range(20000), 60)
+    rts_vals = rng.sample(range(20000), 60)
+    left = [(k, lts_vals[i], f"L{i}") for i, k in enumerate(
+        rng.choices(keys, k=60))]
+    right = [(k, rts_vals[i], f"R{i}") for i, k in enumerate(
+        rng.choices(keys, k=60))]
+    ldf = spark.createDataFrame(left, ["k", "lts", "lid"])
+    rdf = spark.createDataFrame(right, ["k", "rts", "rid"])
+    out = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(ldf, rdf, "k", "lts", "rts", ["rid"]).collect()
+    }
+
+    def brute(k, lts):
+        cands = [(rts, rid) for (rk, rts, rid) in right if rk == k and rts <= lts]
+        return max(cands)[1] if cands else None
+
+    for k, lts, lid in left:
+        assert out[lid] == brute(k, lts), (k, lts, lid)
