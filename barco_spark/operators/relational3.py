@@ -1,0 +1,349 @@
+"""Completes the 22 TPC-H query shapes (q8, q9, q11, q16, q17, q21).
+
+The driver schema has no `partsupp` table and lineitem carries no
+commit/receipt dates, so q11/q16 use `lineitem` as the part-supplier
+bridge and q21 defines "late" as shipping >90 days after the order
+date. Shapes (join graphs, subquery forms, aggregation structure)
+follow the originals.
+
+Same determinism conventions as operators/relational.py: money math in
+DECIMAL(18,2)/(18,4), ROUND on the exact decimal, cast to DOUBLE last;
+double division only between values both engines computed identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+
+def _dec2(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _dec4(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(18,4)")
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH v AS (
+      SELECT YEAR(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD')
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS nation_volume,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+             / CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS mkt_share
+    FROM v
+    GROUP BY o_year
+    """,
+    "join",
+    doc="TPC-H Q8 shape: NATION_2 suppliers' share of STANDARD-part "
+    "revenue sold to ASIA customers, per order year. Eight-table star: "
+    "dims broadcast, facts join on their keys. Share = double division "
+    "of two exactly-rounded decimals (deterministic both engines).",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    volume = _dec2("l_extendedprice") * (_one() - _dec4("l_discount"))
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_2", volume
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    v = (
+        t(spark, sf_dir, "lineitem")
+        .join(t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    agg = v.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(F.sum(nation_vol), 2).cast("double").alias("nation_volume"),
+        F.round(F.sum(volume), 2).cast("double").alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           YEAR(o_orderdate) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+    "join",
+    doc="TPC-H Q9 shape (no partsupp => profit is discounted revenue): "
+    "per supplier-nation, per order year, over parts named '%gear%'. "
+    "The part filter semi-reduces lineitem before the orders join.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round(F.sum(_dec2("l_extendedprice") * (_one() - _dec4("l_discount"))), 2)
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH value_per_part AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS val
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey)
+    SELECT partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+    FROM value_per_part
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) * 0.002 FROM value_per_part)
+    """,
+    "subquery",
+    doc="TPC-H Q11 shape (lineitem as the part-supplier bridge): parts "
+    "whose EUROPE-supplied value exceeds 0.2% of the total, via a "
+    "scalar-subquery threshold. Threshold compare in DOUBLE of exact "
+    "decimal sums so both engines see identical operands.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = (
+        t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    suppliers = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey")
+    )
+    value_per_part = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(suppliers), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(_dec2("l_extendedprice") * (_one() - _dec4("l_discount"))).alias("val")
+        )
+    )
+    threshold = value_per_part.agg(
+        (F.sum("val").cast("double") * F.lit(0.002)).alias("thr")
+    )
+    return (
+        value_per_part.join(F.broadcast(threshold))
+        .filter(F.col("val").cast("double") > F.col("thr"))
+        .select("partkey", F.round(F.col("val"), 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "subquery",
+    doc="TPC-H Q16 shape (lineitem as the bridge; name-pattern supplier "
+    "exclusion instead of complaints): distinct supplier count per "
+    "(brand, type, size) with a NOT-IN anti join.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    excluded = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS small_qty_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    "subquery",
+    doc="TPC-H Q17 shape: revenue of below-half-average-quantity "
+    "lineitems for one brand. The correlated per-part average is a "
+    "window over l_partkey (one shuffle) after a broadcast semi-join "
+    "reduces lineitem to the brand's parts; the mean is an exact "
+    "decimal sum over the part's rows divided in DOUBLE.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brand_parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    threshold = F.lit(0.5) * (
+        F.sum(_dec2("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li.withColumn("_thr", threshold)
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            F.round(F.sum(_dec2("l_extendedprice")), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      FROM flagged GROUP BY l_orderkey)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM flagged
+      JOIN per_order USING (l_orderkey)
+      JOIN supplier ON s_suppkey = l_suppkey
+    WHERE late AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+    "subquery",
+    doc="TPC-H Q21 shape (late = shipped >90 days after order date; no "
+    "receipt/commit dates in this schema): suppliers who were the sole "
+    "late supplier on a multi-supplier finished order. The classic "
+    "EXISTS/NOT-EXISTS double self-join is re-expressed as one groupBy "
+    "over l_orderkey joined back to the flagged rows — two shuffles on "
+    "the same key instead of three self-joins.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    flagged = (
+        t(spark, sf_dir, "lineitem")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("late"),
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        flagged.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(t(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(25)
+    )

@@ -46,6 +46,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so their @register calls run."""
     import barco_spark.operators.relational  # noqa: F401
     import barco_spark.operators.relational2  # noqa: F401
+    import barco_spark.operators.relational3  # noqa: F401
     import barco_spark.operators.windows  # noqa: F401
     import barco_spark.operators.broker  # noqa: F401
     import barco_spark.operators.dedup  # noqa: F401

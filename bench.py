@@ -38,6 +38,7 @@ HEADLINE = [
     "token_count_regex",
     "doc_fingerprint",
     "doc_rolling_fingerprints",
+    "curation_pipeline",
 ]
 
 
