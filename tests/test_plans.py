@@ -107,3 +107,34 @@ def test_eventlog_produce_single_shuffle(spark, tmp_path):
     df = log.poll("g-unregistered", "t", auto_commit=False)
     assert shuffle_count(df) == 0
     assert has_broadcast_join(df)
+
+
+def test_q8_star_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["q8_market_share"].build(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df, "p_type", "r_name")
+
+
+def test_q9_broadcasts_dims_and_pushes_part_filter(spark, sf_dir):
+    df = QUERIES["q9_product_profit"].build(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df, "p_name")
+
+
+def test_q17_two_shuffles(spark, sf_dir):
+    # broadcast semi-reduction (0) + window over l_partkey (1) + final
+    # single-partition agg (1); the correlated subquery never self-joins
+    df = QUERIES["q17_small_quantity_revenue"].build(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 2
+
+
+def test_q21_two_scans_not_three(spark, sf_dir):
+    # classic Q21 needs l1/l2/l3 self-joins (3 lineitem scans); the
+    # groupBy-join-back formulation needs 2, co-partitioned on l_orderkey
+    from barco_spark.plans import explain_str
+
+    df = QUERIES["q21_waiting_suppliers"].build(spark, sf_dir)
+    li_scans = [cols for cols in read_schema_columns(df) if "l_suppkey" in cols]
+    assert len(li_scans) <= 2, li_scans
+    assert "TakeOrderedAndProject" in explain_str(df)
