@@ -225,18 +225,39 @@ def _bucket_col(v: Column, planes: list[list[float]]) -> Column:
 _PLANES = _planes()
 
 
+L_TABLES = 4
+BITS_PER_TABLE = 4
+_PLANES16 = _planes(L_TABLES * BITS_PER_TABLE, 64)
+
+
+def _table_planes(tbl: int) -> list[list[float]]:
+    return _PLANES16[tbl * BITS_PER_TABLE : (tbl + 1) * BITS_PER_TABLE]
+
+
+def _lsh_exploded_sql() -> str:
+    """DuckDB: one row per (vector, table) with that table's bucket."""
+    selects = []
+    for tbl in range(L_TABLES):
+        b = _bucket_sql("v", _table_planes(tbl))
+        selects.append(
+            f"SELECT vec_id, v, {tbl} AS tbl, {b} AS bucket FROM e2"
+        )
+    return " UNION ALL ".join(selects)
+
+
 @register(
     "ann_lsh_search",
     f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    bucketed AS (SELECT vec_id, v, {_bucket_sql('v', _PLANES)} AS bucket FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < {N_QUERY}),
-    c AS (SELECT vec_id AS cand_id, v AS cv, bucket FROM bucketed WHERE vec_id >= {N_QUERY}),
+    WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    exploded AS ({_lsh_exploded_sql()}),
+    q AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket FROM exploded WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cand_id, v AS cv, tbl, bucket FROM exploded WHERE vec_id >= {N_QUERY}),
+    pairs AS (SELECT DISTINCT query_id, qv, cand_id, cv FROM q JOIN c USING (tbl, bucket)),
     scored AS (
       SELECT query_id, cand_id,
              {_DOT_SQL.format(a="qv", b="cv")}
                / sqrt({_NORM2_SQL.format(a="qv")} * {_NORM2_SQL.format(a="cv")}) AS cosine_sim
-      FROM q JOIN c USING (bucket)),
+      FROM pairs),
     ranked AS (
       SELECT query_id, cand_id, cosine_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -247,28 +268,174 @@ _PLANES = _planes()
     """,
     "similarity",
     doc=(
-        "LSH-bucketed ANN (the 100 TB scale path): corpus and queries "
-        "bucketed by 8 deterministic hyperplane sign bits; each query "
-        "scores only its own bucket (equi join, no cross join), then "
-        "per-query top-3. Same hyperplanes on both engines, so the "
-        "oracle matches bit-for-bit."
+        "Multi-table LSH ANN (the 100 TB scale path): "
+        f"{L_TABLES} hash tables of {BITS_PER_TABLE} hyperplane sign "
+        "bits each; a query probes the union of its buckets across "
+        "tables (equi join per table, never a cross join), candidate "
+        "pairs are deduped, scored, and top-3 ranked. Multiple coarse "
+        "tables instead of one fine table is the standard recall fix: "
+        "P(candidate found) = 1-(1-p^bits)^tables. Recall vs brute "
+        "force is asserted in tests/test_similarity.py."
     ),
 )
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = e.select("vec_id", "v", _bucket_col(F.col("v"), _PLANES).alias("bucket"))
-    q = bucketed.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    buckets = F.array(
+        *[_bucket_col(F.col("v"), _table_planes(tbl)) for tbl in range(L_TABLES)]
     )
-    c = bucketed.filter(F.col("vec_id") >= N_QUERY).select(
-        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "bucket"
+    exploded = e.select(
+        "vec_id", "v", F.posexplode(buckets).alias("tbl", "bucket")
     )
-    scored = F.broadcast(q).join(c, "bucket").select(
+    q = exploded.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket"
+    )
+    c = exploded.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "tbl", "bucket"
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, ["tbl", "bucket"])
+        .select("query_id", "qv", "cand_id", "cv")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = pairs.select(
         "query_id",
         "cand_id",
         (dot("qv", "cv") / F.sqrt(norm2("qv") * norm2("cv"))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.select(
+            "query_id", "cand_id", "cosine_sim", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the second scale path next to LSH bucketing.
+# Centroids are a deterministic stride sample of the corpus (a standard
+# random-init without the iterative Lloyd step, which would break
+# bit-exact oracle parity through order-dependent double means); the
+# corpus is assigned to its nearest centroid with one map-side-combinable
+# aggregation, and each query probes only its NPROBE nearest cells. At
+# 100 TB the assignment is materialized once (corpus written bucketed by
+# cell, like ann_lsh_buckets) and a query reads NPROBE/nlist of the data.
+IVF_STRIDE = 64  # nlist grows ~linearly with corpus size
+NPROBE = 8
+
+_IVF_DOT = _DOT_SQL
+_IVF_N2 = _NORM2_SQL
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_IVF_DOT.format(a=a, b=b)}"
+        f" / sqrt({_IVF_N2.format(a=a)} * {_IVF_N2.format(a=b)})"
+    )
+
+
+@register(
+    "ann_ivf_search",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= {N_QUERY}),
+    cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+             WHERE vec_id >= {N_QUERY} AND (vec_id - {N_QUERY}) % {IVF_STRIDE} = 0),
+    cscore AS (
+      SELECT cand_id, cv, centroid_id, {_cos_sql('cv', 'centv')} AS cos
+      FROM c CROSS JOIN cent),
+    assigned AS (
+      SELECT cand_id, cv, centroid_id AS cell FROM (
+        SELECT cand_id, cv, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY cand_id
+                                  ORDER BY cos DESC, centroid_id) AS rn
+        FROM cscore) WHERE rn = 1),
+    qscore AS (
+      SELECT query_id, qv, centroid_id, {_cos_sql('qv', 'centv')} AS cos
+      FROM q CROSS JOIN cent),
+    probes AS (
+      SELECT query_id, qv, centroid_id AS cell,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, centroid_id) AS pr
+      FROM qscore),
+    scored AS (
+      SELECT query_id, cand_id, {_cos_sql('qv', 'cv')} AS cosine_sim
+      FROM probes JOIN assigned USING (cell)
+      WHERE pr <= {NPROBE}),
+    ranked AS (
+      SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    "similarity",
+    doc=(
+        "IVF ANN: deterministic stride-sampled centroids; corpus rows "
+        "assigned to their max-cosine centroid via a partial-aggregating "
+        "groupBy (max_by over a (cos, -id) struct => one shuffle of "
+        "corpus rows, never corpus x centroids); queries probe their "
+        f"{NPROBE} nearest cells only. Same arithmetic as the oracle "
+        "(sequential folds), so cosines match bit-for-bit."
+    ),
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    cent = e.filter(
+        (F.col("vec_id") >= N_QUERY)
+        & ((F.col("vec_id") - N_QUERY) % IVF_STRIDE == 0)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("centv"))
+
+    def cos(a: str, b: str) -> Column:
+        return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+    assigned = (
+        c.join(F.broadcast(cent))
+        .select("cand_id", "cv", "centroid_id", cos("cv", "centv").alias("cos"))
+        .groupBy("cand_id")
+        .agg(
+            F.any_value("cv").alias("cv"),
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cos"), (-F.col("centroid_id")).cast("double")),
+            ).alias("cell"),
+        )
+    )
+    qscore = (
+        F.broadcast(q)
+        .join(F.broadcast(cent))
+        .select("query_id", "qv", "centroid_id", cos("qv", "centv").alias("cos"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qscore.select(
+            "query_id",
+            "qv",
+            F.col("centroid_id").alias("cell"),
+            F.row_number().over(wp).alias("pr"),
+        )
+        .filter(F.col("pr") <= NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    scored = F.broadcast(probes).join(assigned, "cell").select(
+        "query_id", "cand_id", cos("qv", "cv").alias("cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("cand_id")
