@@ -138,3 +138,14 @@ def test_q21_two_scans_not_three(spark, sf_dir):
     li_scans = [cols for cols in read_schema_columns(df) if "l_suppkey" in cols]
     assert len(li_scans) <= 2, li_scans
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    # candidates come from the banded equi self-join; the all-pairs
+    # theta join (BroadcastNestedLoop) must not appear anywhere
+    from barco_spark.plans import explain_str
+
+    df = QUERIES["dedup_simhash_pairs"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
