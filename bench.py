@@ -21,6 +21,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q8_market_share",
+    "q21_waiting_suppliers",
     "scan_filter_project",
     "join_range_interval",
     "agg_rollup",
@@ -34,6 +36,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_search",
+    "ann_ivf_search",
     "text_metrics",
     "token_count_regex",
     "doc_fingerprint",
