@@ -1,0 +1,56 @@
+"""File-format scan coverage (SURVEY §2.7 row 1): the engine reads
+parquet everywhere; these lock in the csv/json/orc scan paths with
+schema projection and filter pushdown behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from barco_spark.plans import explain_str
+from barco_spark.tables import t
+
+
+def _sample(spark, sf_dir):
+    return t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+def test_csv_scan_roundtrip(spark, sf_dir, tmp_path):
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "nation_csv")
+    src.write.option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey bigint, n_name string, n_regionkey bigint")
+        .csv(path)
+    )
+    got = back.filter(F.col("n_regionkey") == 2).select("n_name")
+    want = src.filter(F.col("n_regionkey") == 2).select("n_name")
+    assert sorted(r.n_name for r in got.collect()) == sorted(
+        r.n_name for r in want.collect()
+    )
+    # explicit schema => no inference pass; the filter reaches the scan
+    assert "PushedFilters" in explain_str(got)
+
+
+def test_json_scan_roundtrip(spark, sf_dir, tmp_path):
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "nation_json")
+    src.write.json(path)
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).json(path)
+    assert back.count() == src.count()
+    assert back.filter(F.col("n_nationkey") == 3).collect()[0].n_name == "NATION_3"
+
+
+def test_orc_scan_roundtrip(spark, sf_dir, tmp_path):
+    src = _sample(spark, sf_dir)
+    path = str(tmp_path / "nation_orc")
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    got = back.filter(F.col("n_regionkey") == 0)
+    # ORC scans push filters and prune columns like parquet
+    plan = explain_str(got.select("n_name"))
+    assert "PushedFilters" in plan
+    assert got.count() == src.filter(F.col("n_regionkey") == 0).count()
