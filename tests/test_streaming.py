@@ -336,3 +336,34 @@ def test_stream_stream_join(spark, tmp_path, log):
     q.awaitTermination(120)
     pairs = sorted((r["purchase"], r["click"]) for r in results)
     assert pairs == [("p1", "c1")]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path, log):
+    """Stream-static join: streaming consume enriched with a broadcast
+    dimension table (the standard fact-stream x dim pattern; the static
+    side is re-resolved per micro-batch, no watermark needed)."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.streaming.ingest import consumer_group_query
+
+    dim = spark.createDataFrame(
+        [("k0", "gold"), ("k1", "silver")], "partition_key string, tier string"
+    )
+    log.produce("enrich", [(f"k{i % 2}", f"m{i}") for i in range(10)])
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        rows = (
+            batch_df.join(F.broadcast(dim), "partition_key")
+            .select("payload", "tier")
+            .collect()
+        )
+        got.extend((r.payload, r.tier) for r in rows)
+
+    q = consumer_group_query(
+        log, "enrich", "g-enrich", str(tmp_path / "ckpt"), sink
+    )
+    q.awaitTermination(120)
+    assert len(got) == 10
+    assert all((int(p[1:]) % 2 == 0) == (t == "gold") for p, t in got)
