@@ -1,0 +1,264 @@
+"""Dataset-curation operators: splits, mixtures, profiling, quantiles.
+
+The operations a training-data pipeline runs before/after dedup:
+deterministic train/val/test assignment, source/language mixture
+weighting, column profiling, and exact distribution quantiles — all
+expressed as narrow maps + single hash aggregations (no collects, no
+Python UDFs), so they scale linearly with input size.
+
+Determinism contract with the DuckDB oracle: split assignment uses the
+portable md5-based 28-bit hash (same convention as operators/text.py),
+cross-row aggregates are integer sums, doubles appear only in final
+single divisions or in identically-ordered interpolation expressions.
+
+Reference parity note: the reference broker has no analytical surface
+(SURVEY.md §2.7); these operators are part of the BASELINE.json north
+star (LLM-data-pipeline coverage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+
+def _h28(col: Column) -> Column:
+    """Portable 28-bit hash: first 7 hex chars of md5, as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def _h28_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"
+
+
+@register(
+    "train_split_assign",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             {_h28_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM s GROUP BY 1
+    """,
+    "sampling",
+    doc=(
+        "Deterministic 80/10/10 train/val/test split: md5-hash bucket of "
+        "doc_id (stable across runs and engines, unlike rand()), then one "
+        "hash aggregation. At 100 TB the assignment is a pure per-row map."
+    ),
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        (_h28(F.col("doc_id").cast("string")) % 100).alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    split = (
+        F.when(F.col("bucket") < 80, F.lit("train"))
+        .when(F.col("bucket") < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_tokens", "source")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
+    "data_mixture_weights",
+    """
+    WITH g AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS total_tokens
+      FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS token_share,
+           CAST(total_tokens AS DOUBLE)
+             / SUM(total_tokens) OVER (PARTITION BY source) AS share_within_source
+    FROM g
+    """,
+    "sampling",
+    doc=(
+        "Data-mixture weighting: per (source, lang) token counts and their "
+        "share of the global / per-source token budget. Integer window sums "
+        "(exact in any order) + single divisions. The grouped table is tiny "
+        "(|sources|x|langs|), so the windows cost nothing after the agg."
+    ),
+)
+def data_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_src = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w_all)
+        ).alias("token_share"),
+        (
+            F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w_src)
+        ).alias("share_within_source"),
+    )
+
+
+@register(
+    "data_profile_documents",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT doc_id) AS n_distinct_ids,
+           SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+    "sampling",
+    doc=(
+        "Column profiling per source: cardinalities, empties, length "
+        "stats. count_distinct expands via Expand+two-phase agg (exact); "
+        "avg is exact-int-sum / count."
+    ),
+)
+def data_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("doc_id").alias("n_distinct_ids"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).alias("n_empty"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+_QUANTILES = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75)]
+
+
+def _quantile_oracle() -> str:
+    picks = []
+    exprs = []
+    for tag, q in _QUANTILES:
+        picks.append(
+            f"floor((n - 1) * {q}) AS lo_{tag}, ceil((n - 1) * {q}) AS hi_{tag},"
+            f" (n - 1) * {q} - floor((n - 1) * {q}) AS fr_{tag}"
+        )
+        exprs.append(
+            f"MAX(CASE WHEN rn - 1 = lo_{tag} THEN value END)"
+            f" + (MAX(CASE WHEN rn - 1 = hi_{tag} THEN value END)"
+            f" - MAX(CASE WHEN rn - 1 = lo_{tag} THEN value END))"
+            f" * MAX(fr_{tag}) AS {tag}"
+        )
+    return f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    marked AS (
+      SELECT event_type, value, rn, n, {", ".join(picks)}
+      FROM ranked)
+    SELECT event_type, MAX(n) AS n, {", ".join(exprs)}
+    FROM marked GROUP BY event_type
+    """
+
+
+@register(
+    "quantile_stats",
+    _quantile_oracle(),
+    "sampling",
+    doc=(
+        "Exact linear-interpolated quantiles of events.value per type, "
+        "without collecting: rank window + conditional aggregation picks "
+        "the two straddling order statistics, interpolation is the same "
+        "IEEE expression on both engines. One shuffle (the rank window); "
+        "at 100 TB swap in approx_percentile for the t-digest scale path."
+    ),
+)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    marked_cols = [F.col("event_type"), F.col("value"), F.col("rn"), F.col("n")]
+    for tag, q in _QUANTILES:
+        pos = (F.col("n") - 1) * F.lit(q)
+        marked_cols += [
+            F.floor(pos).alias(f"lo_{tag}"),
+            F.ceil(pos).alias(f"hi_{tag}"),
+            (pos - F.floor(pos)).alias(f"fr_{tag}"),
+        ]
+    marked = ranked.select(*marked_cols)
+    aggs = [F.max("n").alias("n")]
+    for tag, _q in _QUANTILES:
+        v_lo = F.max(F.when(F.col("rn") - 1 == F.col(f"lo_{tag}"), F.col("value")))
+        v_hi = F.max(F.when(F.col("rn") - 1 == F.col(f"hi_{tag}"), F.col("value")))
+        aggs.append((v_lo + (v_hi - v_lo) * F.max(f"fr_{tag}")).alias(tag))
+    return marked.groupBy("event_type").agg(*aggs)
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                (acc, x) -> acc + x)) AS l2_norm
+    FROM embeddings
+    """,
+    "sampling",
+    doc=(
+        "Per-row embedding L2 norms (pre-normalization audit): left-to-"
+        "right IEEE fold on both engines, no cross-row float aggregation. "
+        "Pure map — embarrassingly parallel at any scale."
+    ),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(sq_sum).alias("l2_norm"),
+    )
