@@ -149,10 +149,10 @@ def _band_sql(b: int) -> str:
     return f"(s{2*b}::VARCHAR || '_' || s{2*b+1}::VARCHAR)"
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH sh AS ({_HASHED_SHINGLES_SQL}),
+# Shared CTE block ending in `pairs(doc_a, doc_b, jaccard)`: the full
+# LSH pipeline, reused by dedup_minhash_lsh and dedup_clusters oracles.
+_LSH_PAIRS_CTES = f"""
+    sh AS ({_HASHED_SHINGLES_SQL}),
     sig AS (
       SELECT doc_id, shingles,
              {_minhash_sql_cols()}
@@ -171,11 +171,20 @@ def _band_sql(b: int) -> str:
              len(x.shingles) + len(y.shingles)
                - len(list_intersect(x.shingles, y.shingles)) AS n_union
       FROM cand c JOIN sig x ON c.doc_a = x.doc_id
-                  JOIN sig y ON c.doc_b = y.doc_id)
-    SELECT doc_a, doc_b,
-           CAST(n_common AS DOUBLE) / n_union AS jaccard
-    FROM verified
-    WHERE CAST(n_common AS DOUBLE) / n_union >= 0.4
+                  JOIN sig y ON c.doc_b = y.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE) / n_union AS jaccard
+      FROM verified
+      WHERE CAST(n_common AS DOUBLE) / n_union >= 0.4)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_LSH_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     "dedup",
     doc=(
@@ -439,3 +448,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clusters: connected components over the LSH pair graph
+# --------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+      WHERE e.d <> r.s)
+    SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+    "dedup",
+    doc=(
+        "Duplicate-cluster assignment: transitive closure of the "
+        "verified MinHash-LSH pairs. 'Keep one per cluster' needs the "
+        "closure — pairwise keep-min drops documents inconsistently "
+        "when A~B and B~C but A!~C. Spark side is iterative min-label "
+        "propagation (converges in O(cluster diameter) rounds, each one "
+        "join + one groupBy on the edge list, lineage cut per round); "
+        "the oracle is the same closure as a recursive CTE. At 100 TB "
+        "the edge list is tiny relative to the corpus (only near-dup "
+        "pairs), so the loop shuffles edges, never documents."
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()  # eager: the loop re-reads edges every round
+    )
+    labels = edges.select("s").distinct().select("s", F.col("s").alias("lbl"))
+    prev_sum = None
+    for _round in range(25):  # >= max cluster diameter at any sane scale
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("s").alias("d"), F.col("lbl").alias("dlbl")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.min("dlbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nbr_min, "s", "left")
+            .select(
+                "s",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()  # cut the per-round lineage growth
+        )
+        # labels only ever decrease -> the sum is a convergence fixpoint
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("s").alias("doc_id"), F.col("lbl").alias("cluster_id"))
