@@ -84,3 +84,76 @@ def running_totals(events: DataFrame, key_col: str = "partition_key") -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming exact dedup with TTL-bounded state
+# --------------------------------------------------------------------------
+DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("dedup_key", StringType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def streaming_dedup_ttl(
+    events: DataFrame, key_col: str = "partition_key", ttl_ms: int | None = 3_600_000
+) -> DataFrame:
+    """First occurrence per key across micro-batches; state expires after TTL.
+
+    Spark's built-in `dropDuplicates` on a stream needs a watermark to
+    bound state by EVENT time; this bounds it by STATE age instead (the
+    natural policy for exact dedup of an unordered corpus: "forget a key
+    T after it was first seen"). `ttl_ms=None` keeps state forever
+    (exact global dedup).
+
+    Implementation note: Spark 4's transformWithStateInPandas offers
+    TTL ValueState natively, but its python driver worker needs the
+    `protobuf` package (absent in this environment), so this uses the
+    equivalent applyInPandasWithState + ProcessingTimeTimeout: the
+    timeout callback drops the key's state, re-admitting it afterwards.
+
+    At 100 TB the state store (RocksDB provider, see deploy/) holds one
+    small record per distinct key, hash-partitioned across executors;
+    the timeout keeps it from growing without bound on infinite streams.
+    """
+    use_ttl = ttl_ms is not None
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        fresh = not state.exists
+        if fresh:
+            first = None
+            for pdf in pdfs:
+                if len(pdf):
+                    first = str(pdf["payload"].iloc[0])
+                    break
+            if first is None:
+                return
+            state.update((1,))
+            if use_ttl:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame({"dedup_key": [key[0]], "payload": [first]})
+
+    return (
+        events.selectExpr(f"{key_col} as dedup_key", "payload")
+        .groupBy("dedup_key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=DEDUP_OUT_SCHEMA,
+            stateStructType=_DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_ttl
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

@@ -34,6 +34,8 @@ HEADLINE = [
     "json_extract_agg",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_clusters",
+    "train_split_assign",
     "ann_cosine_topk",
     "ann_lsh_search",
     "ann_ivf_search",
@@ -52,8 +54,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def run_once(name: str) -> float:
-        df = queries[name].build(spark, sf_dir)
+        # build is inside the timed region: iterative operators (e.g.
+        # dedup_clusters) do real work while building; for declarative
+        # queries plan construction is sub-millisecond noise
         t0 = time.perf_counter()
+        df = queries[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 

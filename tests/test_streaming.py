@@ -367,3 +367,91 @@ def test_stream_static_enrichment_join(spark, tmp_path, log):
     q.awaitTermination(120)
     assert len(got) == 10
     assert all((int(p[1:]) % 2 == 0) == (t == "gold") for p, t in got)
+
+
+def test_streaming_dedup_ttl(spark, tmp_path):
+    """transformWithStateInPandas dedup: first occurrence only, state
+    resumes across runs (duplicates in later batches stay suppressed)."""
+    from barco_spark.streaming.stateful import streaming_dedup_ttl
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("k1", "v1"), ("k1", "v1-dup"), ("k2", "v2")],
+        ["partition_key", "payload"],
+    ).coalesce(1).write.mode("append").json(src)
+    stream = spark.readStream.schema("partition_key string, payload string").json(src)
+    results: list = []
+
+    def run():
+        q = (
+            streaming_dedup_ttl(stream, ttl_ms=None)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda d, _b: results.extend(d.collect()))
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {r["dedup_key"]: r["payload"] for r in results}
+    assert got == {"k1": "v1", "k2": "v2"}
+
+    # second run: k1/k2 remain suppressed by checkpointed state, k3 is new
+    spark.createDataFrame(
+        [("k1", "v1-late"), ("k3", "v3")], ["partition_key", "payload"]
+    ).coalesce(1).write.mode("append").json(src)
+    results.clear()
+    run()
+    got = {r["dedup_key"]: r["payload"] for r in results}
+    assert got == {"k3": "v3"}
+
+
+def test_streaming_dedup_ttl_expiry_readmits(spark, tmp_path):
+    """After the TTL passes, the key's state is evicted (timeout fires on
+    a later batch) and the key is admitted again."""
+    import time as _time
+
+    from barco_spark.streaming.stateful import streaming_dedup_ttl
+
+    src = str(tmp_path / "src")
+    results: list = []
+
+    def run():
+        stream = spark.readStream.schema(
+            "partition_key string, payload string"
+        ).json(src)
+        results.clear()
+        q = (
+            streaming_dedup_ttl(stream, ttl_ms=100)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda d, _b: results.extend(d.collect()))
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # with pending processing-time timers the query stays active
+        # after draining, so availableNow never self-terminates: wait
+        # for the batch's foreachBatch output, then stop explicitly
+        deadline = _time.time() + 60
+        while not results and _time.time() < deadline:
+            _time.sleep(0.2)
+        _time.sleep(1.0)  # let trailing empty/timer batches commit
+        q.stop()
+        q.awaitTermination(120)
+
+    def feed(rows):
+        spark.createDataFrame(rows, ["partition_key", "payload"]).coalesce(
+            1
+        ).write.mode("append").json(src)
+
+    feed([("k1", "v1")])
+    run()
+    assert {r["dedup_key"] for r in results} == {"k1"}
+    _time.sleep(2)  # let the 100ms TTL lapse
+    feed([("k9", "other")])  # this batch triggers k1's timeout eviction
+    run()
+    assert {r["dedup_key"] for r in results} == {"k9"}
+    feed([("k1", "v1-again")])
+    run()
+    assert {r["dedup_key"] for r in results} == {"k1"}  # re-admitted
