@@ -18,6 +18,13 @@ TABLE_NAMES = [
 ]
 
 
+# schema cache: the metastore role. Inferring a parquet schema re-reads
+# footers on every plan build; a warehouse knows its table schemas. The
+# first load of a (dir, table) infers and caches; later builds read
+# with the explicit schema (no footer I/O at plan time).
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Parquet scan => Catalyst gets pushdown + pruning.
 
@@ -25,15 +32,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects by default; read nanos as long and convert to a
     micros timestamp (truncation matches DuckDB's nanos->micros read).
     """
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if key in _SCHEMA_CACHE:
+            df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+        else:
+            df = spark.read.parquet(path)
+            _SCHEMA_CACHE[key] = df.schema
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if key in _SCHEMA_CACHE:
+        return spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
