@@ -123,18 +123,27 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms are factored out BEFORE the pair join (N folds, not 3*N^2;
+    # sqrt(n2a * n2b) keeps the oracle's exact expression shape), and
+    # the streamed side is repartitioned: the single-file parquet scan
+    # would otherwise push all N^2/2 pairs through ONE task (measured
+    # 67 s -> ~4 s at sf0.1 on local[32]).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = e.select(
+    e = e.withColumn("n2", norm2("v"))
+    a = e.repartition(par).select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("v").alias("va"),
+        F.col("n2").alias("n2a"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("v").alias("vb"),
+        F.col("n2").alias("n2b"),
     )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -143,7 +152,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             "label_a",
             "label_b",
-            (dot("va", "vb") / F.sqrt(norm2("va") * norm2("vb"))).alias("cosine_sim"),
+            (dot("va", "vb") / F.sqrt(F.col("n2a") * F.col("n2b"))).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= 0.4)
     )
@@ -210,16 +221,35 @@ def _bucket_sql(v: str, planes: list[list[float]]) -> str:
 
 
 def _bucket_col(v: Column, planes: list[list[float]]) -> Column:
-    bucket = F.lit(0)
+    """Sign-bit bucket as ONE parsed expression.
+
+    Building this with F.lit per plane component costs thousands of
+    py4j round-trips (~1.3 s of driver latency per query build,
+    measured); a single F.expr string is one call, parsed JVM-side.
+    The fold is the same sequential aggregate(zip_with(...)) as the
+    DuckDB oracle's list_reduce — bit-identical doubles.
+    """
+    terms = []
     for j, comps in enumerate(planes):
-        arr = F.array(*[F.lit(c) for c in comps])
-        d = F.aggregate(
-            F.zip_with(v, arr, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = "array(" + ",".join(f"{c!r}D" for c in comps) + ")"
+        d = (
+            f"aggregate(zip_with({{v}}, {arr}, (x, c) -> x * c), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+        terms.append(f"(CASE WHEN {d} >= 0.0D THEN {1 << j} ELSE 0 END)")
+    tmpl = "(" + " + ".join(terms) + ")"
+    name = _column_sql_name(v)
+    return F.expr(tmpl.replace("{v}", name))
+
+
+def _column_sql_name(v: Column) -> str:
+    """SQL rendering of a simple column reference, quoted."""
+    s = str(v)
+    # Column repr is like Column<'name'>
+    inner = s[len("Column<'") : -len("'>")]
+    if not inner.replace("_", "").isalnum():
+        raise ValueError(f"_bucket_col needs a plain column, got {inner}")
+    return f"`{inner}`"
 
 
 _PLANES = _planes()
