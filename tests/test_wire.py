@@ -1,0 +1,128 @@
+"""Binary wire-format codecs (S3 producer frames, O1 poll responses).
+
+Mirrors the reference's binary-protocol tests
+(internal/producing/models_test.go, integration roundtrip_test.go
+binary assertions): encode->parse roundtrips, CRC validation, and an
+end-to-end captured-frames -> EventLog -> binary poll items flow.
+"""
+
+from __future__ import annotations
+
+import struct
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from barco_spark.functions.tokens import range_bounds
+from barco_spark.sources import EventLog
+from barco_spark.sources.wire import (
+    decode_poll_item,
+    encode_poll_items,
+    encode_produce_frame,
+    parse_produce_frames,
+    parse_produce_frames_py,
+)
+
+
+def test_frame_roundtrip_py():
+    frame = encode_produce_frame(
+        "events", ["m1", "m2"], partition_key="k1", timestamp_us=1_700_000_000_000_000,
+        stream_id=7,
+    )
+    rows = list(parse_produce_frames_py(frame))
+    assert [r["payload"] for r in rows] == ["m1", "m2"]
+    assert all(r["topic"] == "events" for r in rows)
+    assert all(r["partition_key"] == "k1" for r in rows)
+    assert all(r["timestamp_us"] == 1_700_000_000_000_000 for r in rows)
+    assert all(r["stream_id"] == 7 for r in rows)
+
+
+def test_frame_without_timestamp_and_keyless():
+    frame = encode_produce_frame("t", ["x"])
+    (row,) = parse_produce_frames_py(frame)
+    assert row["timestamp_us"] is None
+    assert row["partition_key"] is None  # empty key -> keyless routing
+
+
+def test_frame_crc_rejected():
+    frame = bytearray(encode_produce_frame("t", ["x"]))
+    frame[2] ^= 0xFF  # corrupt streamId after the crc was computed
+    with pytest.raises(ValueError, match="crc"):
+        list(parse_produce_frames_py(bytes(frame)))
+
+
+def test_frame_bad_version_rejected():
+    frame = bytearray(encode_produce_frame("t", ["x"]))
+    frame[0] = 9
+    with pytest.raises(ValueError, match="version"):
+        list(parse_produce_frames_py(bytes(frame)))
+
+
+def test_parse_frames_distributed(spark):
+    blobs = [
+        encode_produce_frame("a", ["p1", "p2"], partition_key="k"),
+        encode_produce_frame("b", ["p3"], timestamp_us=123_000_000),
+        # concatenated frames in one blob
+        encode_produce_frame("a", ["p4"]) + encode_produce_frame("b", ["p5"]),
+    ]
+    df = spark.createDataFrame([(b,) for b in blobs], "frames binary")
+    rows = parse_produce_frames(df).collect()
+    got = sorted((r["topic"], r["payload"]) for r in rows)
+    assert got == [("a", "p1"), ("a", "p2"), ("a", "p4"), ("b", "p3"), ("b", "p5")]
+
+
+def test_frames_to_eventlog_to_poll_items(spark):
+    """End-to-end: captured frames -> produce -> poll -> binary items."""
+    blobs = [
+        encode_produce_frame("t", [f"m{i}"], partition_key="key1")
+        for i in range(5)
+    ]
+    frames = spark.createDataFrame([(b,) for b in blobs], "frames binary")
+    parsed = parse_produce_frames(frames).withColumn(
+        "timestamp",
+        F.coalesce(
+            F.timestamp_micros(F.col("timestamp_us")), F.current_timestamp()
+        ),
+    )
+    log = EventLog(spark, tempfile.mkdtemp() + "/log")
+    n = log.produce("t", parsed.select("partition_key", "payload", "timestamp"))
+    assert n == 5
+
+    log.register("g", ["t"], reset="earliest")
+    batch = log.poll("g", "t")
+    items = encode_poll_items(batch).collect()
+    assert len(items) == 1  # one key -> one bucket -> one response item
+    decoded = decode_poll_item(bytes(items[0]["item"]))
+    assert decoded["topic"] == "t"
+    assert decoded["start_offset"] == 0
+    assert [r["payload"] for r in decoded["records"]] == [
+        f"m{i}" for i in range(5)
+    ]
+    # token/rangeIndex round-trip through the same ring arithmetic
+    bucket = items[0]["bucket"]
+    broker, r = divmod(bucket, 4)
+    lo, _hi = range_bounds(broker, r, 3, 4)
+    assert decoded["token"] == lo
+    assert decoded["range_index"] == r
+
+
+def test_poll_item_binary_layout():
+    """Field-level check of the marshalled item against the spec."""
+    from barco_spark.sources.wire import _zstd_decompress
+
+    # hand-build the records payload the way the encoder should
+    from barco_spark.sources.wire import _zstd
+
+    records = struct.pack(">qI", 42_000_000, 2) + b"hi"
+    compressed = bytes(_zstd().compress(records))
+    token, _ = range_bounds(0, 1, 3, 4)
+    item = struct.pack(">qBI", token, 1, 1)
+    item += struct.pack(">B", 1) + b"t"
+    item += struct.pack(">q", 0)
+    item += struct.pack(">i", len(compressed)) + compressed
+    d = decode_poll_item(item)
+    assert d["token"] == token and d["range_index"] == 1
+    assert d["records"] == [{"timestamp_us": 42_000_000, "payload": "hi"}]
+    assert _zstd_decompress(compressed) == records
