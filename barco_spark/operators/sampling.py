@@ -262,3 +262,45 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.sqrt(sq_sum).alias("l2_norm"),
     )
+
+
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "lineitem_unpivot_stats",
+    f"""
+    WITH long AS (
+      {" UNION ALL ".join(
+          f"SELECT '{m}' AS measure, {m} AS value FROM lineitem "
+          "WHERE l_shipdate >= TIMESTAMP '1997-01-01'" for m in _MEASURES)}
+    )
+    SELECT measure,
+           COUNT(*) AS n,
+           MIN(value) AS min_val,
+           MAX(value) AS max_val,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM long GROUP BY measure
+    """,
+    "relational",
+    doc=(
+        "Unpivot/melt: wide measure columns -> long (measure, value) "
+        "rows via df.unpivot (Expand node: one scan, no join/union of "
+        "4 scans on the Spark side), then one hash aggregation. The "
+        "oracle spells the same relation as UNION ALL. Decimal sums "
+        "keep cross-engine determinism."
+    ),
+)
+def lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= "1997-01-01")
+        .select(*_MEASURES)
+    )
+    long = li.unpivot([], _MEASURES, "measure", "value")
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_val"),
+    )
