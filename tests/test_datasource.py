@@ -154,3 +154,50 @@ def test_stream_reader_offset_progression(ds_spark):
         {"path": log.root, "topic": "t", "maxrecordsperbucket": "4"}
     )
     assert r2.latestOffset()[str(bucket)] == 10  # uncapped, full watermark
+
+
+def test_barco_stream_into_windowed_aggregation(ds_spark, tmp_path):
+    """The full idiomatic pipeline: produce -> format("barco") stream ->
+    watermarked tumbling window -> sink. The reference stores timestamps
+    but never interprets them; this is the analytics layer on top."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.streaming.windows import tumbling_counts
+
+    log = _fresh_log(ds_spark)
+    rows = [
+        ("k", f"e{i}", f"2024-05-01 {10 + m // 60}:{m % 60:02d}:00")
+        for i, m in enumerate([1, 2, 3, 61, 62, 121])
+    ]
+    df = ds_spark.createDataFrame(
+        rows, ["partition_key", "payload", "ts"]
+    ).withColumn("timestamp", F.to_timestamp("ts")).drop("ts")
+    log.produce("t", df)
+
+    stream = (
+        ds_spark.readStream.format("barco")
+        .option("path", log.root)
+        .option("topic", "t")
+        .load()
+    )
+    agg = tumbling_counts(stream, window_size="1 hour", watermark="1 hour")
+    out: list = []
+    # update mode: every window touched by the batch is emitted with its
+    # current count (watermark-closure emission is covered in
+    # test_streaming; this test is about the source composition)
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda d, _b: out.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["n"]) for r in out if r["topic"] == "t"
+    }
+    assert got == {
+        ("2024-05-01 10:00:00", 3),
+        ("2024-05-01 11:00:00", 2),
+        ("2024-05-01 12:00:00", 1),
+    }
