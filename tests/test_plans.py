@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from barco_spark.plans import (
+    explain_str,
     has_broadcast_join,
     has_pushed_filters,
     read_schema_columns,
@@ -149,3 +150,32 @@ def test_simhash_pairs_no_cartesian(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_stats_single_shuffle(spark, sf_dir):
+    """Rank window, count window, and the final groupBy all share the
+    event_type partitioning: exactly ONE exchange in the whole plan."""
+    df = QUERIES["quantile_stats"].build(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_unpivot_single_scan_with_pushdown(spark, sf_dir):
+    """df.unpivot is one Expand over ONE pruned scan (not 4 unioned
+    scans), with the shipdate filter pushed down."""
+    df = QUERIES["lineitem_unpivot_stats"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert len(read_schema_columns(df)) == 1  # exactly one scan
+    assert "Expand" in plan
+    assert has_pushed_filters(df, "l_shipdate")
+    assert shuffle_count(df) == 1
+
+
+def test_simhash_partial_aggregates_before_shuffle(spark, sf_dir):
+    """The exploded token stream partial-aggregates map-side; the only
+    shuffle carries (doc_id, 28 int partials), never raw tokens."""
+    from barco_spark.operators.dedup import simhash_signatures
+
+    df = simhash_signatures(spark, sf_dir)
+    plan = explain_str(df)
+    assert "partial_sum" in plan
+    assert shuffle_count(df) == 1
