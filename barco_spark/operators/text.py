@@ -50,6 +50,28 @@ def words_col() -> Column:
     return F.split(F.col("text"), " ")
 
 
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_tokens / n_stopwords / stopword_ratio / quality_score.
+
+    The exact expressions of `text_metrics`, factored so batch queries
+    and streaming pipelines score documents identically.
+    """
+    w = F.split(F.col(text_col), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    df = df.withColumn("n_tokens", F.size(w)).withColumn(
+        "n_stopwords",
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))),
+    )
+    return df.withColumn(
+        "stopword_ratio",
+        F.col("n_stopwords").cast("double") / F.col("n_tokens"),
+    ).withColumn(
+        "quality_score",
+        (F.col("n_tokens").cast("double") / (F.col("n_tokens") + 20))
+        * (F.lit(1) - F.col("n_stopwords").cast("double") / F.col("n_tokens")),
+    )
+
+
 @register(
     "text_metrics",
     """

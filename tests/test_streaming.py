@@ -455,3 +455,46 @@ def test_streaming_dedup_ttl_expiry_readmits(spark, tmp_path):
     feed([("k1", "v1-again")])
     run()
     assert {r["dedup_key"] for r in results} == {"k1"}  # re-admitted
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """Produce docs -> barco stream -> quality filter -> cross-batch
+    exact dedup -> curated rows. The streaming twin of
+    operators/pipeline.py, sharing its scoring expressions."""
+    import tempfile
+
+    from barco_spark.operators.text import STOPWORDS
+    from barco_spark.sources import BarcoDataSource, EventLog
+    from barco_spark.streaming.pipeline import curated_stream
+
+    spark.dataSource.register(BarcoDataSource)
+    log = EventLog(spark, tempfile.mkdtemp() + "/log")
+    good_doc = "quick brown foxes jump over lazy dogs " * 8  # long, no stopwords
+    junk_doc = " ".join(STOPWORDS * 10)  # all stopwords -> quality 0
+    log.produce("docs", [good_doc, junk_doc])
+
+    results: list = []
+
+    def run():
+        q = (
+            curated_stream(spark, log.root, "docs")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda d, _b: results.extend(d.collect()))
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert [r["text"] for r in results] == [good_doc]  # junk filtered
+    assert results[0]["quality_score"] >= 0.6
+    assert results[0]["n_tokens"] == len(good_doc.split(" "))
+
+    # second batch: a duplicate of the good doc (suppressed by state)
+    # and one new document
+    other_doc = "completely different sentences about spark engines " * 8
+    log.produce("docs", [good_doc, other_doc])
+    results.clear()
+    run()
+    assert [r["text"] for r in results] == [other_doc]
