@@ -26,6 +26,8 @@ HEADLINE = [
     "scan_filter_project",
     "join_range_interval",
     "agg_rollup",
+    "quantile_stats",
+    "lineitem_unpivot_stats",
     "window_topk_per_group",
     "window_running_analytics",
     "events_sessionize",

@@ -59,3 +59,20 @@ def test_project_bucket_roundtrip(bucket):
     assert kids
     for k in kids:
         assert bucket in project_bucket(k, 6, 3)
+
+
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md's headline counts must track the actual registry."""
+    import re
+
+    from barco_spark.registry import load_all
+
+    qs = load_all()
+    n_total = len(qs)
+    n_oracle = sum(1 for s in qs.values() if s.oracle is not None)
+    text = open("COVERAGE.md").read()
+    m = re.search(r"\((\d+) oracle-paired queries green.*?; (\d+) registered\)", text)
+    assert m, "coverage count line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_oracle, n_total), (
+        f"COVERAGE.md says {m.groups()}, registry has ({n_oracle}, {n_total})"
+    )
