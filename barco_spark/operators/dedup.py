@@ -514,3 +514,197 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select(F.col("s").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
+# Keep-best canonicalization within fingerprint groups
+# --------------------------------------------------------------------------
+_FP5_SQL = f"""
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    f AS (
+      SELECT doc_id,
+             list_min(list_transform(
+               CASE WHEN len(words) >= 5
+                    THEN list_transform(range(1, len(words) - 3),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                              || ' ' || words[i+3] || ' ' || words[i+4])
+                    ELSE [array_to_string(words, ' ')] END,
+               s -> {h28_sql('s')})) AS fingerprint,
+             len(list_distinct(words)) AS quality
+      FROM w)
+"""
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH {_FP5_SQL},
+    r AS (
+      SELECT fingerprint, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY quality DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS group_size
+      FROM f)
+    SELECT fingerprint, doc_id AS kept_doc, quality AS best_quality, group_size
+    FROM r WHERE rk = 1
+    """,
+    "dedup",
+    doc=(
+        "Keep-best canonicalization: block documents by their winnowing "
+        "fingerprint (min 28-bit hash over 5-gram shingles, same key as "
+        "doc_fingerprint) and keep the highest-quality member per block "
+        "(quality = distinct-word count; deterministic doc_id tie-break). "
+        "This is the standard 'drop dupes but keep the best copy' "
+        "curation step. One shuffle (window over fingerprint) — the "
+        "irreducible dedup shuffle; everything before it is a per-row map."
+    ),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    shingles5 = F.when(
+        F.size("words") >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size("words") - 5),
+            lambda i: F.concat_ws(
+                " ",
+                F.col("words")[i],
+                F.col("words")[i + 1],
+                F.col("words")[i + 2],
+                F.col("words")[i + 3],
+                F.col("words")[i + 4],
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
+    f = d.select(
+        "doc_id",
+        F.array_min(F.transform(shingles5, lambda s: h28(s))).alias("fingerprint"),
+        F.size(F.array_distinct("words")).alias("quality"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("fingerprint")
+    return (
+        f.select(
+            "fingerprint",
+            "doc_id",
+            "quality",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("group_size"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("quality").alias("best_quality"),
+            "group_size",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH with hot-bucket capping (the petabyte-scale guard)
+# --------------------------------------------------------------------------
+# Band buckets larger than the cap are dropped before the self-join: a
+# bucket of size s yields s^2/2 candidates, so one boilerplate-heavy
+# bucket (same header on millions of pages) can dominate the whole
+# join. Oversized buckets carry no dedup signal — their members match
+# on a band by construction, and true near-dups still collide in the
+# other bands. The cap here is sized to the tiny test corpus (max
+# bucket = 3); production uses hundreds.
+_LSH_BUCKET_CAP = 2
+
+
+@register(
+    "dedup_lsh_capped",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    sized AS (
+      SELECT doc_id, band_idx, band_val,
+             COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+      FROM bands),
+    kept AS (SELECT doc_id, band_idx, band_val FROM sized
+             WHERE bsz <= {_LSH_BUCKET_CAP}),
+    cand2 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    v2 AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(x.shingles, y.shingles)) AS n_common,
+             len(x.shingles) + len(y.shingles)
+               - len(list_intersect(x.shingles, y.shingles)) AS n_union
+      FROM cand2 c JOIN sig x ON c.doc_a = x.doc_id
+                   JOIN sig y ON c.doc_b = y.doc_id)
+    SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / n_union AS jaccard
+    FROM v2 WHERE CAST(n_common AS DOUBLE) / n_union >= 0.4
+    """,
+    "dedup",
+    doc=(
+        "dedup_minhash_lsh with mega-band capping: band buckets above "
+        "the size cap are dropped before the candidate self-join (window "
+        "count over the band key, which co-partitions with the join that "
+        "follows — one shuffle serves both). This is the guard that keeps "
+        "LSH near-linear at 100 TB, where a single boilerplate bucket "
+        "would otherwise produce O(s^2) candidates (SCALING.md)."
+    ),
+)
+def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sig = (
+        _hashed_shingles(spark, sf_dir)
+        .select("doc_id", "shingles", *_minhash_cols())
+        .localCheckpoint(eager=False)
+    )
+    bands = None
+    for b in range(N_BANDS):
+        one = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "_", F.col(f"s{2*b}").cast("string"), F.col(f"s{2*b+1}").cast("string")
+            ).alias("band_val"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+
+    wb = Window.partitionBy("band_idx", "band_val")
+    kept = (
+        bands.select(
+            "doc_id", "band_idx", "band_val", F.count(F.lit(1)).over(wb).alias("bsz")
+        )
+        .filter(F.col("bsz") <= _LSH_BUCKET_CAP)
+        .drop("bsz")
+    )
+
+    a = kept.alias("a")
+    b_ = kept.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+    )

@@ -304,3 +304,95 @@ def lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_val"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_val"),
     )
+
+
+# Per-source document cap for stratified downsampling. At sf0.01 the
+# synthetic corpus has ~25 docs/source, so a cap of 15 exercises both
+# branches (some sources sampled down, none fully dropped).
+_STRAT_CAP = 15
+_STRAT_M = 1_000_000  # hash-uniform resolution
+
+
+@register(
+    "stratified_sample_hash",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+    s AS (
+      SELECT d.source, c.n_src,
+             CASE WHEN ({_h28_sql("CAST(d.doc_id AS VARCHAR) || ':strat'")}
+                        % {_STRAT_M}) * c.n_src
+                       < {_STRAT_CAP} * {_STRAT_M}
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN c ON d.source = c.source)
+    SELECT source, MAX(n_src) AS n_before, SUM(keep) AS n_kept
+    FROM s GROUP BY source
+    """,
+    "sampling",
+    doc=(
+        "Stratified downsampling to a per-source cap: keep a document iff "
+        "hash_uniform(doc_id) < cap/|source| — deterministic (md5-based, "
+        "reproducible across engines/runs, unlike rand()) and all-integer "
+        "(keep iff (h %% M) * n_src < cap * M, no FP rate). The per-source "
+        "count table is tiny and broadcast; the sample itself is a pure "
+        "per-row map, so at 100 TB this costs one small agg + one scan. "
+        "Reference parity: the broker has no sampling surface (SURVEY.md "
+        "§2.7); this is BASELINE.json north-star curation tooling."
+    ),
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    h = _h28(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+    keep = F.when(
+        (h % _STRAT_M) * F.col("n_src") < F.lit(_STRAT_CAP * _STRAT_M), 1
+    ).otherwise(0)
+    return (
+        d.join(F.broadcast(counts), "source")
+        .select("source", "n_src", keep.alias("keep"))
+        .groupBy("source")
+        .agg(F.max("n_src").alias("n_before"), F.sum("keep").alias("n_kept"))
+    )
+
+
+@register(
+    "median_mode_stats",
+    """
+    WITH cnt AS (
+      SELECT lang, source, COUNT(*) AS n
+      FROM documents GROUP BY lang, source),
+    ranked AS (
+      SELECT lang, source, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk
+      FROM cnt),
+    med AS (
+      SELECT lang, COUNT(*) AS n_docs, median(n_chars) AS median_chars
+      FROM documents GROUP BY lang)
+    SELECT med.lang, med.n_docs, med.median_chars,
+           ranked.source AS modal_source, ranked.n AS modal_n
+    FROM med JOIN ranked ON med.lang = ranked.lang AND ranked.rk = 1
+    """,
+    "sampling",
+    doc=(
+        "Central-tendency profile per language: exact median of n_chars "
+        "(interpolated; both engines average the two middles of an even "
+        "run — exact for int inputs) and the modal source with a "
+        "deterministic (count DESC, source ASC) tie-break, since bare "
+        "mode() is unspecified-order in both engines. The mode is a "
+        "two-level agg on a tiny grouped table; the median is the only "
+        "sort and it is per-group."
+    ),
+)
+def median_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.median("n_chars").alias("median_chars"),
+    )
+    cnt = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("source"))
+    modal = (
+        cnt.select("lang", "source", "n", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("lang", F.col("source").alias("modal_source"), F.col("n").alias("modal_n"))
+    )
+    return med.join(modal, "lang")

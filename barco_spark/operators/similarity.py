@@ -622,3 +622,136 @@ def ann_ivf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# K-means over embeddings (Lloyd's, vectorized, model-on-driver)
+# --------------------------------------------------------------------------
+KMEANS_K = 16
+KMEANS_ITERS = 3
+
+
+def kmeans_fit(df, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Lloyd's k-means over a (vec_id, v: array<double>) DataFrame.
+
+    The scale shape: the model (k x dim centroid matrix) lives on the
+    driver and is broadcast each round; executors compute per-partition
+    partial sums (k x dim + k counts) via numpy over Arrow batches, so
+    each iteration moves only n_partitions*k tiny rows to the driver —
+    never the points. Deterministic: stride-sampled init over vec_id
+    (no rand()), fixed iteration count, float64 partials combined in
+    sorted order. Returns (centroids ndarray, per-iteration inertia).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()
+    stride = max(1, n // k)
+    init = (
+        df.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r.v, dtype=np.float64) for r in init])
+    history: list[float] = []
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches):
+            C = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf["v"].map(np.asarray).values).astype(np.float64)
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+                d2 = (
+                    (M * M).sum(axis=1, keepdims=True)
+                    - 2.0 * (M @ C.T)
+                    + (C * C).sum(axis=1)
+                )
+                a = np.argmin(d2, axis=1)
+                out = []
+                for c in np.unique(a):
+                    rows = M[a == c]
+                    out.append(
+                        {
+                            "cluster": int(c),
+                            "cnt": int(len(rows)),
+                            "vsum": rows.sum(axis=0).tolist(),
+                            "inertia": float(d2[a == c, c].sum()),
+                        }
+                    )
+                yield pd.DataFrame(out)
+
+        part = df.mapInPandas(
+            partials, "cluster int, cnt long, vsum array<double>, inertia double"
+        ).collect()
+        part.sort(key=lambda r: (r.cluster, r.cnt, r.inertia))
+        sums = np.zeros_like(centroids)
+        cnts = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for r in part:
+            sums[r.cluster] += np.asarray(r.vsum)
+            cnts[r.cluster] += r.cnt
+            inertia += r.inertia
+        history.append(inertia)
+        nonempty = cnts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / cnts[nonempty, None]
+    return centroids, history
+
+
+@register(
+    "kmeans_embeddings",
+    None,  # iterative algorithm: rows-only check; properties (monotone
+    # inertia, full coverage) are asserted in tests/test_similarity.py
+    "similarity",
+    doc=(
+        "K-means clustering of the embedding corpus (Lloyd's, k=16, 3 "
+        "rounds): the IVF coarse quantizer with refined centroids. Each "
+        "round is one mapInPandas pass emitting k x dim partial sums per "
+        "partition; the point set is never collected or shuffled. The "
+        "final pass reports per-cluster size and inertia."
+    ),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids, _hist = kmeans_fit(e)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def stats(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].map(np.asarray).values).astype(np.float64)
+            d2 = (
+                (M * M).sum(axis=1, keepdims=True)
+                - 2.0 * (M @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            a = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": a.astype("int64"),
+                    "sq_dist": d2[np.arange(len(a)), a],
+                }
+            )
+
+    assigned = e.mapInPandas(stats, "cluster_id long, sq_dist double")
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("sq_dist"), 4).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

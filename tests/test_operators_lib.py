@@ -119,3 +119,18 @@ def test_asof_join_random_matches_bruteforce(spark):
 
     for k, lts, lid in left:
         assert out[lid] == brute(k, lts), (k, lts, lid)
+
+
+def test_lsh_capped_pairs_subset_of_uncapped(spark, sf_dir):
+    from barco_spark.operators.dedup import dedup_lsh_capped, dedup_minhash_lsh
+
+    full = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b) for r in dedup_lsh_capped(spark, sf_dir).collect()
+    }
+    assert capped <= full
+    # the cap only drops pairs whose every shared bucket is oversized;
+    # it must never invent pairs
+    assert len(capped) <= len(full)

@@ -88,3 +88,24 @@ def test_ivf_vectorized_recall_vs_brute(spark, sf_dir):
     # same IVF structure as ann_ivf_search (see its threshold comment);
     # numpy argmax ties may differ from the fold path on exact ties only
     assert _recall(brute, fast) >= 0.4
+
+
+def test_kmeans_monotone_and_covering(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from barco_spark.operators.similarity import kmeans_embeddings, kmeans_fit
+    from barco_spark.tables import t
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()
+    _, hist = kmeans_fit(e, k=8, iters=4)
+    assert len(hist) == 4
+    # Lloyd's never increases inertia
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(hist, hist[1:]))
+
+    out = kmeans_embeddings(spark, sf_dir).collect()
+    assert sum(r.n_points for r in out) == n
+    assert all(r.inertia >= 0 for r in out)
+    assert len(out) <= 16
