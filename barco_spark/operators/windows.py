@@ -291,3 +291,130 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pearson"),
     )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH e3 AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_view
+      FROM e3),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM s1),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2),
+    u AS (
+      SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+             MAX(t_purchase) AS t_purchase
+      FROM s3 GROUP BY user_id)
+    SELECT 'view' AS stage, COUNT(t_view) AS n_users,
+           CAST(NULL AS DOUBLE) AS avg_delay_us FROM u
+    UNION ALL
+    SELECT 'click', COUNT(t_click),
+           CAST(SUM(CASE WHEN t_click IS NOT NULL
+                         THEN epoch_us(t_click) - epoch_us(t_view) END) AS DOUBLE)
+             / NULLIF(COUNT(t_click), 0) FROM u
+    UNION ALL
+    SELECT 'purchase', COUNT(t_purchase),
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL
+                         THEN epoch_us(t_purchase) - epoch_us(t_view) END) AS DOUBLE)
+             / NULLIF(COUNT(t_purchase), 0) FROM u
+    """,
+    "windows",
+    doc=(
+        "Conversion funnel view -> click -> purchase: per user, the "
+        "earliest view, the earliest click strictly after it, and the "
+        "earliest purchase strictly after that; stage user-counts and "
+        "mean time-to-stage. The three cascaded conditional-min windows "
+        "share ONE user_id partitioning (one shuffle), then a per-user "
+        "agg and a 3-row rollup — no self-joins, so at 100 TB the cost "
+        "is a single shuffle of the three event types. Delay arithmetic "
+        "is integer micros with one final division (oracle-exact)."
+    ),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+
+    def delay_sum(tcol: str):
+        return F.sum(
+            F.when(
+                F.col(tcol).isNotNull(),
+                F.unix_micros(F.col(tcol)) - F.unix_micros(F.col("t_view")),
+            )
+        )
+
+    # one aggregation produces every stage measure; explode to 3 rows
+    # (vs three u.agg branches, which would re-run the window subtree
+    # and scan the events table three times)
+    one = u.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+        delay_sum("t_click").alias("d_click"),
+        delay_sum("t_purchase").alias("d_purchase"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit("view").alias("stage"),
+            F.col("n_view").alias("n_users"),
+            F.lit(None).cast("double").alias("avg_delay_us"),
+        ),
+        F.struct(
+            F.lit("click").alias("stage"),
+            F.col("n_click").alias("n_users"),
+            (
+                F.col("d_click").cast("double")
+                / F.nullif(F.col("n_click"), F.lit(0))
+            ).alias("avg_delay_us"),
+        ),
+        F.struct(
+            F.lit("purchase").alias("stage"),
+            F.col("n_purchase").alias("n_users"),
+            (
+                F.col("d_purchase").cast("double")
+                / F.nullif(F.col("n_purchase"), F.lit(0))
+            ).alias("avg_delay_us"),
+        ),
+    )
+    return one.select(F.explode(stages).alias("s")).select("s.*")

@@ -179,3 +179,45 @@ def test_simhash_partial_aggregates_before_shuffle(spark, sf_dir):
     plan = explain_str(df)
     assert "partial_sum" in plan
     assert shuffle_count(df) == 1
+
+
+def test_stratified_sample_broadcasts_counts(spark, sf_dir):
+    """The per-source count table must be broadcast, not shuffled into
+    a sort-merge join; the sample itself is then a per-row map."""
+    from barco_spark.operators.sampling import stratified_sample_hash
+
+    df = stratified_sample_hash(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # one shuffle for the counts agg, one for the final per-source agg
+    assert shuffle_count(df) <= 2
+
+
+def test_keep_best_single_shuffle(spark, sf_dir):
+    """Keep-best canonicalization: both windows share one partitioning
+    over fingerprint — exactly one data shuffle."""
+    from barco_spark.operators.dedup import dedup_keep_best
+
+    df = dedup_keep_best(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_lsh_capped_reuses_band_partitioning(spark, sf_dir):
+    """The bucket-size window partitions by the same key as the
+    candidate self-join; capping must not add shuffles beyond the
+    uncapped pipeline's (bands window/join + distinct + verify joins)."""
+    from barco_spark.operators.dedup import dedup_lsh_capped, dedup_minhash_lsh
+
+    capped = shuffle_count(dedup_lsh_capped(spark, sf_dir))
+    uncapped = shuffle_count(dedup_minhash_lsh(spark, sf_dir))
+    assert capped <= uncapped + 2  # window adds at most its own exchange
+
+
+def test_funnel_two_shuffles_one_scan(spark, sf_dir):
+    """The funnel cascade shares one user_id partitioning and one final
+    single-partition agg; the union-of-three-aggs shape (3 scans, 6
+    shuffles) must not come back."""
+    from barco_spark.operators.windows import events_funnel
+
+    df = events_funnel(spark, sf_dir)
+    assert shuffle_count(df) == 2
+    assert len(read_schema_columns(df)) == 1  # events scanned once
