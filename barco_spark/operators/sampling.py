@@ -396,3 +396,82 @@ def median_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("source").alias("modal_source"), F.col("n").alias("modal_n"))
     )
     return med.join(modal, "lang")
+
+
+_HIST_W = 50.0  # bin width over events.value (observed range ~[0, 500])
+
+
+@register(
+    "value_histogram",
+    f"""
+    WITH b AS (
+      SELECT CAST(floor(value / {_HIST_W}) AS BIGINT) AS bin FROM events),
+    g AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin)
+    SELECT bin, bin * {_HIST_W} AS lo, (bin + 1) * {_HIST_W} AS hi, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM g
+    """,
+    "sampling",
+    doc=(
+        "Fixed-width histogram of events.value: one per-row bin map "
+        "(floor of an IEEE divide — deterministic cross-engine), one "
+        "hash aggregation, then a window share over the tiny bin table. "
+        "The classic distribution-profiling primitive; at 100 TB it is "
+        "a single scan + map-side-combined agg over <=#bins groups."
+    ),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / _HIST_W).cast("bigint").alias("bin")
+    )
+    g = ev.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    return g.select(
+        "bin",
+        (F.col("bin") * _HIST_W).alias("lo"),
+        ((F.col("bin") + 1) * _HIST_W).alias("hi"),
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias(
+            "share"
+        ),
+    )
+
+
+_TOPN_PER_SOURCE = 5
+
+
+@register(
+    "hash_topn_sample",
+    f"""
+    WITH h AS (
+      SELECT source, doc_id,
+             {_h28_sql("CAST(doc_id AS VARCHAR) || ':topn'")} AS hv
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+      FROM h)
+    SELECT source, doc_id, rk FROM r WHERE rk <= {_TOPN_PER_SOURCE}
+    """,
+    "sampling",
+    doc=(
+        "Exact-count per-stratum sample: the n smallest hash values per "
+        "source (hash order = uniform order, doc_id tie-break). Unlike "
+        "the rate-based stratified sample this guarantees EXACTLY n per "
+        "stratum — the reservoir-sampling shape, but deterministic and "
+        "re-runnable. One window shuffle on source; at 100 TB a "
+        "pre-aggregated per-partition top-n (min-heap) feeds the window "
+        "so only n*partitions rows reach the shuffle (Spark does this "
+        "itself for rank<=n filters via WindowGroupLimit)."
+    ),
+)
+def hash_topn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        _h28(F.concat(F.col("doc_id").cast("string"), F.lit(":topn"))).alias("hv"),
+    )
+    w = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _TOPN_PER_SOURCE)
+    )

@@ -28,19 +28,24 @@ HEADLINE = [
     "agg_rollup",
     "quantile_stats",
     "lineitem_unpivot_stats",
+    "value_histogram",
+    "stratified_sample_hash",
     "window_topk_per_group",
     "window_running_analytics",
     "events_sessionize",
+    "events_funnel",
     "events_bucket_offsets",
     "asof_join_last_click",
     "json_extract_agg",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_clusters",
+    "dedup_keep_best",
     "train_split_assign",
     "ann_cosine_topk",
     "ann_lsh_search",
     "ann_ivf_search",
+    "kmeans_embeddings",
     "text_metrics",
     "token_count_regex",
     "doc_fingerprint",

@@ -221,3 +221,13 @@ def test_funnel_two_shuffles_one_scan(spark, sf_dir):
     df = events_funnel(spark, sf_dir)
     assert shuffle_count(df) == 2
     assert len(read_schema_columns(df)) == 1  # events scanned once
+
+
+def test_hash_topn_uses_window_group_limit(spark, sf_dir):
+    """The rank<=n filter must trigger WindowGroupLimit (per-partition
+    top-n before the shuffle) so only n*partitions rows are exchanged."""
+    from barco_spark.operators.sampling import hash_topn_sample
+
+    df = hash_topn_sample(spark, sf_dir)
+    assert "WindowGroupLimit" in explain_str(df, "simple")
+    assert shuffle_count(df) == 1
