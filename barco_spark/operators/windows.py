@@ -418,3 +418,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return one.select(F.explode(stages).alias("s")).select("s.*")
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH p AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    a AS (
+      SELECT e.user_id, p.cohort_d,
+             CAST(floor(datediff('day', p.cohort_d, CAST(e.ts AS DATE)) / 7.0)
+                  AS BIGINT) AS wk
+      FROM events e JOIN p ON e.user_id = p.user_id
+      WHERE CAST(e.ts AS DATE) >= p.cohort_d)
+    SELECT cohort_d, wk, COUNT(DISTINCT user_id) AS active_users
+    FROM a GROUP BY cohort_d, wk
+    """,
+    "windows",
+    doc=(
+        "Cohort retention: users cohorted by first-purchase date, then "
+        "distinct active users per (cohort, week-offset) over all later "
+        "activity. All-integer date arithmetic (datediff // 7). Two "
+        "shuffles at scale: the first-purchase agg and the activity "
+        "join/agg, both keyed on user_id so AQE can reuse the exchange; "
+        "the (cohort, week) result is tiny."
+    ),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("cohort_d"))
+    )
+    a = (
+        ev.join(p, "user_id")
+        .filter(F.col("d") >= F.col("cohort_d"))
+        .select(
+            "user_id",
+            "cohort_d",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_d")) / 7)
+            .cast("bigint")
+            .alias("wk"),
+        )
+    )
+    return a.groupBy("cohort_d", "wk").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
