@@ -708,3 +708,59 @@ def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.4)
     )
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy matching (edit distance)
+# --------------------------------------------------------------------------
+_FUZZY_PREFIX = 40
+_FUZZY_MAX_DIST = 10
+
+
+@register(
+    "fuzzy_match_blocked",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, lang, substr(text, 1, {_FUZZY_PREFIX}) AS prefix
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.prefix, b.prefix) AS dist
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= {_FUZZY_MAX_DIST}
+    """,
+    "dedup",
+    doc=(
+        "Blocked fuzzy matching: document-prefix edit distance within "
+        "(source, lang) blocks. Levenshtein is quadratic per pair, so "
+        "the block join bounds candidates to sum(|block|^2) — the "
+        "standard record-linkage shape; at 100 TB blocks come from a "
+        "cheap key (here metadata; in practice a fingerprint band) and "
+        "oversized blocks get capped like LSH mega-bands. Distance is "
+        "an exact integer in both engines (JVM levenshtein = DuckDB "
+        "levenshtein on ASCII)."
+    ),
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.substring("text", 1, _FUZZY_PREFIX).alias("prefix"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+    )

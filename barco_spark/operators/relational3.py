@@ -347,3 +347,46 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(25)
     )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH c AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+      FROM customer),
+    d AS (
+      SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer)
+    SELECT d.seg, COUNT(c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM d JOIN c ON d.seg IS NOT DISTINCT FROM c.seg
+    GROUP BY d.seg
+    """,
+    "join",
+    doc=(
+        "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL "
+        "segment key must match NULL on the dim side instead of being "
+        "dropped like a plain equi-join would. Spark plans <=> as a "
+        "HashJoin with null-safe keys (still broadcast-able, no "
+        "fallback to nested-loop). Money sum in DECIMAL for "
+        "cross-engine determinism."
+    ),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        "c_acctbal",
+    )
+    dim = cust.select("seg").distinct()
+    return (
+        dim.alias("d")
+        .join(cust.alias("c"), F.col("d.seg").eqNullSafe(F.col("c.seg")))
+        .groupBy(F.col("d.seg").alias("seg"))
+        .agg(
+            F.count("c.c_custkey").alias("n_customers"),
+            F.sum(F.col("c.c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

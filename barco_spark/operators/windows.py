@@ -469,3 +469,39 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy("cohort_d", "wk").agg(
         F.count_distinct("user_id").alias("active_users")
     )
+
+
+@register(
+    "window_distribution_funcs",
+    """
+    SELECT event_id, user_id, value,
+           NTILE(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(event_id) OVER w AS first_event,
+           nth_value(event_id, 2) OVER w AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    "window",
+    doc=(
+        "Distribution-family window functions (ntile / percent_rank / "
+        "cume_dist / first_value / nth_value) per user over value. The "
+        "(value, event_id) order is total, so ntile assignment and the "
+        "rank ratios (integer-over-integer single divisions) are "
+        "deterministic cross-engine; nth_value uses the ANSI default "
+        "running frame in both. One shuffle on user_id."
+    ),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )
