@@ -749,7 +749,11 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, _FUZZY_PREFIX).alias("prefix"),
     )
     a, b = d.alias("a"), d.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    # thresholded levenshtein: the banded DP aborts once the distance
+    # provably exceeds the cap (returns -1), O(threshold*n) per pair
+    # instead of O(n^2) — exact for every pair we keep, so the oracle
+    # (full distance, then filter) sees identical rows
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), _FUZZY_MAX_DIST)
     return (
         a.join(
             b,
@@ -762,5 +766,5 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             dist.alias("dist"),
         )
-        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
+        .filter(F.col("dist") >= 0)
     )

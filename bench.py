@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_clusters",
     "dedup_keep_best",
+    "fuzzy_match_blocked",
     "train_split_assign",
     "ann_cosine_topk",
     "ann_lsh_search",
