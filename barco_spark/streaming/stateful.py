@@ -157,3 +157,78 @@ def streaming_dedup_ttl(
             ),
         )
     )
+
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", StringType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("v", LongType()),
+        StructField("c", LongType()),
+        StructField("p", LongType()),
+    ]
+)
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Incremental twin of the batch `events_funnel` query: per-user
+    view -> click -> purchase progression tracked across micro-batches.
+
+    State per user is three int64 micros (first view, first click after
+    it, first purchase after that; 0 = not reached). A row
+    (user_id, stage, ts_us) is emitted the moment a user advances a
+    stage. Progression is monotone: events arriving late that would
+    revise an already-passed stage are ignored — the streaming
+    trade-off vs the batch query, which sees the full history (the
+    reference's at-least-once posture makes consumers tolerate this
+    class of approximation anyway, docs/faq/README.md:14).
+
+    Scale: one 24-byte state record per user in the state store,
+    hash-partitioned on user_id; per batch each user's rows are sorted
+    locally (bounded by batch size), no shuffles beyond the state-store
+    partitioning.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        v, c, p = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for pdf in pdfs:
+            for ts, et in zip(pdf["ts_us"], pdf["event_type"]):
+                rows.append((int(ts), str(et)))
+        rows.sort()
+        out = []
+        for ts, et in rows:
+            if et == "view" and v == 0:
+                v = ts
+                out.append((key[0], "view", ts))
+            elif et == "click" and v != 0 and c == 0 and ts > v:
+                c = ts
+                out.append((key[0], "click", ts))
+            elif et == "purchase" and c != 0 and p == 0 and ts > c:
+                p = ts
+                out.append((key[0], "purchase", ts))
+        state.update((v, c, p))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "stage", "ts_us"])
+
+    return (
+        events.selectExpr(
+            "user_id", "event_type", "unix_micros(ts) AS ts_us"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -498,3 +498,59 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     results.clear()
     run()
     assert [r["text"] for r in results] == [other_doc]
+
+
+def test_streaming_funnel_progresses_across_batches(spark, tmp_path):
+    """Funnel state survives micro-batch boundaries: a click arriving in
+    a later batch still matches the view from an earlier one; stage
+    order is enforced (purchase before click is ignored)."""
+    import datetime as _dt
+
+    from barco_spark.streaming.stateful import streaming_funnel
+
+    src = str(tmp_path / "src")
+
+    def ts(s):
+        return _dt.datetime(2024, 1, 1, 0, 0, s)
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").json(src)
+
+    results: list = []
+
+    def run():
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).json(src)
+        results.clear()
+        q = (
+            streaming_funnel(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda d, _b: results.extend(d.collect()))
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: u1 views; u2 purchases with no prior funnel (ignored)
+    feed([(1, "view", ts(1)), (2, "purchase", ts(1))])
+    run()
+    assert {(r.user_id, r.stage) for r in results} == {(1, "view")}
+
+    # batch 2: u1 clicks (matches checkpointed view), then purchases;
+    # u2 views (now starts its funnel); duplicate u1 view is ignored
+    feed(
+        [
+            (1, "click", ts(5)),
+            (1, "purchase", ts(9)),
+            (1, "view", ts(2)),
+            (2, "view", ts(6)),
+        ]
+    )
+    run()
+    got = {(r.user_id, r.stage): r.ts_us for r in results}
+    assert set(got) == {(1, "click"), (1, "purchase"), (2, "view")}
+    assert got[(1, "click")] < got[(1, "purchase")]
