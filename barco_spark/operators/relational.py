@@ -231,6 +231,7 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment
     """,
     "join",
+    doc="Fact-to-dim join with an explicit broadcast hint, then a hash aggregate — zero shuffle on the probe side.",
 )
 def join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -252,6 +253,7 @@ def join_broadcast_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey
     """,
     "join",
+    doc="Left outer join preserving customers with no orders; COUNT(col) keeps the null-row semantics.",
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -270,6 +272,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHERE o_custkey = c_custkey AND o_totalprice > 200000)
     """,
     "join",
+    doc="EXISTS as a left-semi join: probe rows pass at first match, no duplication, build side never materialized in the output.",
 )
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
@@ -287,6 +290,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     "join",
+    doc="NOT EXISTS as a left-anti join — the orphan-detection shape.",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -340,6 +344,7 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_mktsegment
     """,
     "aggregation",
+    doc="COUNT(DISTINCT) via Expand + two-phase aggregation (exact).",
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.count(F.lit(1))
@@ -364,6 +369,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "aggregation",
+    doc="ROLLUP hierarchy totals in one pass (Expand), not one scan per level.",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -386,6 +392,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "aggregation",
+    doc="CUBE over two dims: all 4 grouping sets from a single Expand pass.",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -406,6 +413,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
     "aggregation",
+    doc="Explicit GROUPING SETS with grouping() to disambiguate the null rows.",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
@@ -452,6 +460,7 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_nationkey AS nationkey FROM supplier
     """,
     "setop",
+    doc="INTERSECT (distinct) of two key sets, planned as a left-semi join after aggregation.",
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -467,6 +476,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_nationkey AS nationkey FROM supplier
     """,
     "setop",
+    doc="EXCEPT (distinct), planned as a left-anti join — set difference without a full sort.",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -482,6 +492,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, 'MACHINERY' AS seg FROM customer WHERE c_mktsegment = 'MACHINERY'
     """,
     "setop",
+    doc="UNION ALL keeping duplicates, then one aggregate over the combined relation.",
 )
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
@@ -510,6 +521,7 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part
     """,
     "scalar",
+    doc="String/math scalar surface (substr, concat, round, power, abs, mod) evaluated inside whole-stage codegen.",
 )
 def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "part").select(
@@ -537,6 +549,7 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey < 500
     """,
     "scalar",
+    doc="Date/time scalar surface (extract, trunc, datediff, add_months) with cross-engine-deterministic integer results.",
 )
 def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

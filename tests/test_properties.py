@@ -76,3 +76,17 @@ def test_coverage_doc_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n_oracle, n_total), (
         f"COVERAGE.md says {m.groups()}, registry has ({n_oracle}, {n_total})"
     )
+
+
+def test_queries_md_is_fresh():
+    """QUERIES.md must match what scripts/gen_queries_md.py renders from
+    the live registry (regenerate it when adding/changing queries)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_queries_md", Path("scripts/gen_queries_md.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert Path("QUERIES.md").read_text() == mod.render()
