@@ -505,3 +505,54 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event"),
         F.nth_value("event_id", 2).over(w).alias("second_event"),
     )
+
+
+_SKEW_TOPK = 3
+_SKEW_SALTS = 16
+
+
+@register(
+    "skew_salted_topk",
+    f"""
+    SELECT event_type, event_id, value, rn FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) x
+    WHERE rn <= {_SKEW_TOPK}
+    """,
+    "window",
+    doc=(
+        "Top-k under extreme key skew: event_type has only 5 values, so "
+        "a plain ranking window is 5 straggler tasks no matter how many "
+        "executors exist. Two-phase salted ranking instead: local top-k "
+        "per (key, salt-of-row-hash) across salts*keys parallel groups, "
+        "then the global window ranks only k*salts survivors per key. "
+        "Semantics-preserving (every global top-k row is top-k in its "
+        "salt bucket); the oracle is the plain one-window SQL."
+    ),
+)
+def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.hash("event_id"), F.lit(_SKEW_SALTS))
+    )
+    w_local = Window.partitionBy("event_type", "_salt").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    survivors = (
+        salted.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w_local).alias("_lrn"),
+        )
+        .filter(F.col("_lrn") <= _SKEW_TOPK)
+        .drop("_lrn")
+    )
+    w_global = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return survivors.select(
+        "event_type", "event_id", "value", F.row_number().over(w_global).alias("rn")
+    ).filter(F.col("rn") <= _SKEW_TOPK)
