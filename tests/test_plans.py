@@ -231,3 +231,26 @@ def test_hash_topn_uses_window_group_limit(spark, sf_dir):
     df = hash_topn_sample(spark, sf_dir)
     assert "WindowGroupLimit" in explain_str(df, "simple")
     assert shuffle_count(df) == 1
+
+
+def test_eventlog_join_dynamic_partition_pruning(spark, tmp_path):
+    """Joining the bucket-partitioned log against a filtered dim table
+    must inject a dynamicpruning expression into the scan's
+    PartitionFilters — at 100 TB this is what keeps a bucket-targeted
+    join from reading every bucket directory."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    src = spark.range(2000).select(
+        (F.col("id") % 40).cast("string").alias("partition_key"),
+        F.col("id").cast("string").alias("payload"),
+    )
+    log.produce("t", src)
+    spark.range(12).select(
+        F.col("id").cast("int").alias("bucket"), (F.col("id") % 3).alias("tag")
+    ).write.parquet(str(tmp_path / "dim"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("tag") == 0)
+    j = log.read("t").join(dim, "bucket")
+    assert "dynamicpruningexpression" in explain_str(j, "formatted").lower()
