@@ -556,3 +556,47 @@ def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "event_type", "event_id", "value", F.row_number().over(w_global).alias("rn")
     ).filter(F.col("rn") <= _SKEW_TOPK)
+
+
+@register(
+    "window_range_frame_1h",
+    """
+    SELECT event_id, user_id, ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts_us
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS rolling_1h_n
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events) x
+    """,
+    "window",
+    doc=(
+        "Time-based RANGE frame: per-user rolling 1-hour sum/count, the "
+        "value-based sliding window ROWS frames can't express (rows "
+        "enter/leave by timestamp distance, not position). Ordering by "
+        "integer micros makes the frame boundary exact in both engines; "
+        "the sum is DECIMAL inside the frame fold. Same single "
+        "user_id shuffle as any partitioned window."
+    ),
+)
+def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
+    )
