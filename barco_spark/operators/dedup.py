@@ -450,6 +450,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Near-dup clusters: connected components over the LSH pair graph
 # --------------------------------------------------------------------------
+_CLUSTER_DRIVER_MAX_EDGES = 2_000_000  # ~32 MB of (long, long) pairs
+
+
 @register(
     "dedup_clusters",
     f"""
@@ -471,15 +474,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Duplicate-cluster assignment: transitive closure of the "
         "verified MinHash-LSH pairs. 'Keep one per cluster' needs the "
         "closure — pairwise keep-min drops documents inconsistently "
-        "when A~B and B~C but A!~C. Spark side is iterative min-label "
-        "propagation (converges in O(cluster diameter) rounds, each one "
-        "join + one groupBy on the edge list, lineage cut per round); "
+        "when A~B and B~C but A!~C. Spark side is adaptive: the pair "
+        "graph (near-dup pairs only, tiny vs the corpus) is solved by "
+        "driver union-find when it fits, else by iterative min-label "
+        "propagation (O(cluster diameter) rounds, each one join + one "
+        "groupBy on the edge list, lineage cut per round); "
         "the oracle is the same closure as a recursive CTE. At 100 TB "
         "the edge list is tiny relative to the corpus (only near-dup "
         "pairs), so the loop shuffles edges, never documents."
     ),
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, driver_max_edges: int | None = None
+) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
@@ -487,6 +494,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # eager: the loop re-reads edges every round
     )
+    cap = (
+        _CLUSTER_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    )
+    # Adaptive small-graph path: the pair graph is the OUTPUT of
+    # LSH+verify — near-dup pairs only, orders of magnitude smaller
+    # than the corpus — so it usually fits on the driver even when the
+    # corpus is 100 TB. Union-find there gives the same min-label
+    # closure in one pass instead of O(diameter) Spark rounds. The
+    # distributed loop below remains the fallback (and is forced in
+    # tests via driver_max_edges=0).
+    if edges.count() <= cap:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in edges.collect():
+            a, b = r.s, r.d
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min keeps the label = min(component) invariant
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
     labels = edges.select("s").distinct().select("s", F.col("s").alias("lbl"))
     prev_sum = None
     for _round in range(25):  # >= max cluster diameter at any sane scale

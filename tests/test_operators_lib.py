@@ -134,3 +134,17 @@ def test_lsh_capped_pairs_subset_of_uncapped(spark, sf_dir):
     # the cap only drops pairs whose every shared bucket is oversized;
     # it must never invent pairs
     assert len(capped) <= len(full)
+
+
+def test_dedup_clusters_paths_agree(spark, sf_dir):
+    """The driver union-find fast path and the distributed min-label
+    loop must produce identical cluster assignments."""
+    from barco_spark.operators.dedup import dedup_clusters
+
+    fast = {(r.doc_id, r.cluster_id) for r in dedup_clusters(spark, sf_dir).collect()}
+    loop = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(spark, sf_dir, driver_max_edges=0).collect()
+    }
+    assert fast == loop
+    assert fast  # non-empty at every test SF
