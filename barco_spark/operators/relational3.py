@@ -390,3 +390,68 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@register(
+    "scd1_upsert_shape",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+             o_totalprice, 1 AS version
+      FROM orders WHERE o_orderkey % 10 = 0),
+    unioned AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS version
+      FROM orders
+      UNION ALL
+      SELECT * FROM updates),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC) AS rk
+      FROM unioned)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM ranked WHERE rk = 1
+    GROUP BY o_orderstatus
+    """,
+    "join",
+    doc=(
+        "SCD-1 upsert (latest-wins MERGE) without a table format: union "
+        "base + updates, one ranking window on the key, keep rank 1 — "
+        "the standard Spark upsert shape when Delta/Iceberg MERGE isn't "
+        "available. One shuffle on the merge key; at 100 TB the same "
+        "plan works partition-wise when the base is bucketed on the key "
+        "(sources/warehouse.py). Updates here are synthesized from the "
+        "base table (every 10th order flipped to status F) so the "
+        "query is self-contained."
+    ),
+)
+def scd1_upsert_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).alias("version"),
+    )
+    updates = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("F").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit(1).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    merged = (
+        base.unionByName(updates)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
