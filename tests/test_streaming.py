@@ -554,3 +554,65 @@ def test_streaming_funnel_progresses_across_batches(spark, tmp_path):
     got = {(r.user_id, r.stage): r.ts_us for r in results}
     assert set(got) == {(1, "click"), (1, "purchase"), (2, "view")}
     assert got[(1, "click")] < got[(1, "purchase")]
+
+
+def test_streaming_funnel_over_barco_source(spark, tmp_path):
+    """End-to-end: funnel events produced to a topic, consumed via
+    format('barco'), parsed from JSON payloads, and tracked by the
+    stateful funnel — stage state carries across separately-produced
+    batches through the checkpoint."""
+    import json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from barco_spark.sources import BarcoDataSource, EventLog
+    from barco_spark.streaming.stateful import streaming_funnel
+
+    spark.dataSource.register(BarcoDataSource)
+    log = EventLog(spark, tempfile.mkdtemp() + "/log")
+
+    def produce(evts):
+        log.produce(
+            "funnel",
+            [json.dumps(e) for e in evts],
+        )
+
+    results: list = []
+
+    def run():
+        stream = (
+            spark.readStream.format("barco")
+            .option("path", log.root)
+            .option("topic", "funnel")
+            .load()
+        )
+        parsed = stream.select(
+            F.from_json(
+                F.col("payload").cast("string"),
+                "user_id long, event_type string, ts timestamp",
+            ).alias("e")
+        ).select("e.*")
+        results.clear()
+        q = (
+            streaming_funnel(parsed)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda d, _b: results.extend(d.collect()))
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    produce(
+        [
+            {"user_id": 7, "event_type": "view", "ts": "2024-01-01 00:00:01"},
+            {"user_id": 7, "event_type": "purchase", "ts": "2024-01-01 00:00:02"},
+        ]
+    )
+    run()
+    assert {(r.user_id, r.stage) for r in results} == {(7, "view")}
+
+    produce([{"user_id": 7, "event_type": "click", "ts": "2024-01-01 00:00:05"}])
+    run()
+    assert {(r.user_id, r.stage) for r in results} == {(7, "click")}
