@@ -341,12 +341,16 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_stages(t(spark, sf_dir, "events"))
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Funnel rollup over any (user_id, event_type, ts) DataFrame —
+    the library core behind the `events_funnel` query (same plan)."""
     w = Window.partitionBy("user_id")
-    ev = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("view", "click", "purchase"))
-        .select("user_id", "event_type", "ts")
-    )
+    ev = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
     s1 = ev.withColumn(
         "t_view",
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
