@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from barco_spark.operators.text import h28, h28_sql
+from barco_spark.operators.text import fingerprint5, h28, h28_sql, shingles5_sql
 from barco_spark.registry import register
 from barco_spark.tables import t
 
@@ -180,20 +180,15 @@ _LSH_PAIRS_CTES = f"""
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_LSH_PAIRS_CTES}
-    SELECT doc_a, doc_b, jaccard FROM pairs
-    """,
-    "dedup",
-    doc=(
-        "MinHash LSH near-dup pipeline: shingle -> k=8 signature -> 4 bands "
-        "-> bucket-join candidates -> exact Jaccard verify >= 0.4. "
-        "At scale the band join is the only shuffle; no cross join exists."
-    ),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
+    """The full LSH pipeline: signatures -> bands -> (optional
+    bucket-size cap) -> candidate self-join -> exact Jaccard verify.
+    One implementation serves dedup_minhash_lsh (cap=None) and
+    dedup_lsh_capped, so the variants cannot drift apart."""
+    from pyspark.sql import Window
+
     # materialize signatures once: the plan references sig three times
     # (bands + both sides of the verify join); without this Spark
     # recomputes the shingle/hash subtree each time. At warehouse scale
@@ -215,6 +210,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bands = one if bands is None else bands.unionByName(one)
 
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band_idx", "band_val")
+        bands = (
+            bands.select(
+                "doc_id",
+                "band_idx",
+                "band_val",
+                F.count(F.lit(1)).over(wb).alias("bsz"),
+            )
+            .filter(F.col("bsz") <= bucket_cap)
+            .drop("bsz")
+        )
+
     a = bands.alias("a")
     b_ = bands.alias("b")
     cand = (
@@ -230,28 +238,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = (
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
-            (
-                F.size("sh_a")
-                + F.size("sh_b")
-                - F.size(F.array_intersect("sh_a", "sh_b"))
-            ).alias("n_union"),
-        )
-    )
-    return (
-        verified.select(
-            "doc_a",
-            "doc_b",
-            (F.col("n_common").cast("double") / F.col("n_union")).alias("jaccard"),
+            (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.4)
     )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_LSH_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    "dedup",
+    doc=(
+        "MinHash LSH near-dup pipeline: shingle -> k=8 signature -> 4 bands "
+        "-> bucket-join candidates -> exact Jaccard verify >= 0.4. "
+        "At scale the band join is the only shuffle; no cross join exists."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -565,12 +580,7 @@ _FP5_SQL = f"""
     w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     f AS (
       SELECT doc_id,
-             list_min(list_transform(
-               CASE WHEN len(words) >= 5
-                    THEN list_transform(range(1, len(words) - 3),
-                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
-                              || ' ' || words[i+3] || ' ' || words[i+4])
-                    ELSE [array_to_string(words, ' ')] END,
+             list_min(list_transform({shingles5_sql('words')},
                s -> {h28_sql('s')})) AS fingerprint,
              len(list_distinct(words)) AS quality
       FROM w)
@@ -607,23 +617,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("words")
     )
-    shingles5 = F.when(
-        F.size("words") >= 5,
-        F.transform(
-            F.sequence(F.lit(0), F.size("words") - 5),
-            lambda i: F.concat_ws(
-                " ",
-                F.col("words")[i],
-                F.col("words")[i + 1],
-                F.col("words")[i + 2],
-                F.col("words")[i + 3],
-                F.col("words")[i + 4],
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
     f = d.select(
         "doc_id",
-        F.array_min(F.transform(shingles5, lambda s: h28(s))).alias("fingerprint"),
+        fingerprint5(F.col("words")).alias("fingerprint"),
         F.size(F.array_distinct("words")).alias("quality"),
     )
     w = Window.partitionBy("fingerprint").orderBy(
@@ -697,59 +693,7 @@ _LSH_BUCKET_CAP = 2
     ),
 )
 def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    sig = (
-        _hashed_shingles(spark, sf_dir)
-        .select("doc_id", "shingles", *_minhash_cols())
-        .localCheckpoint(eager=False)
-    )
-    bands = None
-    for b in range(N_BANDS):
-        one = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.concat_ws(
-                "_", F.col(f"s{2*b}").cast("string"), F.col(f"s{2*b+1}").cast("string")
-            ).alias("band_val"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
-
-    wb = Window.partitionBy("band_idx", "band_val")
-    kept = (
-        bands.select(
-            "doc_id", "band_idx", "band_val", F.count(F.lit(1)).over(wb).alias("bsz")
-        )
-        .filter(F.col("bsz") <= _LSH_BUCKET_CAP)
-        .drop("bsz")
-    )
-
-    a = kept.alias("a")
-    b_ = kept.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.4)
-    )
+    return _lsh_pairs(spark, sf_dir, bucket_cap=_LSH_BUCKET_CAP)
 
 
 # --------------------------------------------------------------------------

@@ -638,23 +638,28 @@ def kmeans_fit(df, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     driver and is broadcast each round; executors compute per-partition
     partial sums (k x dim + k counts) via numpy over Arrow batches, so
     each iteration moves only n_partitions*k tiny rows to the driver —
-    never the points. Deterministic: stride-sampled init over vec_id
-    (no rand()), fixed iteration count, float64 partials combined in
-    sorted order. Returns (centroids ndarray, per-iteration inertia).
+    never the points. Deterministic: init takes the k smallest id-hash
+    rows (reproducible, no rand(), no density assumption on vec_id),
+    fixed iteration count, float64 partials combined in sorted order. Returns (centroids ndarray, per-iteration inertia).
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    n = df.count()
-    stride = max(1, n // k)
+    # deterministic spread init with no assumption on vec_id density:
+    # order by a hash of the id (pseudo-random but reproducible) and
+    # take k — a TakeOrdered, not a full sort. Clamp k to the corpus.
     init = (
-        df.filter(F.col("vec_id") % stride == 0)
-        .orderBy("vec_id")
+        df.orderBy(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(997)), "vec_id")
         .limit(k)
         .collect()
     )
-    centroids = np.stack([np.asarray(r.v, dtype=np.float64) for r in init])
+    if not init:
+        raise ValueError("kmeans_fit: empty input DataFrame")
+    k = min(k, len(init))
+    centroids = np.stack(
+        [np.asarray(r.v, dtype=np.float64) for r in init[:k]]
+    )
     history: list[float] = []
 
     for _ in range(iters):
@@ -698,6 +703,7 @@ def kmeans_fit(df, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
             cnts[r.cluster] += r.cnt
             inertia += r.inertia
         history.append(inertia)
+        bc.unpersist()
         nonempty = cnts > 0
         centroids = centroids.copy()
         centroids[nonempty] = sums[nonempty] / cnts[nonempty, None]
@@ -721,8 +727,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .localCheckpoint(eager=False)  # read+cast once across the fit
+        # passes and the final assignment scan, not once per round
     )
     centroids, _hist = kmeans_fit(e)
     bc = spark.sparkContext.broadcast(centroids)

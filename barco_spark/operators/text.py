@@ -50,6 +50,37 @@ def words_col() -> Column:
     return F.split(F.col("text"), " ")
 
 
+def shingles5(words: Column) -> Column:
+    """Distinct-free 5-word shingles (docs with <5 words -> whole text).
+    The ONE blocking key shared by doc_fingerprint and dedup_keep_best —
+    change it here and both stay in sync."""
+    return F.when(
+        F.size(words) >= 5,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 5),
+            lambda i: F.concat_ws(
+                " ", words[i], words[i + 1], words[i + 2], words[i + 3], words[i + 4]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def fingerprint5(words: Column) -> Column:
+    """Winnowing-lite fingerprint: min h28 over the 5-gram shingles."""
+    return F.array_min(F.transform(shingles5(words), lambda s: h28(s)))
+
+
+def shingles5_sql(words: str) -> str:
+    """DuckDB rendering of shingles5 (1-based list indexing)."""
+    return (
+        f"CASE WHEN len({words}) >= 5"
+        f" THEN list_transform(range(1, len({words}) - 3),"
+        f" i -> {words}[i] || ' ' || {words}[i+1] || ' ' || {words}[i+2]"
+        f" || ' ' || {words}[i+3] || ' ' || {words}[i+4])"
+        f" ELSE [array_to_string({words}, ' ')] END"
+    )
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append n_tokens / n_stopwords / stopword_ratio / quality_score.
 
@@ -226,13 +257,7 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(words) >= 5
-                  THEN list_transform(range(1, len(words) - 3),
-                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4])
-                  ELSE [array_to_string(words, ' ')] END AS shingles
-      FROM w)
+    sh AS (SELECT doc_id, {shingles5_sql('words')} AS shingles FROM w)
     SELECT doc_id,
            list_min(list_transform(shingles, s -> {h28_sql('s')})) AS fingerprint,
            len(list_distinct(shingles)) AS n_shingles
@@ -243,21 +268,7 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", words_col().alias("words"))
-    shingles = F.when(
-        F.size("words") >= 5,
-        F.transform(
-            F.sequence(F.lit(0), F.size("words") - 5),
-            lambda i: F.concat_ws(
-                " ",
-                F.col("words")[i],
-                F.col("words")[i + 1],
-                F.col("words")[i + 2],
-                F.col("words")[i + 3],
-                F.col("words")[i + 4],
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", F.col("words"))))
-    sh = d.select("doc_id", shingles.alias("shingles"))
+    sh = d.select("doc_id", shingles5(F.col("words")).alias("shingles"))
     return sh.select(
         "doc_id",
         F.array_min(F.transform(F.col("shingles"), lambda s: h28(s))).alias(

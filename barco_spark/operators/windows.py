@@ -328,7 +328,7 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN epoch_us(t_purchase) - epoch_us(t_view) END) AS DOUBLE)
              / NULLIF(COUNT(t_purchase), 0) FROM u
     """,
-    "windows",
+    "window",
     doc=(
         "Conversion funnel view -> click -> purchase: per user, the "
         "earliest view, the earliest click strictly after it, and the "
@@ -439,7 +439,7 @@ def funnel_stages(events: DataFrame) -> DataFrame:
     SELECT cohort_d, wk, COUNT(DISTINCT user_id) AS active_users
     FROM a GROUP BY cohort_d, wk
     """,
-    "windows",
+    "window",
     doc=(
         "Cohort retention: users cohorted by first-purchase date, then "
         "distinct active users per (cohort, week-offset) over all later "

@@ -181,7 +181,8 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
     view -> click -> purchase progression tracked across micro-batches.
 
     State per user is three int64 micros (first view, first click after
-    it, first purchase after that; 0 = not reached). A row
+    it, first purchase after that; -1 = not reached, so an event at
+    exactly epoch 0 is handled correctly). A row
     (user_id, stage, ts_us) is emitted the moment a user advances a
     stage. Progression is monotone: events arriving late that would
     revise an already-passed stage are ignored — the streaming
@@ -198,7 +199,7 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        v, c, p = state.get if state.exists else (0, 0, 0)
+        v, c, p = state.get if state.exists else (-1, -1, -1)
         rows = []
         for pdf in pdfs:
             for ts, et in zip(pdf["ts_us"], pdf["event_type"]):
@@ -206,13 +207,13 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
         rows.sort()
         out = []
         for ts, et in rows:
-            if et == "view" and v == 0:
+            if et == "view" and v == -1:
                 v = ts
                 out.append((key[0], "view", ts))
-            elif et == "click" and v != 0 and c == 0 and ts > v:
+            elif et == "click" and v != -1 and c == -1 and ts > v:
                 c = ts
                 out.append((key[0], "click", ts))
-            elif et == "purchase" and c != 0 and p == 0 and ts > c:
+            elif et == "purchase" and c != -1 and p == -1 and ts > c:
                 p = ts
                 out.append((key[0], "purchase", ts))
         state.update((v, c, p))

@@ -109,3 +109,25 @@ def test_kmeans_monotone_and_covering(spark, sf_dir):
     assert sum(r.n_points for r in out) == n
     assert all(r.inertia >= 0 for r in out)
     assert len(out) <= 16
+
+
+def test_kmeans_sparse_ids_and_small_corpus(spark):
+    """Init must not assume dense contiguous vec_ids, and k larger than
+    the corpus must clamp instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.operators.similarity import kmeans_fit
+
+    odd = spark.range(50).select(
+        (F.col("id") * 2 + 1).alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("v"),
+    )
+    centroids, hist = kmeans_fit(odd, k=8, iters=2)
+    assert centroids.shape == (8, 2) and len(hist) == 2
+
+    tiny = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double")).alias("v"),
+    )
+    centroids, _ = kmeans_fit(tiny, k=16, iters=1)
+    assert centroids.shape[0] == 3  # clamped to corpus size
