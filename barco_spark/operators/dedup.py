@@ -181,7 +181,11 @@ _LSH_PAIRS_CTES = f"""
 
 
 def _lsh_pairs(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = None,
+    metric: str = "jaccard",
+    threshold: float = 0.4,
 ) -> DataFrame:
     """The full LSH pipeline: signatures -> bands -> (optional
     bucket-size cap) -> candidate self-join -> exact Jaccard verify.
@@ -239,16 +243,21 @@ def _lsh_pairs(
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    joined = cand.join(x, "doc_a").join(y, "doc_b")
+    if metric == "containment":
+        # asymmetric: how much of the SMALLER doc's shingle set the
+        # other one covers — catches quotes/subsets that Jaccard misses
+        # (a 10-line doc inside a 500-line doc has tiny Jaccard but
+        # containment ~1)
+        score = inter.cast("double") / F.least(F.size("sh_a"), F.size("sh_b"))
+        name = "containment"
+    else:
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        score = inter.cast("double") / union
+        name = "jaccard"
     return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.4)
+        joined.select("doc_a", "doc_b", score.alias(name))
+        .filter(F.col(name) >= threshold)
     )
 
 
@@ -754,3 +763,30 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE)
+               / LEAST(len((SELECT shingles FROM sig s WHERE s.doc_id = doc_a)),
+                       len((SELECT shingles FROM sig s WHERE s.doc_id = doc_b)))
+               AS containment
+      FROM verified)
+    SELECT doc_a, doc_b, containment
+    FROM scored WHERE containment >= 0.6
+    """,
+    "dedup",
+    doc=(
+        "Containment near-dup detection over the same LSH candidates: "
+        "|A int B| / min(|A|,|B|) — the asymmetric metric that catches "
+        "a short document quoted inside a long one, which Jaccard "
+        "dilutes toward 0. Same single band-join shuffle as "
+        "dedup_minhash_lsh (shared _lsh_pairs builder)."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_pairs(spark, sf_dir, metric="containment", threshold=0.6)
