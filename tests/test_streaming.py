@@ -616,3 +616,39 @@ def test_streaming_funnel_over_barco_source(spark, tmp_path):
     produce([{"user_id": 7, "event_type": "click", "ts": "2024-01-01 00:00:05"}])
     run()
     assert {(r.user_id, r.stage) for r in results} == {(7, "click")}
+
+
+def test_streaming_funnel_agrees_with_batch_query(spark, sf_dir, tmp_path):
+    """Replaying the whole events table through the stateful funnel in
+    one batch must reach exactly the per-stage user counts the batch
+    events_funnel query reports (same semantics when no data is late)."""
+    from collections import Counter
+
+    from barco_spark.operators.windows import events_funnel
+    from barco_spark.streaming.stateful import streaming_funnel
+    from barco_spark.tables import t
+
+    src = str(tmp_path / "src")
+    t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).write.json(src)
+
+    results: list = []
+    q = (
+        streaming_funnel(
+            spark.readStream.schema("user_id long, event_type string, ts timestamp")
+            .json(src)
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _b: results.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = Counter(r.stage for r in results)
+    batch = {
+        r.stage: r.n_users for r in events_funnel(spark, sf_dir).collect()
+    }
+    assert streamed == Counter(batch)
