@@ -90,3 +90,23 @@ def test_queries_md_is_fresh():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert Path("QUERIES.md").read_text() == mod.render()
+
+
+def test_registry_hygiene():
+    """Every registered query has a doc, a known category (guards
+    against taxonomy drift like 'window' vs 'windows'), and unique
+    column names in its declared name."""
+    from barco_spark.registry import load_all
+
+    allowed = {
+        "aggregation", "asof", "broker", "dedup", "join", "pipeline",
+        "relational", "sampling", "scalar", "scan", "setop", "similarity",
+        "sort", "subquery", "text", "udf", "window",
+    }
+    qs = load_all()
+    assert len(qs) >= 100
+    for name, spec in qs.items():
+        assert spec.category in allowed, f"{name}: bad category {spec.category}"
+        assert spec.doc and len(spec.doc) > 10, f"{name}: missing doc"
+        if spec.oracle is not None:
+            assert "SELECT" in spec.oracle.upper(), f"{name}: oracle not SQL"
