@@ -203,16 +203,21 @@ def _lsh_pairs(
         .localCheckpoint(eager=False)
     )
 
-    bands = None
-    for b in range(N_BANDS):
-        one = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_idx"),
-            F.concat_ws(
-                "_", F.col(f"s{2*b}").cast("string"), F.col(f"s{2*b+1}").cast("string")
-            ).alias("band_val"),
+    # one Generate over an array of (band_idx, band_val) structs instead
+    # of a 4-way union (one pass over sig, one py4j call for the whole
+    # expression; identical rows to the oracle's UNION ALL)
+    band_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} as band_idx, concat_ws('_', cast(s{2*b} as string),"
+            f" cast(s{2*b+1} as string)) as band_val)"
+            for b in range(N_BANDS)
         )
-        bands = one if bands is None else bands.unionByName(one)
+        + ")"
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("bd")).select(
+        "doc_id", "bd.band_idx", "bd.band_val"
+    )
 
     if bucket_cap is not None:
         wb = Window.partitionBy("band_idx", "band_val")
@@ -319,26 +324,29 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side partial aggregation, and a ~25% faster / much cheaper-to-
     # codegen plan (measured at sf0.1). The shuffle moves only
     # (doc_id, 28 ints) partials.
+    # all expressions are rendered as SQL strings parsed JVM-side: the
+    # 28 bit-vote aggregates + 28-term combine as per-element F.* trees
+    # cost >1s of py4j round trips at plan-build time (the same driver-
+    # latency fix as the LSH bucket expressions, see SCALING.md)
+    h28_s = "cast(conv(substring(md5(x), 1, 7), 16, 10) as bigint)"
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.explode(
-            F.transform(F.split(F.col("text"), " "), lambda x: h28(x))
-        ).alias("h"),
+        F.expr(f"explode(transform(split(text, ' '), x -> {h28_s}))").alias("h"),
     )
     aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+        F.expr(
+            f"sum(case when (shiftright(h, {j}) & 1) = 1 then 1 else -1 end)"
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
     bits = d.groupBy("doc_id").agg(*aggs)
-    combine = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        combine = term if combine is None else combine + term
-    return bits.select("doc_id", combine.cast("bigint").alias("simhash"))
+    combine = " + ".join(
+        f"(case when b{j} > 0 then {1 << j} else 0 end)"
+        for j in range(SIMHASH_BITS)
+    )
+    return bits.select(
+        "doc_id", F.expr(f"cast(({combine}) as bigint)").alias("simhash")
+    )
 
 
 @register(
@@ -365,13 +373,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once: both sides of the block join share this subtree
     sig = simhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
     n_blocks, block_bits = 4, 7
-    blocks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), block_bits * k).bitwiseAND(
-                F.lit((1 << block_bits) - 1)
-            )
+    mask = (1 << block_bits) - 1
+    blocks = F.expr(
+        "array("
+        + ", ".join(
+            f"shiftright(simhash, {block_bits * k}) & {mask}"
             for k in range(n_blocks)
-        ]
+        )
+        + ")"
     )
     keyed = sig.select(
         "doc_id", "simhash", F.posexplode(blocks).alias("blk_idx", "blk_val")
@@ -392,15 +401,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep only the FIRST matching block (cheap filter on sh_a^sh_b, no
     # dropDuplicates shuffle needed)
     xor = F.expr("sh_a ^ sh_b")
-    first_eq = F.lit(None).cast("int")
-    for k in range(n_blocks - 1, -1, -1):
-        blk_eq = (
-            F.shiftright(xor, block_bits * k).bitwiseAND(
-                F.lit((1 << block_bits) - 1)
-            )
-            == 0
+    first_eq = F.expr(
+        "case "
+        + " ".join(
+            f"when (shiftright(sh_a ^ sh_b, {block_bits * k}) & {mask}) = 0"
+            f" then {k}"
+            for k in range(n_blocks)
         )
-        first_eq = F.when(blk_eq, F.lit(k)).otherwise(first_eq)
+        + " end"
+    )
     cand = (
         a.join(b, ["blk_idx", "blk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
