@@ -197,10 +197,16 @@ def _lsh_pairs(
     # (bands + both sides of the verify join); without this Spark
     # recomputes the shingle/hash subtree each time. At warehouse scale
     # the same stage would persist to a signatures table.
+    # persist, not localCheckpoint: both give single-computation reuse
+    # across the three plan references, but checkpointing forces
+    # physical planning at BUILD time (~0.3s of driver latency at
+    # sf0.1); the cache is small (one row per doc: shingle hashes +
+    # 8 ints) and LRU-evicted. At warehouse scale this stage is a
+    # persisted signatures table instead.
     sig = (
         _hashed_shingles(spark, sf_dir)
         .select("doc_id", "shingles", *_minhash_cols())
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     # one Generate over an array of (band_idx, band_val) structs instead
@@ -370,8 +376,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # materialize once: both sides of the block join share this subtree
-    sig = simhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    # persist: both sides of the block join share this subtree (see the
+    # persist-vs-checkpoint note in _lsh_pairs)
+    sig = simhash_signatures(spark, sf_dir).persist()
     n_blocks, block_bits = 4, 7
     mask = (1 << block_bits) - 1
     blocks = F.expr(
