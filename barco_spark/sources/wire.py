@@ -137,7 +137,10 @@ def parse_produce_frames_py(blob: bytes) -> Iterator[dict]:
                 "timestamp_us": ts,
                 "partition_key": key or None,
                 "topic": topic,
-                "payload": body[b : b + mlen].decode(),
+                # opaque bytes, exactly as the broker stores them (the
+                # reference never parses bodies, producing/models.go);
+                # cast to string at the EventLog boundary for text/JSON
+                "payload": bytes(body[b : b + mlen]),
             }
             b += mlen
 
@@ -148,7 +151,7 @@ FRAME_ROWS_SCHEMA = StructType(
         StructField("timestamp_us", LongType()),
         StructField("partition_key", StringType()),
         StructField("topic", StringType()),
-        StructField("payload", StringType()),
+        StructField("payload", BinaryType()),
     ]
 )
 

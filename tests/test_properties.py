@@ -110,3 +110,37 @@ def test_registry_hygiene():
         assert spec.doc and len(spec.doc) > 10, f"{name}: missing doc"
         if spec.oracle is not None:
             assert "SELECT" in spec.oracle.upper(), f"{name}: oracle not SQL"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    topic=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=40
+    ),
+    key=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=30
+    ),
+    payloads=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
+    ts=st.one_of(st.none(), st.integers(min_value=0, max_value=2**62)),
+    stream_id=st.integers(min_value=0, max_value=65535),
+    n_frames=st.integers(min_value=1, max_value=4),
+)
+def test_wire_frame_roundtrip_fuzz(topic, key, payloads, ts, stream_id, n_frames):
+    """encode -> parse inverts for arbitrary frames, including multiple
+    concatenated frames in one blob (the TCP stream shape)."""
+    from barco_spark.sources.wire import encode_produce_frame, parse_produce_frames_py
+
+    blob = b"".join(
+        encode_produce_frame(
+            topic, payloads, partition_key=key, timestamp_us=ts, stream_id=stream_id
+        )
+        for _ in range(n_frames)
+    )
+    records = list(parse_produce_frames_py(blob))
+    assert len(records) == n_frames * len(payloads)
+    for i, r in enumerate(records):
+        assert r["topic"] == topic
+        assert r["partition_key"] == (key or None)
+        assert bytes(r["payload"]) == payloads[i % len(payloads)]
+        if ts is not None:
+            assert r["timestamp_us"] == ts

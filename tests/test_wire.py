@@ -32,7 +32,7 @@ def test_frame_roundtrip_py():
         stream_id=7,
     )
     rows = list(parse_produce_frames_py(frame))
-    assert [r["payload"] for r in rows] == ["m1", "m2"]
+    assert [r["payload"] for r in rows] == [b"m1", b"m2"]
     assert all(r["topic"] == "events" for r in rows)
     assert all(r["partition_key"] == "k1" for r in rows)
     assert all(r["timestamp_us"] == 1_700_000_000_000_000 for r in rows)
@@ -69,8 +69,10 @@ def test_parse_frames_distributed(spark):
     ]
     df = spark.createDataFrame([(b,) for b in blobs], "frames binary")
     rows = parse_produce_frames(df).collect()
-    got = sorted((r["topic"], r["payload"]) for r in rows)
-    assert got == [("a", "p1"), ("a", "p2"), ("a", "p4"), ("b", "p3"), ("b", "p5")]
+    got = sorted((r["topic"], bytes(r["payload"])) for r in rows)
+    assert got == [
+        ("a", b"p1"), ("a", b"p2"), ("a", b"p4"), ("b", b"p3"), ("b", b"p5")
+    ]
 
 
 def test_frames_to_eventlog_to_poll_items(spark):
@@ -87,7 +89,12 @@ def test_frames_to_eventlog_to_poll_items(spark):
         ),
     )
     log = EventLog(spark, tempfile.mkdtemp() + "/log")
-    n = log.produce("t", parsed.select("partition_key", "payload", "timestamp"))
+    n = log.produce(
+        "t",
+        parsed.select(
+            "partition_key", F.col("payload").cast("string").alias("payload"), "timestamp"
+        ),
+    )
     assert n == 5
 
     log.register("g", ["t"], reset="earliest")
