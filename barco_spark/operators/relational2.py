@@ -764,3 +764,36 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "hll_sketch_cardinality",
+    None,  # Apache DataSketches HLL: no DuckDB twin (different sketch
+    # family); accuracy vs exact count_distinct is asserted in
+    # tests/test_relational_extra.py
+    "aggregation",
+    doc=(
+        "Mergeable cardinality sketches (Apache DataSketches HLL, "
+        "Spark 3.5+): per-event-type user sketches plus their UNION "
+        "re-aggregated to a global estimate. THE pattern for distinct "
+        "counts at 100 TB — per-partition/day sketch tables are tiny, "
+        "mergeable after the fact (exact count_distinct is not), and "
+        "one map-side pass each. Deterministic for a fixed input "
+        "multiset (sketch updates commute)."
+    ),
+)
+def hll_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    per_type = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("distinct_users_est"),
+    )
+    overall = per.agg(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+    )
+    return per_type.unionByName(overall)

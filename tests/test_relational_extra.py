@@ -141,3 +141,29 @@ def test_curate_with_stats_consistent(spark, sf_dir):
 
     corpus, stats = curate_with_stats(spark, sf_dir)
     assert corpus.count() == sum(r["n_kept"] for r in stats.collect())
+
+
+def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
+    """Sketch estimates must land within HLL error bounds of the exact
+    distinct counts, and the merged ALL row must re-aggregate the
+    per-type sketches (not re-scan)."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.operators.relational2 import hll_sketch_cardinality
+    from barco_spark.tables import t
+
+    got = {
+        r.event_type: r.distinct_users_est
+        for r in hll_sketch_cardinality(spark, sf_dir).collect()
+    }
+    ev = t(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
