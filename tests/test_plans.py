@@ -21,6 +21,18 @@ from barco_spark.tables import t
 QUERIES = load_all()
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _cold_plans(spark):
+    """Plan contracts assert on COLD plans: persisted subtrees from
+    earlier tests (e.g. dedup signature caches) would otherwise compile
+    later identical plans into InMemoryTableScan and change the shape."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_scan_filter_pushdown(spark, sf_dir):
     df = QUERIES["scan_filter_project"].build(spark, sf_dir)
     assert has_pushed_filters(df, "l_quantity")
