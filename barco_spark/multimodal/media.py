@@ -219,3 +219,41 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_ts_ms": ts})
 
     return df.filter(F.col("kind") == "video").mapInPandas(do, out_schema)
+
+
+# --------------------------------------------------------------------------
+# Registry query: the full multimodal pipeline as a driver-visible op
+# --------------------------------------------------------------------------
+from barco_spark.registry import register  # noqa: E402
+
+
+@register(
+    "multimodal_profile",
+    None,  # binary decode/feature pipeline: no SQL twin (rows-only);
+    # stage-level behavior is asserted in tests/test_multimodal.py
+    "pipeline",
+    doc=(
+        "End-to-end multimodal pipeline over the deterministic synthetic "
+        "media table: binary blobs + typed metadata -> mapInPandas "
+        "decode (codec stubbed, Arrow batch shape real) -> feature "
+        "extraction -> per-kind profile (counts, mean decoded bytes, "
+        "feature dim). Exercises the exact schema/partitioning/UDF "
+        "plumbing a real codec would use at 100 TB."
+    ),
+)
+def multimodal_profile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    media = synthetic_media(spark, n=120)
+    decoded = decode_media(media)
+    feats = extract_features(decoded, dim=16)
+    joined = decoded.join(feats, "media_id")  # decoded keeps kind
+    return (
+        joined.groupBy(F.col("kind"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.avg(F.length("decoded")).alias("avg_decoded_bytes"),
+            F.max(F.size("features")).alias("feature_dim"),
+        )
+        .orderBy("kind")
+    )
