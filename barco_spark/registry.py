@@ -56,5 +56,6 @@ def load_all() -> dict[str, QuerySpec]:
     import barco_spark.operators.pipeline  # noqa: F401
     import barco_spark.operators.sampling  # noqa: F401
     import barco_spark.multimodal.media  # noqa: F401
+    import barco_spark.streaming.pipeline  # noqa: F401
 
     return QUERIES

@@ -63,3 +63,82 @@ def curated_stream(
             F.col("payload").alias("text"),
         )
     ).select("text_hash", "text", "n_tokens", "quality_score")
+
+
+from barco_spark.registry import register  # noqa: E402
+
+
+@register(
+    "streaming_funnel_snapshot",
+    """
+    WITH e3 AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_view
+      FROM e3),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM s1),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2),
+    u AS (
+      SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+             MAX(t_purchase) AS t_purchase
+      FROM s3 GROUP BY user_id)
+    SELECT user_id, 'view' AS stage, epoch_us(t_view) AS ts_us
+    FROM u WHERE t_view IS NOT NULL
+    UNION ALL
+    SELECT user_id, 'click', epoch_us(t_click) FROM u WHERE t_click IS NOT NULL
+    UNION ALL
+    SELECT user_id, 'purchase', epoch_us(t_purchase)
+    FROM u WHERE t_purchase IS NOT NULL
+    """,
+    "pipeline",
+    doc=(
+        "The custom stateful streaming operator (applyInPandasWithState "
+        "funnel) run to completion over the events table with "
+        "Trigger.AvailableNow, hash-matched against the batch SQL "
+        "cascade — custom streaming state proven equivalent to the "
+        "declarative plan, per-user and per-timestamp. The builder "
+        "actually runs the streaming engine (file source -> state "
+        "store -> sink), not a batch re-expression."
+    ),
+)
+def streaming_funnel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from barco_spark.streaming.stateful import streaming_funnel
+    from barco_spark.tables import t
+
+    tmp = tempfile.mkdtemp(prefix="funnel-snap-")
+    src = tmp + "/src"
+    # ship ts as integer micros: Spark's JSON timestamp format is
+    # millisecond-precision and would silently truncate event times
+    t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS ts_us"
+    ).write.json(src)
+
+    rows: list = []
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts_us long")
+        .json(src)
+        .selectExpr("user_id", "event_type", "timestamp_micros(ts_us) AS ts")
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _b: rows.extend(d.collect()))
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.createDataFrame(
+        [(r.user_id, r.stage, r.ts_us) for r in rows],
+        "user_id long, stage string, ts_us long",
+    )
