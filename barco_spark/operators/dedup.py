@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from barco_spark.operators.text import fingerprint5, h28, h28_sql, shingles5_sql
+from barco_spark.operators.text import (
+    fingerprint5,
+    h28,
+    h28_spark_sql,
+    h28_sql,
+    shingles5_sql,
+)
 from barco_spark.registry import register
 from barco_spark.tables import t
 
@@ -334,7 +340,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 28 bit-vote aggregates + 28-term combine as per-element F.* trees
     # cost >1s of py4j round trips at plan-build time (the same driver-
     # latency fix as the LSH bucket expressions, see SCALING.md)
-    h28_s = "cast(conv(substring(md5(x), 1, 7), 16, 10) as bigint)"
+    h28_s = h28_spark_sql("x")
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(f"explode(transform(split(text, ' '), x -> {h28_s}))").alias("h"),

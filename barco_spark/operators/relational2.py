@@ -787,6 +787,8 @@ def hll_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist()  # one sketch pass feeds both branches of the union
+        # (a handful of rows; without it the union re-scans events)
     )
     per_type = per.select(
         "event_type",

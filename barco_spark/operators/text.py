@@ -46,6 +46,13 @@ def h28_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"
 
 
+def h28_spark_sql(expr: str) -> str:
+    """Spark-SQL-string rendering of the same 28-bit hash (for builders
+    that assemble expressions as parsed SQL to avoid py4j latency).
+    MUST stay equivalent to h28()."""
+    return f"cast(conv(substring(md5({expr}), 1, 7), 16, 10) as bigint)"
+
+
 def words_col() -> Column:
     return F.split(F.col("text"), " ")
 

@@ -161,6 +161,18 @@ class EventLog:
             )
         if isinstance(payloads, DataFrame):
             df = payloads
+            if "payload" not in df.columns:
+                raise TypeError("produce: DataFrame input needs a 'payload' column")
+            ptype = dict(df.dtypes)["payload"]
+            if ptype != "string":
+                # a binary column would be written as-is, splitting the
+                # log's schema across files and silently reinterpreting
+                # the bytes as UTF-8 on read — fail loudly instead
+                raise TypeError(
+                    f"produce: payload must be a string column, got {ptype}; "
+                    "cast explicitly (UTF-8 text: payload.cast('string'); "
+                    "arbitrary bytes: base64(payload))"
+                )
             if "partition_key" not in df.columns:
                 df = df.withColumn("partition_key", F.lit(partition_key))
         else:

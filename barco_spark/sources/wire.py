@@ -161,8 +161,11 @@ def parse_produce_frames(frames: DataFrame, col: str = "frames") -> DataFrame:
 
     Input: a DataFrame with a binary column `col`, each value holding
     one or more concatenated producer frames (e.g. captured TCP
-    payloads landed in object storage). Output rows feed
-    `EventLog.produce` directly.
+    payloads landed in object storage). Output payloads are OPAQUE
+    BYTES (the broker never parses bodies); to feed `EventLog.produce`
+    cast to the engine's string convention first — UTF-8 text/JSON:
+    `payload.cast('string')`, arbitrary binary: `base64(payload)`.
+    produce() rejects binary columns loudly rather than corrupting.
     """
 
     def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

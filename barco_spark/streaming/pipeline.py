@@ -137,7 +137,16 @@ def streaming_funnel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_funnel_snapshot: query did not drain in 300s"
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         [(r.user_id, r.stage, r.ts_us) for r in rows],
         "user_id long, stage string, ts_us long",

@@ -182,7 +182,9 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
 
     State per user is three int64 micros (first view, first click after
     it, first purchase after that; -1 = not reached, so an event at
-    exactly epoch 0 is handled correctly). A row
+    exactly epoch 0 is handled correctly). State format note: the
+    sentinel changed from 0 to -1; checkpoints written by the
+    0-sentinel version are incompatible — start a fresh checkpoint. A row
     (user_id, stage, ts_us) is emitted the moment a user advances a
     stage. Progression is monotone: events arriving late that would
     revise an already-passed stage are ignored — the streaming

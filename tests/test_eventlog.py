@@ -297,3 +297,20 @@ def test_parse_topic(log):
     assert [r["productId"] for r in rows] == [123, 7, None]
     assert [r["units"] for r in rows] == [-5, None, None]
     assert rows[0]["offset"] == 0  # metadata retained
+
+
+def test_produce_rejects_binary_payload_column(spark, tmp_path):
+    """A binary payload column must fail loudly: writing it would split
+    the log schema across files and silently mangle bytes on read."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    df = spark.range(3).select(
+        F.lit(None).cast("string").alias("partition_key"),
+        F.col("id").cast("string").cast("binary").alias("payload"),
+    )
+    with pytest.raises(TypeError, match="payload must be a string"):
+        log.produce("t", df)

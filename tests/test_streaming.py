@@ -629,15 +629,19 @@ def test_streaming_funnel_agrees_with_batch_query(spark, sf_dir, tmp_path):
     from barco_spark.tables import t
 
     src = str(tmp_path / "src")
-    t(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
+    # integer micros through the JSON hop: Spark's JSON timestamp format
+    # is millisecond-precision and would truncate event times, comparing
+    # the two engines at mismatched precision
+    t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "unix_micros(ts) AS ts_us"
     ).write.json(src)
 
     results: list = []
     q = (
         streaming_funnel(
-            spark.readStream.schema("user_id long, event_type string, ts timestamp")
+            spark.readStream.schema("user_id long, event_type string, ts_us long")
             .json(src)
+            .selectExpr("user_id", "event_type", "timestamp_micros(ts_us) AS ts")
         )
         .writeStream.outputMode("append")
         .foreachBatch(lambda d, _b: results.extend(d.collect()))
