@@ -133,3 +133,28 @@ def test_poll_item_binary_layout():
     assert d["token"] == token and d["range_index"] == 1
     assert d["records"] == [{"timestamp_us": 42_000_000, "payload": "hi"}]
     assert _zstd_decompress(compressed) == records
+
+
+def test_binary_payload_roundtrip_via_base64(spark):
+    """The documented path for arbitrary binary bodies: parse frames ->
+    base64 -> produce -> poll -> unbase64 recovers the exact bytes."""
+    payloads = [b"\x80\xffraw", b"\x00\x01\x02", "text".encode()]
+    blobs = [encode_produce_frame("t", payloads, partition_key="k")]
+    frames = spark.createDataFrame([(b,) for b in blobs], "frames binary")
+    parsed = parse_produce_frames(frames).select(
+        "partition_key",
+        F.base64(F.col("payload")).alias("payload"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    log = EventLog(spark, tempfile.mkdtemp() + "/log")
+    assert log.produce("t", parsed) == 3
+
+    log.register("g", ["t"], reset="earliest")
+    got = [
+        bytes(r.raw)
+        for r in log.poll("g", "t")
+        .select(F.unbase64("payload").alias("raw"))
+        .orderBy("offset")
+        .collect()
+    ]
+    assert got == payloads
