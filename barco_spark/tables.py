@@ -34,6 +34,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = f"{sf_dir}/{name}.parquet"
     key = (sf_dir, name)
+    # The driver hands us *its* SparkSession, so session.py defaults may
+    # not apply: pin the read-side confs here. Naive parquet timestamps
+    # must come back as TIMESTAMP (stored micros == UTC epoch micros,
+    # matching the DuckDB oracle), never TIMESTAMP_NTZ — Spark >= 3.4
+    # infers NTZ by default and unix_micros() rejects it.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -43,8 +49,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             df = spark.read.parquet(path)
             _SCHEMA_CACHE[key] = df.schema
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # Cached-schema or exotic-session fallback; session tz is UTC
+            # in get_spark(), so the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     if key in _SCHEMA_CACHE:
         return spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)

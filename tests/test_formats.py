@@ -54,3 +54,34 @@ def test_orc_scan_roundtrip(spark, sf_dir, tmp_path):
     plan = explain_str(got.select("n_name"))
     assert "PushedFilters" in plan
     assert got.count() == src.filter(F.col("n_regionkey") == 0).count()
+
+
+def test_events_ts_is_instant_timestamp(spark, sf_dir):
+    """Pinned schema contract: the events `ts` column must load as
+    TIMESTAMP (an instant), never TIMESTAMP_NTZ, regardless of whether
+    the testdata stores TIMESTAMP(NANOS) or naive micros and regardless
+    of the Spark default for `inferTimestampNTZ` (flipped in 3.4+).
+    Every unix_micros()/window() site downstream depends on this.
+    """
+    from pyspark.sql.types import TimestampType
+
+    from barco_spark.tables import t
+
+    df = t(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType), df.schema["ts"].dataType
+
+
+def test_ntz_safe_on_foreign_session(spark, sf_dir):
+    """Even if the *caller's* session left NTZ inference on (the driver
+    owns its SparkSession), t() must pin the conf before reading."""
+    from pyspark.sql.types import TimestampType
+
+    from barco_spark import tables
+
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    tables._SCHEMA_CACHE.pop((sf_dir, "events"), None)
+    try:
+        df = tables.t(spark, sf_dir, "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType)
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
