@@ -35,7 +35,7 @@ def token_count_pudf(texts: pd.Series) -> pd.Series:
     "pandas_udf_token_count",
     """
     SELECT lang,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY lang

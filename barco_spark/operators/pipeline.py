@@ -63,10 +63,10 @@ def _stats_sql() -> str:
       FROM metrics m)
     SELECT lang,
            COUNT(*) AS n_input,
-           SUM(CASE WHEN low_quality THEN 1 ELSE 0 END) AS dropped_quality,
-           SUM(CASE WHEN NOT low_quality AND near_dup THEN 1 ELSE 0 END) AS dropped_dup,
-           SUM(CASE WHEN NOT low_quality AND NOT near_dup THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN NOT low_quality AND NOT near_dup THEN n_tokens ELSE 0 END) AS tokens_kept
+           CAST(SUM(CASE WHEN low_quality THEN 1 ELSE 0 END) AS BIGINT) AS dropped_quality,
+           CAST(SUM(CASE WHEN NOT low_quality AND near_dup THEN 1 ELSE 0 END) AS BIGINT) AS dropped_dup,
+           CAST(SUM(CASE WHEN NOT low_quality AND NOT near_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT low_quality AND NOT near_dup THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
     FROM flagged
     GROUP BY lang
     """

@@ -98,8 +98,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_case_agg",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -286,12 +286,14 @@ def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey AS nationkey,
            COUNT(*) AS n_customers,
-           list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+           array_to_string(list(DISTINCT c_mktsegment ORDER BY c_mktsegment), ',') AS segments
     FROM customer
     GROUP BY c_nationkey
     """,
     "aggregation",
-    doc="Array aggregation: sorted distinct collect per group.",
+    doc="Array aggregation: sorted distinct collect per group, joined to "
+    "a CSV string so the result is hashable by the driver's pandas-based "
+    "canonicalizer (raw list cells are unhashable there).",
 )
 def array_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -299,7 +301,9 @@ def array_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
         )
     )
 
@@ -406,7 +410,7 @@ def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_handling",
     """
     SELECT c_custkey,
-           COALESCE(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 END), 0) AS n_orders,
+           CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_orders,
            COALESCE(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), -1.0) AS max_price,
            NULLIF(COUNT(o_orderkey), 0) AS n_or_null
     FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 250000

@@ -46,7 +46,7 @@ def _h28_sql(expr: str) -> str:
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT source) AS n_sources
     FROM s GROUP BY 1
     """,
@@ -84,7 +84,7 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
       SELECT source, lang, COUNT(*) AS n_docs,
-             SUM(len(string_split(text, ' '))) AS total_tokens
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
       FROM documents GROUP BY source, lang)
     SELECT source, lang, n_docs, total_tokens,
            CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS token_share,
@@ -135,7 +135,7 @@ def data_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(DISTINCT doc_id) AS n_distinct_ids,
-           SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
@@ -324,7 +324,7 @@ _STRAT_M = 1_000_000  # hash-uniform resolution
                        < {_STRAT_CAP} * {_STRAT_M}
                   THEN 1 ELSE 0 END AS keep
       FROM documents d JOIN c ON d.source = c.source)
-    SELECT source, MAX(n_src) AS n_before, SUM(keep) AS n_kept
+    SELECT source, MAX(n_src) AS n_before, CAST(SUM(keep) AS BIGINT) AS n_kept
     FROM s GROUP BY source
     """,
     "sampling",
@@ -407,7 +407,8 @@ _HIST_W = 50.0  # bin width over events.value (observed range ~[0, 500])
     WITH b AS (
       SELECT CAST(floor(value / {_HIST_W}) AS BIGINT) AS bin FROM events),
     g AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY bin)
-    SELECT bin, bin * {_HIST_W} AS lo, (bin + 1) * {_HIST_W} AS hi, n,
+    SELECT bin, CAST(bin * {_HIST_W} AS DOUBLE) AS lo,
+           CAST((bin + 1) * {_HIST_W} AS DOUBLE) AS hi, n,
            CAST(n AS DOUBLE) / SUM(n) OVER () AS share
     FROM g
     """,

@@ -235,8 +235,8 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count_regex",
     """
     SELECT source,
-           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS total_tokens,
-           SUM(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+')))) AS total_distinct_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+')))) AS BIGINT) AS total_distinct_tokens,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY source

@@ -112,6 +112,40 @@ def test_registry_hygiene():
             assert "SELECT" in spec.oracle.upper(), f"{name}: oracle not SQL"
 
 
+def test_oracle_output_types_are_driver_hashable():
+    """The driver canonicalizes both result sets through pandas before
+    hashing. DuckDB types that pandas widens or boxes break that hash
+    even when the values are equal: HUGEINT (SUM over integers) lands
+    as float64/object vs Spark's int64, DECIMAL lands as object, and
+    LIST cells are unhashable. Guard: every oracle's output schema must
+    stay inside the plain-scalar allowlist — integer SUMs must be
+    CAST(... AS BIGINT), money aggs CAST(... AS DOUBLE) at the end,
+    arrays joined to strings (q12_priority_case_agg and null_handling
+    hash-failed two rounds running on exactly this)."""
+    import duckdb
+
+    from barco_spark.registry import load_all
+    from tests.conftest import SF_DIR
+
+    allowed = {
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+        "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+    }
+    con = duckdb.connect()
+    for n in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {n} AS SELECT * FROM '{SF_DIR}/{n}.parquet'")
+    bad = []
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)
+        for col, ty in zip(rel.columns, rel.types):
+            if str(ty) not in allowed:
+                bad.append(f"{name}.{col}: {ty}")
+    assert not bad, f"oracle columns with driver-unhashable types: {bad}"
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     topic=st.text(
