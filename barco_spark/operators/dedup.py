@@ -186,34 +186,14 @@ _LSH_PAIRS_CTES = f"""
 """
 
 
-def _lsh_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    bucket_cap: int | None = None,
-    metric: str = "jaccard",
-    threshold: float = 0.4,
-) -> DataFrame:
-    """The full LSH pipeline: signatures -> bands -> (optional
-    bucket-size cap) -> candidate self-join -> exact Jaccard verify.
-    One implementation serves dedup_minhash_lsh (cap=None) and
-    dedup_lsh_capped, so the variants cannot drift apart."""
+def _band_candidates(sig: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Banded candidate pairs (doc_a < doc_b, distinct) from a minhash
+    signature frame with columns doc_id, s0..s7. With a cap, buckets
+    larger than `bucket_cap` are dropped before the self-join (window
+    count over the band key, which co-partitions with the join — one
+    shuffle serves both). Shared by the Jaccard/containment verifies
+    and the fuzzy (edit-distance) verify so the blocking cannot drift."""
     from pyspark.sql import Window
-
-    # materialize signatures once: the plan references sig three times
-    # (bands + both sides of the verify join); without this Spark
-    # recomputes the shingle/hash subtree each time. At warehouse scale
-    # the same stage would persist to a signatures table.
-    # persist, not localCheckpoint: both give single-computation reuse
-    # across the three plan references, but checkpointing forces
-    # physical planning at BUILD time (~0.3s of driver latency at
-    # sf0.1); the cache is small (one row per doc: shingle hashes +
-    # 8 ints) and LRU-evicted. At warehouse scale this stage is a
-    # persisted signatures table instead.
-    sig = (
-        _hashed_shingles(spark, sf_dir)
-        .select("doc_id", "shingles", *_minhash_cols())
-        .persist()
-    )
 
     # one Generate over an array of (band_idx, band_val) structs instead
     # of a 4-way union (one pass over sig, one py4j call for the whole
@@ -246,7 +226,7 @@ def _lsh_pairs(
 
     a = bands.alias("a")
     b_ = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b_,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -256,6 +236,36 @@ def _lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_cap: int | None = None,
+    metric: str = "jaccard",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """The full LSH pipeline: signatures -> bands -> (optional
+    bucket-size cap) -> candidate self-join -> exact Jaccard verify.
+    One implementation serves dedup_minhash_lsh (cap=None) and
+    dedup_lsh_capped, so the variants cannot drift apart."""
+    # materialize signatures once: the plan references sig three times
+    # (bands + both sides of the verify join); without this Spark
+    # recomputes the shingle/hash subtree each time. At warehouse scale
+    # the same stage would persist to a signatures table.
+    # persist, not localCheckpoint: both give single-computation reuse
+    # across the three plan references, but checkpointing forces
+    # physical planning at BUILD time (~0.3s of driver latency at
+    # sf0.1); the cache is small (one row per doc: shingle hashes +
+    # 8 ints) and LRU-evicted. At warehouse scale this stage is a
+    # persisted signatures table instead.
+    sig = (
+        _hashed_shingles(spark, sf_dir)
+        .select("doc_id", "shingles", *_minhash_cols())
+        .persist()
+    )
+
+    cand = _band_candidates(sig, bucket_cap)
 
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -730,59 +740,61 @@ def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Blocked fuzzy matching (edit distance)
 # --------------------------------------------------------------------------
-_FUZZY_PREFIX = 40
+_FUZZY_PREFIX = 200
 _FUZZY_MAX_DIST = 10
 
 
 @register(
     "fuzzy_match_blocked",
     f"""
-    WITH d AS (
-      SELECT doc_id, source, lang, substr(text, 1, {_FUZZY_PREFIX}) AS prefix
-      FROM documents)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(a.prefix, b.prefix) AS dist
-    FROM d a JOIN d b
-      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.prefix, b.prefix) <= {_FUZZY_MAX_DIST}
+    WITH {_LSH_PAIRS_CTES},
+    sized AS (
+      SELECT doc_id, band_idx, band_val,
+             COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+      FROM bands),
+    kept AS (SELECT doc_id, band_idx, band_val FROM sized
+             WHERE bsz <= {_LSH_BUCKET_CAP}),
+    fcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    p AS (SELECT doc_id, substr(text, 1, {_FUZZY_PREFIX}) AS prefix
+          FROM documents)
+    SELECT c.doc_a, c.doc_b, levenshtein(x.prefix, y.prefix) AS dist
+    FROM fcand c JOIN p x ON c.doc_a = x.doc_id
+                 JOIN p y ON c.doc_b = y.doc_id
+    WHERE levenshtein(x.prefix, y.prefix) <= {_FUZZY_MAX_DIST}
     """,
     "dedup",
     doc=(
-        "Blocked fuzzy matching: document-prefix edit distance within "
-        "(source, lang) blocks. Levenshtein is quadratic per pair, so "
-        "the block join bounds candidates to sum(|block|^2) — the "
-        "standard record-linkage shape; at 100 TB blocks come from a "
-        "cheap key (here metadata; in practice a fingerprint band) and "
-        "oversized blocks get capped like LSH mega-bands. Distance is "
-        "an exact integer in both engines (JVM levenshtein = DuckDB "
-        "levenshtein on ASCII)."
+        "Blocked fuzzy matching: document-prefix edit distance over "
+        "capped MinHash-band candidates (same fingerprint blocking as "
+        "dedup_lsh_capped, shared _band_candidates builder). The old "
+        "(source, lang) metadata block grew ~quadratically with corpus "
+        "size — sum(|block|^2) pairs over a fixed-cardinality key; band "
+        "blocking keys on content, so candidate count tracks true "
+        "near-dup density and oversized boilerplate buckets are dropped "
+        "by the cap before the self-join: near-linear at 100 TB "
+        "(SCALING.md). Distance is an exact integer in both engines "
+        "(JVM levenshtein = DuckDB levenshtein on ASCII); Spark's "
+        "thresholded variant aborts the DP early (O(threshold*n) per "
+        "pair, returns -1 above the cap), exact for every kept pair."
     ),
 )
 def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        "lang",
-        F.substring("text", 1, _FUZZY_PREFIX).alias("prefix"),
+    sig = _hashed_shingles(spark, sf_dir).select("doc_id", *_minhash_cols())
+    cand = _band_candidates(sig, _LSH_BUCKET_CAP)
+    p = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("prefix")
     )
-    a, b = d.alias("a"), d.alias("b")
-    # thresholded levenshtein: the banded DP aborts once the distance
-    # provably exceeds the cap (returns -1), O(threshold*n) per pair
-    # instead of O(n^2) — exact for every pair we keep, so the oracle
-    # (full distance, then filter) sees identical rows
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), _FUZZY_MAX_DIST)
+    x = p.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    y = p.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    dist = F.levenshtein(F.col("pa"), F.col("pb"), _FUZZY_MAX_DIST)
     return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("dist"),
-        )
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", dist.cast("bigint").alias("dist"))
         .filter(F.col("dist") >= 0)
     )
 
