@@ -39,6 +39,12 @@ class EngineConfig:
     # Retention (internal/conf/config.go:291-302)
     retention_hours: int = 168
 
+    # Consumer-offsets store: the reference upserts into SQLite
+    # (internal/localdb/migrations.go:37-48) so its store is always
+    # compact; our append-only parquet log compacts itself once it
+    # accumulates this many files (checked on goodbye()).
+    offsets_compact_threshold: int = 64
+
     # Spark-side tuning
     shuffle_partitions: int = field(
         default_factory=lambda: int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -205,12 +205,12 @@ class EventLog:
         # docs/rest_api/README.md:69-72)
         df = df.withColumn("_seq", F.monotonically_increasing_id())
 
-        # Keyless spreading must be DETERMINISTIC across jobs (produce
-        # evaluates the lineage twice: count matrix + write; a
-        # monotonically_increasing_id-based round-robin could disagree
-        # between the two runs when the upstream has nondeterministic
-        # ordering, corrupting the offset matrix). Content-hash routing
-        # gives the same spread with replay-stable placement.
+        # Keyless spreading must be DETERMINISTIC across evaluations
+        # (the batch is persisted below, but a cache-evicted partition
+        # recomputes from lineage; a monotonically_increasing_id-based
+        # round-robin could then disagree with the count matrix,
+        # corrupting offsets). Content-hash routing gives the same
+        # spread with replay-stable placement.
         rr = F.pmod(
             F.xxhash64(F.coalesce(F.col("payload"), F.lit(""))), F.lit(self.buckets)
         ).cast("int")
@@ -240,9 +240,16 @@ class EventLog:
         # (internal/producing/coalescer.go:85-172).
         watermarks = self.high_watermarks(topic)  # bucket -> next offset
         df = df.withColumn("_pid", F.spark_partition_id())
-        # count matrix from the pre-window frame: map-side combined, so
-        # this job shuffles only (bucket, pid, count) rows — no data
-        # pass is duplicated and nothing needs to be persisted
+        # single-scan contract: the batch lineage feeds two actions (the
+        # count-matrix job and the write), so materialize it once.
+        # MEMORY_AND_DISK (the persist default) spills rather than
+        # recomputes, which also pins _pid/_seq — a recompute under
+        # nondeterministic upstream ordering could disagree with the
+        # count matrix and collide offsets. At warehouse scale this is
+        # the coalescer's in-memory batch buffer (W6).
+        df = df.persist()
+        # count matrix: map-side combined, so this job shuffles only
+        # (bucket, pid, count) rows
         counts = (
             df.groupBy("bucket", "_pid").agg(F.count(F.lit(1)).alias("c")).collect()
         )
@@ -281,12 +288,15 @@ class EventLog:
                 ).alias("offset"),
             )
         )
-        (
-            out.write.mode("append")
-            .partitionBy("topic", "bucket")
-            .option("compression", "zstd")
-            .parquet(self._data_path)
-        )
+        try:
+            (
+                out.write.mode("append")
+                .partitionBy("topic", "bucket")
+                .option("compression", "zstd")
+                .parquet(self._data_path)
+            )
+        finally:
+            df.unpersist()
         return n
 
     def high_watermarks(self, topic: str) -> dict[int, int]:
@@ -508,6 +518,11 @@ class EventLog:
         served = self._served.pop(key, {})
         if served:
             self.commit(group, topic, served)
+        # departure is the natural maintenance point (no poll loop is
+        # waiting on us): fold the append-only commit log back down to
+        # one row per (group, topic, bucket) once it has sprawled
+        if self._offsets_file_count() > self.config.offsets_compact_threshold:
+            self.compact_offsets()
 
     # ------------------------------------------------------------------
     # Introspection (C2/C9 analogues)
@@ -575,6 +590,64 @@ class EventLog:
         shutil.rmtree(topic_dir)
         shutil.move(f"{tmp}/topic={topic}", topic_dir)
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def compact_offsets(self) -> int:
+        """Rewrite the consumer-offsets log to one row per
+        (group, topic, bucket) — the latest commit, resolved with the
+        same (committed_at DESC, committed DESC) order `committed()`
+        uses, so compaction can never change what a group reads next.
+
+        The reference keeps offsets in a compact serialized store
+        (SQLite upsert, internal/localdb/migrations.go:37-48); our
+        append-only parquet log instead grows one small file per commit,
+        so a long-lived group makes `committed()` scan an unbounded file
+        set. Called automatically from `goodbye()` once the log exceeds
+        `offsets_compact_threshold` files, or from a cron like
+        retention_cleanup. Single-writer assumption as produce().
+        Returns the number of rows kept.
+        """
+        import shutil
+
+        if "://" in self.root:
+            raise NotImplementedError(
+                "compact_offsets() manipulates files directly and "
+                "supports local paths only; on object stores run the "
+                "same latest-row rewrite as a job (see deploy/README.md)"
+            )
+        try:
+            df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(self._offsets_path)
+        except AnalysisException:
+            return 0  # no commits yet
+        w = Window.partitionBy("group", "topic", "bucket").orderBy(
+            F.col("committed_at").desc(), F.col("committed").desc()
+        )
+        latest = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = f"{self.root}/_offsets_compact_tmp"
+        # one file: the compacted store is tiny (|groups| x |topics| x
+        # buckets rows); committed() then reads a single footer
+        latest.coalesce(1).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(tmp)
+        n = self.spark.read.schema(OFFSETS_SCHEMA).parquet(tmp).count()
+        shutil.rmtree(self._offsets_path)
+        shutil.move(tmp, self._offsets_path)
+        return n
+
+    def _offsets_file_count(self) -> int:
+        """Data files currently in the offsets log (0 if none/remote)."""
+        import glob
+        import os
+
+        if "://" in self.root:
+            return 0
+        return len(
+            glob.glob(os.path.join(self._offsets_path, "**", "*.parquet"),
+                      recursive=True)
+        )
 
     def retention_cleanup(self, max_age_hours: float | None = None) -> int:
         """Delete data files older than the retention window (W7).

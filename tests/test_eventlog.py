@@ -314,3 +314,61 @@ def test_produce_rejects_binary_payload_column(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="payload must be a string"):
         log.produce("t", df)
+
+
+def test_compact_offsets_bounds_files_and_preserves_positions(spark, tmp_path):
+    """A long-lived group appends one small parquet file per commit;
+    compact_offsets() must fold the log to its latest row per
+    (group, topic, bucket) without changing what any group reads next.
+    Mirrors the reference's compact SQLite offset store
+    (internal/localdb/migrations.go:37-48)."""
+    import dataclasses
+
+    from barco_spark.config import DEFAULT
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.produce("t", [f"m{i}" for i in range(40)], partition_key=None)
+    log.register("g1", ["t"], reset="earliest")
+    log.register("g2", ["t"], reset="earliest")
+    # many explicit commits = many appended files
+    for i in range(1, 11):
+        log.commit("g1", "t", {b: i for b in range(3)})
+        log.commit("g2", "t", {b: 2 * i for b in range(2)})
+    files_before = log._offsets_file_count()
+    assert files_before > 20
+    before_g1 = log.committed("g1", "t")
+    before_g2 = log.committed("g2", "t")
+
+    kept = log.compact_offsets()
+    assert log._offsets_file_count() == 1
+    # one row per (group, topic, bucket) across both groups
+    assert kept == 2 * log.buckets
+    assert log.committed("g1", "t") == before_g1
+    assert log.committed("g2", "t") == before_g2
+
+    # a later commit still wins over the compacted history
+    log.commit("g1", "t", {0: 99})
+    assert log.committed("g1", "t")[0] == 99
+
+
+def test_goodbye_triggers_offsets_compaction(spark, tmp_path):
+    import dataclasses
+
+    from barco_spark.config import DEFAULT
+    from barco_spark.sources.eventlog import EventLog
+
+    cfg = dataclasses.replace(DEFAULT, offsets_compact_threshold=5)
+    log = EventLog(spark, str(tmp_path / "log"), config=cfg)
+    log.produce("t", [f"m{i}" for i in range(24)], partition_key=None)
+    log.register("g", ["t"], reset="earliest")
+    for i in range(1, 8):
+        log.commit("g", "t", {0: i})
+    assert log._offsets_file_count() > cfg.offsets_compact_threshold
+    before = log.committed("g", "t")
+    log.poll("g", "t", max_records_per_bucket=2)
+    log.goodbye("g", "t")  # flushes served positions, then compacts
+    assert log._offsets_file_count() == 1
+    after = log.committed("g", "t")
+    # served batch was committed by goodbye; everything else unchanged
+    assert after[0] >= before[0]

@@ -266,3 +266,29 @@ def test_eventlog_join_dynamic_partition_pruning(spark, tmp_path):
     dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("tag") == 0)
     j = log.read("t").join(dim, "bucket")
     assert "dynamicpruningexpression" in explain_str(j, "formatted").lower()
+
+
+def test_produce_evaluates_input_lineage_once(spark, tmp_path):
+    """produce() feeds one batch into two actions (count matrix +
+    write); the batch must be persisted so the input lineage runs
+    exactly once — at 100 TB a second evaluation is a second full scan
+    of every produce batch. The accumulator counts how many times each
+    input row physically flows through the lineage."""
+    from barco_spark.sources.eventlog import EventLog
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    src = (
+        spark.range(50)
+        .select(F.concat(F.lit("p"), F.col("id").cast("string")).alias("payload"))
+        .mapInPandas(bump, "payload string")
+    )
+    log = EventLog(spark, str(tmp_path / "log"))
+    n = log.produce("t", src)
+    assert n == 50
+    assert acc.value == 50, f"input lineage evaluated {acc.value / 50:.1f}x"
