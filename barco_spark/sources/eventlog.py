@@ -510,6 +510,16 @@ class EventLog:
             self._offsets_path
         )
 
+    def commit_served(self, group: str, topic: str) -> dict[int, int]:
+        """Durably commit everything served so far WITHOUT leaving —
+        the manual-commit surface (R12, postManualCommit,
+        internal/consuming/server.go:421-449). Returns what was
+        committed ({} when nothing is pending)."""
+        served = self._served.get((group, topic), {})
+        if served:
+            self.commit(group, topic, served)
+        return dict(served)
+
     def goodbye(self, group: str, topic: str) -> None:
         """Commit-and-leave (R12): flush this consumer's served-but-
         uncommitted positions durably, then drop the reader state.

@@ -1,0 +1,216 @@
+"""Live HTTP facade over EventLog: the reference's REST surface (S1/R2).
+
+Routes mirror the reference's URL constants
+(internal/conf/constants.go:6-21) and handler semantics:
+
+- ``GET  /status``                          -> 200 "OK" (liveness)
+- ``POST /v1/topic/{topic}/messages``       -> produce one message body
+  (``?partitionKey=`` optional; NDJSON bodies split per line exactly
+  like the reference's S2 batch produce,
+  internal/producing/models.go:44-87; producing/server.go:126-190)
+- ``PUT|POST /v1/consumer/register``        -> register
+  (``?consumerId=&group=&topic=...&onNewGroup=earliest|latest``,
+  internal/consuming/server.go:203-291)
+- ``POST /v1/consumer/poll``                -> JSON poll of the
+  consumer's owned buckets (server.go:389-419; JSON response shape =
+  EventLog.poll_json / marshalJsonResponse, consuming/models.go:136-199)
+- ``POST /v1/consumer/commit``              -> manual commit
+  (server.go:421-449)
+- ``POST /v1/consumer/goodbye``             -> commit-and-leave
+  (server.go:451-505)
+
+Scale posture: the facade is a thin driver-side shim for live
+produce/poll against the same parquet log the batch/streaming paths
+use — it exists for protocol parity and integration tests, not as the
+100 TB ingest path (that is Structured Streaming / bulk produce()).
+One lock serializes EventLog calls (single-writer-per-topic contract);
+the server thread is a daemon so it never blocks interpreter exit.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from barco_spark.sources.eventlog import EventLog
+from barco_spark.sources.membership import GroupMembership
+
+_TOPIC_MSG_RE = re.compile(r"^/v1/topic/([^/]+)/messages$")
+
+
+class BrokerHttpServer:
+    """Minimal blocking-HTTP facade bound to one EventLog."""
+
+    def __init__(
+        self,
+        log: EventLog,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        rebalance_debounce_s: float = 0.0,
+    ) -> None:
+        self.log = log
+        self.membership = GroupMembership(
+            log.buckets, debounce_s=rebalance_debounce_s
+        )
+        self._lock = threading.Lock()
+        # consumerId -> (group, topics) — the tracked-consumer table
+        self._consumers: dict[str, tuple[str, list[str]]] = {}
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet: tests and embedding apps don't want stderr access logs
+            def log_message(self, fmt, *args):  # noqa: N802
+                pass
+
+            def _respond(self, code: int, body: str, ctype: str = "text/plain"):
+                data = body.encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):  # noqa: N802
+                if urlparse(self.path).path == "/status":
+                    self._respond(200, "OK")
+                else:
+                    self._respond(404, "Not found")
+
+            def do_PUT(self):  # noqa: N802
+                url = urlparse(self.path)
+                try:
+                    if url.path == "/v1/consumer/register":
+                        outer._handle_register(self, parse_qs(url.query))
+                    else:
+                        self._respond(404, "Not found")
+                except ValueError as ex:
+                    self._respond(400, str(ex))
+
+            def do_POST(self):  # noqa: N802
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                m = _TOPIC_MSG_RE.match(url.path)
+                try:
+                    if m:
+                        outer._handle_produce(self, m.group(1), q)
+                    elif url.path == "/v1/consumer/register":
+                        outer._handle_register(self, q)
+                    elif url.path == "/v1/consumer/poll":
+                        outer._handle_poll(self, q)
+                    elif url.path == "/v1/consumer/commit":
+                        outer._handle_commit(self, q)
+                    elif url.path == "/v1/consumer/goodbye":
+                        outer._handle_goodbye(self, q)
+                    else:
+                        self._respond(404, "Not found")
+                except ValueError as ex:
+                    self._respond(400, str(ex))
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ------------------------------------------------------
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> int:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # -- handlers -------------------------------------------------------
+    def _read_body(self, handler) -> str:
+        # the reference rejects chunked bodies too (producing/server.go:146-152)
+        length = int(handler.headers.get("Content-Length", 0) or 0)
+        if length <= 0:
+            raise ValueError(
+                "Content length must be defined and greater than 0"
+            )
+        return handler.rfile.read(length).decode("utf-8")
+
+    def _handle_produce(self, handler, topic: str, q: dict) -> None:
+        body = self._read_body(handler)
+        key = q.get("partitionKey", [None])[0]
+        ndjson = (
+            "\n" in body.strip()
+            or handler.headers.get("Content-Type", "") == "application/x-ndjson"
+        )
+        with self._lock:
+            n = self.log.produce(topic, [body], partition_key=key, ndjson=ndjson)
+        handler._respond(200, json.dumps({"produced": n}), "application/json")
+
+    def _handle_register(self, handler, q: dict) -> None:
+        cid = q.get("consumerId", [""])[0]
+        group = q.get("group", ["default"])[0] or "default"
+        topics = q.get("topic", [])
+        if not cid or not topics:
+            raise ValueError("consumerId and topic are required")
+        reset = q.get("onNewGroup", ["latest"])[0]
+        if reset not in ("earliest", "latest"):
+            raise ValueError("Invalid offset reset policy value")
+        existing = self._consumers.get(cid)
+        if existing is not None:
+            if existing != (group, topics):
+                raise ValueError(
+                    "Consumer already registered with different parameters"
+                )
+            handler._respond(200, "Already registered")
+            return
+        with self._lock:
+            self.log.register(group, topics, reset=reset)
+            self._consumers[cid] = (group, topics)
+            self.membership.join(group, cid)
+        handler._respond(200, "OK")
+
+    def _require_consumer(self, q: dict) -> tuple[str, str, list[str]]:
+        cid = q.get("consumerId", [""])[0]
+        if not cid or cid not in self._consumers:
+            raise ValueError("Unregistered consumer")
+        group, topics = self._consumers[cid]
+        return cid, group, topics
+
+    def _handle_poll(self, handler, q: dict) -> None:
+        cid, group, topics = self._require_consumer(q)
+        owned = self.membership.buckets_for(group, cid)
+        if not owned:
+            # the reference answers 204 + retry hint when a consumer
+            # owns no data (consuming/server.go:400-404)
+            handler.send_response(204)
+            handler.send_header("Retry-After", "1")
+            handler.end_headers()
+            return
+        out = []
+        with self._lock:
+            for topic in topics:
+                rows = self.log.poll_json(group, topic, buckets=owned).collect()
+                out.extend(json.loads(r["response"]) for r in rows)
+        handler._respond(200, json.dumps(out), "application/json")
+
+    def _handle_commit(self, handler, q: dict) -> None:
+        _cid, group, topics = self._require_consumer(q)
+        with self._lock:
+            committed = {
+                topic: self.log.commit_served(group, topic) for topic in topics
+            }
+        handler._respond(200, json.dumps({"committed": committed}), "application/json")
+
+    def _handle_goodbye(self, handler, q: dict) -> None:
+        cid, group, topics = self._require_consumer(q)
+        with self._lock:
+            for topic in topics:
+                self.log.goodbye(group, topic)
+            del self._consumers[cid]
+            self.membership.leave(group, cid)
+        handler._respond(200, "Bye")

@@ -84,3 +84,49 @@ def test_random_interleaving_delivers_everything_once(log):
         for (topic, key), want in produced.items():
             got = delivered.get((group, topic, key), [])
             assert got == want, (group, topic, key, got, want)
+
+
+def test_membership_rebalance_matches_deal_out_on_join_and_leave():
+    """Ownership after join/leave must equal the reference's pure
+    deal-out of the new member list (consumer_state.go:308-350), with
+    churn inside the debounce window coalesced into one rebalance
+    (consumer_state.go:181-272)."""
+    from barco_spark.sources.eventlog import assign_buckets
+    from barco_spark.sources.membership import GroupMembership
+
+    clock = [0.0]
+    m = GroupMembership(buckets=12, debounce_s=5.0, clock=lambda: clock[0])
+
+    m.join("g", "c1")  # first membership applies immediately
+    assert m.assignment("g") == assign_buckets(["c1"], 12)
+    assert m.buckets_for("g", "c1") == list(range(12))
+
+    # a joining consumer does not steal ownership inside the window
+    m.join("g", "c2")
+    assert m.rebalance_pending("g")
+    assert m.buckets_for("g", "c2") == []
+    assert m.buckets_for("g", "c1") == list(range(12))
+
+    # more churn extends the window instead of rebalancing twice
+    clock[0] = 3.0
+    m.join("g", "c3")
+    clock[0] = 7.0  # past the first deadline, inside the extended one
+    assert m.buckets_for("g", "c2") == []
+
+    clock[0] = 8.1  # past the extended deadline -> ONE rebalance to 3 members
+    assert m.assignment("g") == assign_buckets(["c1", "c2", "c3"], 12)
+    assert m.buckets_for("g", "c1") == [0, 1, 2, 3]
+    assert m.buckets_for("g", "c2") == [4, 5, 6, 7]
+    assert m.buckets_for("g", "c3") == [8, 9, 10, 11]
+
+    # leave: the departed consumer's buckets move exactly as a fresh
+    # deal-out of the remaining members says
+    m.leave("g", "c2")
+    clock[0] = 14.0
+    assert m.assignment("g") == assign_buckets(["c1", "c3"], 12)
+    assert m.buckets_for("g", "c1") == [0, 1, 2, 3, 4, 5]
+    assert m.buckets_for("g", "c3") == [6, 7, 8, 9, 10, 11]
+
+    # idempotent re-join of an existing member is not churn
+    m.join("g", "c1")
+    assert not m.rebalance_pending("g")

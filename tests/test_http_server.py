@@ -1,0 +1,112 @@
+"""End-to-end HTTP produce -> poll roundtrip over the live facade,
+mirroring the reference's integration roundtrip
+(internal/test/integration/roundtrip_test.go:68-119)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    srv = BrokerHttpServer(EventLog(spark, str(tmp_path / "log")))
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _req(srv, method, path, body=None, ctype="text/plain"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=body.encode() if body is not None else None,
+        method=method,
+    )
+    if body is not None:
+        req.add_header("Content-Type", ctype)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as ex:
+        return ex.code, ex.read().decode()
+
+
+def test_status(server):
+    code, body = _req(server, "GET", "/status")
+    assert (code, body) == (200, "OK")
+
+
+def test_http_produce_poll_commit_goodbye_roundtrip(server):
+    # produce three messages, one keyed batch + ndjson
+    for i in range(2):
+        code, body = _req(
+            server, "POST", "/v1/topic/orders/messages?partitionKey=k1",
+            body=f'{{"n": {i}}}',
+        )
+        assert code == 200 and json.loads(body)["produced"] == 1
+    code, body = _req(
+        server, "POST", "/v1/topic/orders/messages",
+        body='{"n": 2}\n{"n": 3}', ctype="application/x-ndjson",
+    )
+    assert code == 200 and json.loads(body)["produced"] == 2
+
+    # register from earliest, then poll everything back
+    code, _ = _req(
+        server, "PUT",
+        "/v1/consumer/register?consumerId=c1&group=g&topic=orders&onNewGroup=earliest",
+        body="",
+    )
+    assert code == 200
+    code, body = _req(server, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+    assert code == 200
+    items = json.loads(body)
+    values = [v for item in items for v in item["values"]]
+    assert sorted(json.loads(v)["n"] for v in values) == [0, 1, 2, 3]
+    assert all(item["topic"] == "orders" for item in items)
+
+    # manual commit persists the served position durably
+    code, body = _req(server, "POST", "/v1/consumer/commit?consumerId=c1", body=" ")
+    assert code == 200
+    committed = json.loads(body)["committed"]["orders"]
+    assert sum(committed.values()) == 4
+
+    # goodbye deregisters; polling afterwards is a 400
+    code, _ = _req(server, "POST", "/v1/consumer/goodbye?consumerId=c1", body=" ")
+    assert code == 200
+    code, _ = _req(server, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+    assert code == 400
+
+
+def test_register_conflict_and_idempotency(server):
+    base = "/v1/consumer/register?consumerId=c2&group=g&topic=t1"
+    assert _req(server, "PUT", base + "&onNewGroup=earliest", body="")[0] == 200
+    # same parameters -> idempotent
+    code, body = _req(server, "PUT", base + "&onNewGroup=earliest", body="")
+    assert (code, body) == (200, "Already registered")
+    # different parameters -> rejected like the reference
+    code, _ = _req(
+        server, "PUT",
+        "/v1/consumer/register?consumerId=c2&group=other&topic=t1", body="",
+    )
+    assert code == 400
+
+
+def test_poll_with_no_owned_buckets_is_204(server):
+    # two consumers, 12 buckets: c-b owns the tail; then a third joins a
+    # fresh group and polls a topic with no data at all -> 204 only when
+    # the consumer owns nothing (empty data still yields 200 [])
+    _req(server, "POST", "/v1/topic/t/messages", body="x")
+    for cid in ("ca", "cb"):
+        _req(
+            server, "PUT",
+            f"/v1/consumer/register?consumerId={cid}&group=g2&topic=t&onNewGroup=earliest",
+            body="",
+        )
+    # both own buckets -> 200 even if their buckets hold no rows
+    code, _ = _req(server, "POST", "/v1/consumer/poll?consumerId=cb", body=" ")
+    assert code == 200
