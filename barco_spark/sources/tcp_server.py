@@ -1,0 +1,252 @@
+"""Live binary TCP producer server: the reference's fast produce path.
+
+Mirrors internal/producing/binary_server.go:
+
+- connection handshake: the FIRST frame must be ``startupOp``; the
+  server answers ``readyOp`` (binary_server.go:86-96); a later
+  ``heartbeatOp`` is also answered with ``readyOp`` (:105-108)
+- ``produceOp`` frames carry ``[timestamp?][key][topic][messages...]``
+  bodies; each is acknowledged with an empty ``produceResponseOp``
+  frame carrying the request's streamId
+- anything else (bad CRC, wrong version, unknown op, non-startup first
+  frame) gets an ``errorOp`` response and the connection closes
+  (binary_server.go:76-118)
+
+Coalescing: the reference appends produce frames to a per-(topic,
+token, range) coalescer and acks after the group write
+(coalescer.go:85-172). This facade mirrors that shape per connection:
+it keeps reading frames while more are already buffered on the socket,
+folds them into ONE EventLog.produce batch per topic, and only then
+writes the acks — so a client pipelining N frames costs one Spark write
+per topic, not N.
+
+Scale posture: like the HTTP facade this is a driver-side protocol
+shim for parity and integration tests. The 100 TB ingest path for
+captured binary traffic is the distributed `parse_produce_frames`
+mapInPandas adapter (sources/wire.py) feeding bulk produce().
+
+Payload convention: produce bodies are opaque bytes on the wire; this
+facade decodes them as UTF-8 (the engine's text convention) and acks
+with an error frame if a body is not valid UTF-8 — arbitrary binary
+belongs on the base64 bulk path (see produce()'s loud rejection).
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from barco_spark.sources.eventlog import EventLog
+from barco_spark.sources.wire import (
+    HEADER_SIZE,
+    HEARTBEAT_OP,
+    PRODUCE_OP,
+    PRODUCE_RESPONSE_OP,
+    READY_OP,
+    STARTUP_OP,
+    encode_error_frame,
+    encode_frame,
+    parse_header,
+    parse_produce_body,
+)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+    """Read exactly n bytes; None on clean EOF; raises on mid-read EOF."""
+    chunks = []
+    got = 0
+    while got < n:
+        chunk = sock.recv(n - got)
+        if not chunk:
+            if got == 0:
+                return None
+            raise ValueError("connection closed mid-frame")
+        chunks.append(chunk)
+        got += len(chunk)
+    return b"".join(chunks)
+
+
+class BinaryProducerServer:
+    """Threaded TCP listener bound to one EventLog."""
+
+    def __init__(
+        self,
+        log: EventLog,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_group_messages: int = 10_000,
+    ) -> None:
+        self.log = log
+        self.max_group_messages = max_group_messages
+        self._lock = threading.Lock()  # single-writer-per-topic contract
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                outer._serve_connection(self.request)
+
+        class Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._srv = Server((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._srv.server_address[1]
+
+    def start(self) -> int:
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _read_frame(self, sock: socket.socket, peek: bool = False):
+        """Read one frame. With peek=True, only the FIRST byte is read
+        nonblocking (None if nothing is buffered); the remainder is
+        always read blocking, so a fragmented frame is never torn."""
+        if peek:
+            sock.settimeout(0.0)
+            try:
+                first = _recv_exact(sock, 1)
+            except (BlockingIOError, TimeoutError):
+                return None
+            finally:
+                sock.settimeout(None)
+            if first is None:
+                return None
+            rest = _recv_exact(sock, HEADER_SIZE - 1)
+            if rest is None:
+                raise ValueError("connection closed mid-frame")
+            head = first + rest
+        else:
+            head = _recv_exact(sock, HEADER_SIZE)
+            if head is None:
+                return None
+        flags, stream_id, op, body_len = parse_header(head)
+        body = _recv_exact(sock, body_len) if body_len else b""
+        if body is None:
+            raise ValueError("connection closed mid-frame")
+        return flags, stream_id, op, body
+
+    def _serve_connection(self, sock: socket.socket) -> None:
+        initialized = False
+        try:
+            while True:
+                frame = self._read_frame(sock)
+                if frame is None:
+                    return  # clean EOF
+                flags, stream_id, op, body = frame
+
+                if not initialized:
+                    if op != STARTUP_OP:
+                        sock.sendall(
+                            encode_error_frame(stream_id, "Invalid first message")
+                        )
+                        return
+                    initialized = True
+                    sock.sendall(encode_frame(READY_OP, stream_id))
+                    continue
+
+                if op == HEARTBEAT_OP:
+                    sock.sendall(encode_frame(READY_OP, stream_id))
+                    continue
+
+                if op != PRODUCE_OP:
+                    sock.sendall(
+                        encode_error_frame(
+                            stream_id, "Only producer operations are supported"
+                        )
+                    )
+                    return
+
+                # coalesce: drain every produce frame already buffered on
+                # the socket into one write group (the reference acks
+                # after the coalesced group write too)
+                group = [(flags, stream_id, body)]
+                n_msgs = 0
+                while n_msgs < self.max_group_messages:
+                    nxt = self._read_frame(sock, peek=True)
+                    if nxt is None:
+                        break
+                    nflags, nstream, nop, nbody = nxt
+                    if nop != PRODUCE_OP:
+                        # non-produce mid-group: flush first, then let
+                        # the next loop iteration handle it simply by
+                        # answering here
+                        self._flush_group(sock, group)
+                        group = []
+                        if nop == HEARTBEAT_OP:
+                            sock.sendall(encode_frame(READY_OP, nstream))
+                            break
+                        sock.sendall(
+                            encode_error_frame(
+                                nstream, "Only producer operations are supported"
+                            )
+                        )
+                        return
+                    group.append((nflags, nstream, nbody))
+                    n_msgs += 1
+                if group:
+                    self._flush_group(sock, group)
+        except ValueError as ex:
+            # bad header / truncated frame: error out and drop, like the
+            # broker's "Invalid data header from producer client"
+            try:
+                sock.sendall(encode_error_frame(0, str(ex)))
+            except OSError:
+                pass
+        finally:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _flush_group(
+        self, sock: socket.socket, group: list[tuple[int, int, bytes]]
+    ) -> None:
+        """One produce batch per topic for the whole group, then acks."""
+        by_topic: dict[str, list[tuple]] = {}
+        acks: list[bytes] = []
+        now = datetime.now(timezone.utc)
+        for flags, stream_id, body in group:
+            try:
+                msgs = list(parse_produce_body(flags, stream_id, body))
+                rows = [
+                    (
+                        m["partition_key"],
+                        m["payload"].decode("utf-8"),
+                        datetime.fromtimestamp(
+                            m["timestamp_us"] / 1e6, tz=timezone.utc
+                        )
+                        if m["timestamp_us"] is not None
+                        else now,
+                    )
+                    for m in msgs
+                ]
+            except (ValueError, UnicodeDecodeError) as ex:
+                acks.append(encode_error_frame(stream_id, str(ex)))
+                continue
+            for m, row in zip(msgs, rows):
+                by_topic.setdefault(m["topic"], []).append(row)
+            acks.append(encode_frame(PRODUCE_RESPONSE_OP, stream_id))
+        with self._lock:
+            for topic, rows in by_topic.items():
+                df = self.log.spark.createDataFrame(
+                    rows, "partition_key string, payload string, timestamp timestamp"
+                ).withColumn("timestamp", F.col("timestamp"))
+                self.log.produce(topic, df)
+        sock.sendall(b"".join(acks))

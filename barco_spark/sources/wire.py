@@ -54,13 +54,82 @@ from pyspark.sql.types import (
 from barco_spark.functions.tokens import range_bounds
 
 MESSAGE_VERSION = 1
+# fixed opcodes, mirroring internal/producing/binary_messages.go:20-29
+STARTUP_OP = 1
+READY_OP = 2
+ERROR_OP = 3
 PRODUCE_OP = 4
+PRODUCE_RESPONSE_OP = 5
+HEARTBEAT_OP = 6
+# error codes (binary_messages.go:38-41)
+SERVER_ERROR = 0
 FLAG_WITH_TIMESTAMP = 0b00000001
 _HEADER = struct.Struct(">BBHBII")  # version, flags, streamId, op, bodyLen, crc
+HEADER_SIZE = _HEADER.size
 
 
 def _crc32(data: bytes) -> int:
     return zlib.crc32(data) & 0xFFFFFFFF
+
+
+def encode_frame(
+    op: int, stream_id: int = 0, body: bytes = b"", flags: int = 0
+) -> bytes:
+    """One protocol frame: CRC'd header + body. Responses use the same
+    header layout as requests (binary_messages.go:106-118 writeHeader)."""
+    head9 = struct.pack(">BBHBI", MESSAGE_VERSION, flags, stream_id, op, len(body))
+    return head9 + struct.pack(">I", _crc32(head9)) + body
+
+
+def encode_error_frame(stream_id: int, message: str, code: int = SERVER_ERROR) -> bytes:
+    """errorResponse: body = {code u8, message} (binary_messages.go:86-104)."""
+    return encode_frame(
+        ERROR_OP, stream_id, struct.pack(">B", code) + message.encode()
+    )
+
+
+def parse_header(buf: bytes, pos: int = 0) -> tuple[int, int, int, int, int]:
+    """Validate and decode one header; returns (flags, stream_id, op,
+    body_len) after the version/CRC checks the broker performs
+    (binary_server.go:76-118)."""
+    version, flags, stream_id, op, body_len, crc = _HEADER.unpack_from(buf, pos)
+    if version != MESSAGE_VERSION:
+        raise ValueError(f"unsupported protocol version {version}")
+    if crc != _crc32(buf[pos : pos + 9]):
+        raise ValueError("header crc mismatch")
+    return flags, stream_id, op, body_len
+
+
+def parse_produce_body(flags: int, stream_id: int, body: bytes) -> Iterator[dict]:
+    """Decode one produce-frame body; yields one dict per message
+    (binary_server.go:208-257 layout)."""
+    b = 0
+    ts = None
+    if flags & FLAG_WITH_TIMESTAMP:
+        (ts,) = struct.unpack_from(">q", body, b)
+        b += 8
+    key_len = body[b]
+    b += 1
+    key = body[b : b + key_len].decode()
+    b += key_len
+    topic_len = body[b]
+    b += 1
+    topic = body[b : b + topic_len].decode()
+    b += topic_len
+    while b < len(body):
+        (mlen,) = struct.unpack_from(">I", body, b)
+        b += 4
+        yield {
+            "stream_id": stream_id,
+            "timestamp_us": ts,
+            "partition_key": key or None,
+            "topic": topic,
+            # opaque bytes, exactly as the broker stores them (the
+            # reference never parses bodies, producing/models.go);
+            # cast to string at the EventLog boundary for text/JSON
+            "payload": bytes(body[b : b + mlen]),
+        }
+        b += mlen
 
 
 # --------------------------------------------------------------------------
@@ -102,13 +171,7 @@ def parse_produce_frames_py(blob: bytes) -> Iterator[dict]:
     while pos < len(blob):
         if len(blob) - pos < _HEADER.size:
             raise ValueError("truncated frame header")
-        version, flags, stream_id, op, body_len, crc = _HEADER.unpack_from(
-            blob, pos
-        )
-        if version != MESSAGE_VERSION:
-            raise ValueError(f"unsupported protocol version {version}")
-        if crc != _crc32(blob[pos : pos + 9]):
-            raise ValueError("header crc mismatch")
+        flags, stream_id, op, body_len = parse_header(blob, pos)
         pos += _HEADER.size
         body = blob[pos : pos + body_len]
         if len(body) != body_len:
@@ -116,33 +179,7 @@ def parse_produce_frames_py(blob: bytes) -> Iterator[dict]:
         pos += body_len
         if op != PRODUCE_OP:
             continue  # startup/heartbeat frames carry no records
-        b = 0
-        ts = None
-        if flags & FLAG_WITH_TIMESTAMP:
-            (ts,) = struct.unpack_from(">q", body, b)
-            b += 8
-        key_len = body[b]
-        b += 1
-        key = body[b : b + key_len].decode()
-        b += key_len
-        topic_len = body[b]
-        b += 1
-        topic = body[b : b + topic_len].decode()
-        b += topic_len
-        while b < len(body):
-            (mlen,) = struct.unpack_from(">I", body, b)
-            b += 4
-            yield {
-                "stream_id": stream_id,
-                "timestamp_us": ts,
-                "partition_key": key or None,
-                "topic": topic,
-                # opaque bytes, exactly as the broker stores them (the
-                # reference never parses bodies, producing/models.go);
-                # cast to string at the EventLog boundary for text/JSON
-                "payload": bytes(body[b : b + mlen]),
-            }
-            b += mlen
+        yield from parse_produce_body(flags, stream_id, body)
 
 
 FRAME_ROWS_SCHEMA = StructType(

@@ -101,6 +101,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # explicit DNF accounting: a consumer reading only the JSON must
+        # see when `value` covers fewer than all headline queries
+        "n_queries": len(HEADLINE),
+        "n_ok": len(timings),
+        "n_dnf": len(failures),
     }
     if failures:
         out["failures"] = failures
