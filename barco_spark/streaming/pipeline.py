@@ -110,6 +110,8 @@ from barco_spark.registry import register  # noqa: E402
     ),
 )
 def streaming_funnel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
     import tempfile
 
     from barco_spark.streaming.stateful import streaming_funnel
@@ -117,22 +119,26 @@ def streaming_funnel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="funnel-snap-")
     src = tmp + "/src"
+    out = tmp + "/out"
     # ship ts as integer micros: Spark's JSON timestamp format is
     # millisecond-precision and would silently truncate event times
     t(spark, sf_dir, "events").selectExpr(
         "user_id", "event_type", "unix_micros(ts) AS ts_us"
     ).write.json(src)
 
-    rows: list = []
     stream = (
         spark.readStream.schema("user_id long, event_type string, ts_us long")
         .json(src)
         .selectExpr("user_id", "event_type", "timestamp_micros(ts_us) AS ts")
     )
+    # parquet sink, not foreachBatch+collect: funnel rows flow straight
+    # from the state store to executor-side files, so the harness stays
+    # distributed end-to-end (nothing per-user ever reaches the driver)
     q = (
         streaming_funnel(stream)
         .writeStream.outputMode("append")
-        .foreachBatch(lambda d, _b: rows.extend(d.collect()))
+        .format("parquet")
+        .option("path", out)
         .option("checkpointLocation", tmp + "/ckpt")
         .trigger(availableNow=True)
         .start()
@@ -143,11 +149,10 @@ def streaming_funnel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError(
                 "streaming_funnel_snapshot: query did not drain in 300s"
             )
-    finally:
-        import shutil
-
+    except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        [(r.user_id, r.stage, r.ts_us) for r in rows],
-        "user_id long, stage string, ts_us long",
-    )
+        raise
+    # the returned DataFrame reads `out` lazily; defer cleanup to exit
+    shutil.rmtree(src, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return spark.read.schema("user_id long, stage string, ts_us long").parquet(out)

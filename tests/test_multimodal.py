@@ -67,3 +67,105 @@ def test_frame_sample_only_videos(spark):
     assert {r["media_id"] for r in rows} <= video_ids
     assert len(rows) > 0
     assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+
+
+def test_png_codec_roundtrip_all_channel_counts():
+    """Real codec: encode known pixels -> PNG bytes -> decode -> same
+    pixels, for greyscale/RGB/RGBA."""
+    import random
+
+    from barco_spark.multimodal.png import decode_png, encode_png
+
+    rng = random.Random(7)
+    for channels in (1, 3, 4):
+        w, h = 13, 9
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        blob = encode_png(pixels, w, h, channels)
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        dw, dh, dch, out = decode_png(blob)
+        assert (dw, dh, dch) == (w, h, channels)
+        assert out == pixels
+
+
+def test_png_decoder_undoes_all_filter_types():
+    """Decode a PNG whose scanlines use Sub/Up/Average/Paeth, built with
+    an independent forward-filter implementation in the test."""
+    import random
+    import struct
+    import zlib
+
+    from barco_spark.multimodal.png import decode_png
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    rng = random.Random(11)
+    w, h, ch = 8, 5, 3
+    stride = w * ch
+    pixels = bytes(rng.randrange(256) for _ in range(stride * h))
+    lines = [pixels[y * stride : (y + 1) * stride] for y in range(h)]
+    raw = b""
+    prev = bytes(stride)
+    for y, line in enumerate(lines):
+        ftype = y % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                filt[i] = line[i]
+            elif ftype == 1:
+                filt[i] = (line[i] - left) & 0xFF
+            elif ftype == 2:
+                filt[i] = (line[i] - up) & 0xFF
+            elif ftype == 3:
+                filt[i] = (line[i] - ((left + up) >> 1)) & 0xFF
+            else:
+                filt[i] = (line[i] - paeth(left, up, ul)) & 0xFF
+        raw += bytes([ftype]) + bytes(filt)
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, dch, out = decode_png(blob)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert out == pixels
+
+
+def test_decode_media_real_png_roundtrip_strict(spark):
+    """decode_media with strict=True is a REAL decode for PNG blobs:
+    pixels survive the full Spark mapInPandas path bit-exactly, no PIL
+    required."""
+    from barco_spark.multimodal.media import MEDIA_SCHEMA, decode_media
+    from barco_spark.multimodal.png import encode_png
+
+    rows = []
+    expected = {}
+    for i, (w, h) in enumerate([(16, 8), (7, 5), (32, 32)]):
+        pixels = bytes(((i + 1) * 37 + j) % 256 for j in range(w * h * 3))
+        rows.append(
+            (i, "image", bytearray(encode_png(pixels, w, h, 3)),
+             ("image/png", w, h, None))
+        )
+        expected[i] = (w, h, pixels)
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["width"], r["height"], bytes(r["decoded"]))
+        for r in decode_media(df, strict=True).collect()
+    }
+    assert got == expected
