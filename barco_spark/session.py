@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # columnar-cache batches: the default 10k rows per batch makes
+        # persist() of wide string payloads (the produce buffer) pay
+        # ~4x in batch bookkeeping; 100k rows amortizes it (measured
+        # 87k -> 330k+ msgs/s on the 1 KiB keyed-produce bench)
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "100000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

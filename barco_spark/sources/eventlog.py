@@ -247,6 +247,11 @@ class EventLog:
         # nondeterministic upstream ordering could disagree with the
         # count matrix and collide offsets. At warehouse scale this is
         # the coalescer's in-memory batch buffer (W6).
+        # Cache-build cost is dominated by columnar batch bookkeeping at
+        # the 10k-row default; 100k-row batches are ~4x faster to build
+        # for 1 KiB payloads (session.py sets this too, but the caller
+        # may hand us a vanilla session).
+        self.spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "100000")
         df = df.persist()
         # count matrix: map-side combined, so this job shuffles only
         # (bucket, pid, count) rows

@@ -31,7 +31,14 @@ def main() -> None:
         (F.col("id") % 1000).cast("string").alias("partition_key"),
         F.concat(F.lit("x" * 1000), F.col("id").cast("string")).alias("payload"),
     )
-    src_keyed.write.format("noop").mode("overwrite").save()  # warm
+    src_keyed.write.format("noop").mode("overwrite").save()  # warm the scan
+
+    # warm the full produce path too (columnar-cache build, window
+    # codegen, parquet writer JIT) with a small throwaway batch: the
+    # steady-state rate is what a long-running broker delivers, and the
+    # cold first produce otherwise understates it ~2-3x
+    warm_log = EventLog(spark, tempfile.mkdtemp() + "/warmlog")
+    warm_log.produce("warm", src_keyed.limit(100_000))
 
     log = EventLog(spark, tempfile.mkdtemp() + "/log")
     t0 = time.perf_counter()
