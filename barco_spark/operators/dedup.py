@@ -783,7 +783,10 @@ _FUZZY_MAX_DIST = 10
     ),
 )
 def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _hashed_shingles(spark, sf_dir).select("doc_id", *_minhash_cols())
+    # persist: the band self-join references the signature subtree on
+    # both sides; without this the shingle/minhash work runs twice
+    # (same rationale as _lsh_pairs)
+    sig = _hashed_shingles(spark, sf_dir).select("doc_id", *_minhash_cols()).persist()
     cand = _band_candidates(sig, _LSH_BUCKET_CAP)
     p = t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("prefix")
