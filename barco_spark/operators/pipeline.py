@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from barco_spark.operators.dedup import dedup_minhash_lsh
-from barco_spark.operators.text import text_metrics
+from barco_spark.operators.text import h28_sql, text_metrics
 from barco_spark.registry import QUERIES, register
 
 QUALITY_THRESHOLD = 0.6
@@ -157,3 +157,99 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics, drops = _metrics_and_drops(spark, sf_dir)
     return _stats_from(metrics, drops)
+
+
+# --------------------------------------------------------------------------
+# Decontamination: train/eval n-gram overlap
+# --------------------------------------------------------------------------
+_DECON_N = 4  # contamination n-gram length (production uses 8-13)
+_DECON_EVAL_MOD = 97  # doc_id % 97 == 0 stands in for the benchmark set
+
+
+def _decon_shingles_sql() -> str:
+    words = " || ' ' || ".join(f"words[i+{j}]" for j in range(_DECON_N))
+    return f"""list_distinct(CASE WHEN len(words) >= {_DECON_N}
+        THEN list_transform(range(1, len(words) - {_DECON_N - 2}), i -> {words})
+        ELSE [array_to_string(words, ' ')] END)"""
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+               FROM documents),
+    hs AS (SELECT doc_id, source,
+                  unnest(list_distinct(list_transform({_decon_shingles_sql()},
+                                                      s -> {h28_sql('s')}))) AS h
+           FROM w),
+    eval_h AS (SELECT DISTINCT h FROM hs WHERE doc_id % {_DECON_EVAL_MOD} = 0),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id FROM hs t JOIN eval_h e ON t.h = e.h
+      WHERE t.doc_id % {_DECON_EVAL_MOD} <> 0)
+    SELECT source,
+           COUNT(*) AS n_train,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
+    GROUP BY source
+    """,
+    "pipeline",
+    doc=(
+        "Benchmark decontamination: flag training documents sharing any "
+        f"{_DECON_N}-word shingle with the eval set (doc_id % "
+        f"{_DECON_EVAL_MOD} == 0 stands in for the benchmark corpus; in "
+        "production it is a separate table argument). The eval side's "
+        "distinct shingle hashes are tiny relative to the corpus "
+        "(benchmarks are KBs against 100 TB), so the overlap test is a "
+        "broadcast semi-join against an exploded hash column — one "
+        "narrow explode + one broadcast join, no shuffle of the corpus "
+        "and no pairwise comparison. The standard contamination check "
+        "(GPT-3/PaLM appendix style) expressed declaratively."
+    ),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.operators.text import h28
+    from barco_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
+    words = F.col("words")
+    shingles = F.array_distinct(
+        F.when(
+            F.size(words) >= _DECON_N,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - _DECON_N),
+                lambda i: F.concat_ws(
+                    " ", *[words[i + j] for j in range(_DECON_N)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+    hs = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(F.transform(shingles, lambda s: h28(s)))
+        ).alias("h"),
+    )
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    eval_h = hs.filter(is_eval).select("h").distinct()
+    contaminated = (
+        hs.filter(~is_eval)
+        .join(F.broadcast(eval_h), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    train = docs.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+    )

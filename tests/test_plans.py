@@ -292,3 +292,11 @@ def test_produce_evaluates_input_lineage_once(spark, tmp_path):
     n = log.produce("t", src)
     assert n == 50
     assert acc.value == 50, f"input lineage evaluated {acc.value / 50:.1f}x"
+
+
+def test_decontamination_broadcasts_eval_hashes(spark, sf_dir):
+    """The eval-set shingle hashes are tiny relative to the corpus; the
+    overlap test must be a broadcast join — shuffling the corpus's
+    exploded n-grams by hash would be the 100 TB scale-killer."""
+    df = QUERIES["decontaminate_ngram_overlap"].build(spark, sf_dir)
+    assert has_broadcast_join(df)
