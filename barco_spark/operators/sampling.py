@@ -476,3 +476,68 @@ def hash_topn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _TOPN_PER_SOURCE)
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concatenate-and-split batch construction
+# --------------------------------------------------------------------------
+_PACK_CONTEXT = 2048  # tokens per training context window
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM d)
+    SELECT source,
+           CAST(cum_before // {_PACK_CONTEXT} AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY source, bin_id
+    """,
+    "sampling",
+    doc=(
+        "Sequence packing, concatenate-and-split style: documents are "
+        "laid out in deterministic (doc_id) order within each source "
+        f"shard and split into {_PACK_CONTEXT}-token context windows "
+        "(bin = running-token-count div context). The Megatron-style "
+        "batch-construction primitive. One window partitioned by source "
+        "— prefix sums parallelize across shards, never globally — then "
+        "one hash aggregation; all-integer arithmetic, no FP rate."
+    ),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        c.select(
+            "source",
+            F.expr(f"cum_before div {_PACK_CONTEXT}").alias("bin_id"),
+            "n_tokens",
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -365,3 +365,75 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("rolls").alias("max_fp"),
         F.size(F.array_distinct("rolls")).alias("n_windows"),
     )
+
+
+@register(
+    "repetition_stats",
+    """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+               FROM documents),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(words) >= 2
+               THEN list_transform(range(1, len(words)),
+                    i -> words[i] || ' ' || words[i+1])
+               ELSE [array_to_string(words, ' ')] END) AS b
+      FROM w),
+    per_bigram AS (
+      SELECT doc_id, source, b, COUNT(*) AS cnt
+      FROM bg GROUP BY doc_id, source, b),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(MAX(cnt) AS BIGINT) AS max_bigram_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+      FROM per_bigram GROUP BY doc_id, source)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(max_bigram_cnt) AS BIGINT) AS sum_top_bigram,
+           CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+           CAST(SUM(max_bigram_cnt) AS DOUBLE) / SUM(n_bigrams)
+             AS pooled_rep_share
+    FROM per_doc GROUP BY source
+    """,
+    "text",
+    doc=(
+        "Gopher-style repetition signal: the most-frequent bigram's "
+        "share of each document, pooled per source as a ratio of "
+        "integer sums (order-independent, so the double division is "
+        "deterministic cross-engine — per-doc double shares averaged "
+        "naively would not be). Boilerplate-heavy sources float to the "
+        "top. One explode + two hash aggregations, all map-side "
+        "combinable; no windows, no joins."
+    ),
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.col("words")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", w[i], w[i + 1]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    bg = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split(F.col("text"), " ").alias("words"))
+        .select("doc_id", "source", F.explode(bigrams).alias("b"))
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.max("cnt").alias("max_bigram_cnt"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("max_bigram_cnt").cast("bigint").alias("sum_top_bigram"),
+        F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
+        (
+            F.sum("max_bigram_cnt").cast("double") / F.sum("n_bigrams")
+        ).alias("pooled_rep_share"),
+    )
