@@ -81,7 +81,11 @@ def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
             1000 * (1 + i % 30) if kind != "image" else None,
         )
         rows.append((i, kind, bytearray(blob), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # a driver-built demo table lands in default-parallelism slices (32
+    # partitions for ~100 rows); every Python stage downstream would pay
+    # worker+Arrow setup per near-empty partition. Real media tables
+    # come from storage with size-based splits.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
 
 
 def _fake_pixels(blob: bytes, w: int, h: int) -> bytes:
@@ -270,7 +274,10 @@ def multimodal_profile(spark, sf_dir):
     from pyspark.sql import functions as F
 
     media = synthetic_media(spark, n=120)
-    decoded = decode_media(media)
+    # persist: the join references decoded on both sides (directly and
+    # through the featurizer); without it the decode mapInPandas runs
+    # twice
+    decoded = decode_media(media).persist()
     feats = extract_features(decoded, dim=16)
     joined = decoded.join(feats, "media_id")  # decoded keeps kind
     return (

@@ -52,6 +52,9 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_rolling_fingerprints",
     "curation_pipeline",
+    "decontaminate_ngram_overlap",
+    "pack_sequences",
+    "repetition_stats",
 ]
 
 
