@@ -110,3 +110,38 @@ def test_poll_with_no_owned_buckets_is_204(server):
     # both own buckets -> 200 even if their buckets hold no rows
     code, _ = _req(server, "POST", "/v1/consumer/poll?consumerId=cb", body=" ")
     assert code == 200
+
+
+def test_concurrent_producers_different_topics(server):
+    """Two clients producing to different topics concurrently: the
+    facade's lock serializes EventLog calls, so offsets stay contiguous
+    and nothing is lost."""
+    import threading
+
+    errors = []
+
+    def produce(topic, lo, hi):
+        try:
+            for i in range(lo, hi):
+                code, _ = _req(
+                    server, "POST", f"/v1/topic/{topic}/messages", body=f"m{i}"
+                )
+                assert code == 200
+        except Exception as ex:  # pragma: no cover - surfaced via errors
+            errors.append(ex)
+
+    threads = [
+        threading.Thread(target=produce, args=("ca_t", 0, 5)),
+        threading.Thread(target=produce, args=("cb_t", 5, 10)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    log = server.log
+    log.register("gc", ["ca_t", "cb_t"], reset="earliest")
+    got_a = sorted(r["payload"] for r in log.poll("gc", "ca_t", max_records_per_bucket=100).collect())
+    got_b = sorted(r["payload"] for r in log.poll("gc", "cb_t", max_records_per_bucket=100).collect())
+    assert got_a == [f"m{i}" for i in range(5)]
+    assert got_b == [f"m{i}" for i in range(5, 10)]
