@@ -300,3 +300,16 @@ def test_decontamination_broadcasts_eval_hashes(spark, sf_dir):
     exploded n-grams by hash would be the 100 TB scale-killer."""
     df = QUERIES["decontaminate_ngram_overlap"].build(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_embedding_blocked_dedup_joins_on_cell_not_cartesian(spark, sf_dir):
+    """The IVF-blocked near-dup must pair vectors through an equi-join
+    keyed on the cell (exchange hash-partitioned on cell feeding a
+    merge/hash join) — an all-pairs nested-loop PAIR join is exactly
+    what this operator exists to avoid. (The centroid-assignment stage
+    legitimately uses a broadcast cross join: corpus x ~sqrt(N)
+    broadcast centroids.)"""
+    df = QUERIES["dedup_embedding_blocked"].build(spark, sf_dir)
+    plan = explain_str(df, "formatted").lower()
+    assert "hashpartitioning(cell" in plan
+    assert "sortmergejoin" in plan or "shuffledhashjoin" in plan
