@@ -436,7 +436,8 @@ def funnel_stages(events: DataFrame) -> DataFrame:
                   AS BIGINT) AS wk
       FROM events e JOIN p ON e.user_id = p.user_id
       WHERE CAST(e.ts AS DATE) >= p.cohort_d)
-    SELECT cohort_d, wk, COUNT(DISTINCT user_id) AS active_users
+    SELECT CAST(cohort_d AS TIMESTAMP) AS cohort_d, wk,
+           COUNT(DISTINCT user_id) AS active_users
     FROM a GROUP BY cohort_d, wk
     """,
     "window",
@@ -446,7 +447,10 @@ def funnel_stages(events: DataFrame) -> DataFrame:
         "activity. All-integer date arithmetic (datediff // 7). Two "
         "shuffles at scale: the first-purchase agg and the activity "
         "join/agg, both keyed on user_id so AQE can reuse the exchange; "
-        "the (cohort, week) result is tiny."
+        "the (cohort, week) result is tiny. The cohort key is emitted "
+        "as TIMESTAMP on both sides: a DATE column reaches pandas as "
+        "Python date objects from Spark but datetime64 from DuckDB, "
+        "and the driver's canonicalizer hashes those differently."
     ),
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,8 +474,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wk"),
         )
     )
-    return a.groupBy("cohort_d", "wk").agg(
-        F.count_distinct("user_id").alias("active_users")
+    return (
+        a.groupBy("cohort_d", "wk")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .select(
+            F.col("cohort_d").cast("timestamp").alias("cohort_d"),
+            "wk",
+            "active_users",
+        )
     )
 
 
