@@ -145,3 +145,35 @@ def test_concurrent_producers_different_topics(server):
     got_b = sorted(r["payload"] for r in log.poll("gc", "cb_t", max_records_per_bucket=100).collect())
     assert got_a == [f"m{i}" for i in range(5)]
     assert got_b == [f"m{i}" for i in range(5, 10)]
+
+
+def test_ownership_expands_after_goodbye(server):
+    """Two consumers split the ring; after one says goodbye the
+    survivor's next poll serves the whole ring (deterministic re-deal
+    on membership change, debounce=0 in the facade default)."""
+    for i in range(20):
+        _req(server, "POST", "/v1/topic/tw/messages?partitionKey=k" + str(i), body=f"m{i}")
+    for cid in ("s1", "s2"):
+        code, _ = _req(
+            server, "PUT",
+            f"/v1/consumer/register?consumerId={cid}&group=gw&topic=tw&onNewGroup=earliest",
+            body="",
+        )
+        assert code == 200
+    half = server.membership.buckets_for("gw", "s1")
+    assert 0 < len(half) < server.log.buckets
+
+    # s1 polls its half, then leaves; s2 must now own everything
+    _req(server, "POST", "/v1/consumer/poll?consumerId=s1", body=" ")
+    code, _ = _req(server, "POST", "/v1/consumer/goodbye?consumerId=s1", body=" ")
+    assert code == 200
+    assert server.membership.buckets_for("gw", "s2") == list(
+        range(server.log.buckets)
+    )
+    # and a poll through the facade reaches the buckets s1 abandoned
+    code, body = _req(server, "POST", "/v1/consumer/poll?consumerId=s2", body=" ")
+    assert code == 200
+    import json as _json
+
+    polled = [v for item in _json.loads(body) for v in item["values"]]
+    assert polled  # s1's committed position left messages for s2 to read
