@@ -88,6 +88,38 @@ def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
 
 
+def media_from_files(
+    spark: SparkSession, path: str, kind: str = "image", glob: str | None = None
+) -> DataFrame:
+    """Ingest a directory of media files into the MEDIA_SCHEMA shape.
+
+    Uses Spark's built-in ``binaryFile`` source — the idiomatic way to
+    land opaque blobs at scale (distributed listing, size-based splits,
+    pushdown on path/length; no driver-side file loop). ``media_id`` is
+    the 64-bit hash of the file path (stable across runs), ``format``
+    is the lowercased file extension; width/height/duration stay NULL
+    until a decode stage fills them (decode_media reads the real
+    dimensions from the bytes, not the metadata).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("blob"),
+        F.struct(
+            F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)).alias(
+                "format"
+            ),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def _fake_pixels(blob: bytes, w: int, h: int) -> bytes:
     """STUB decode: deterministic pseudo-pixels from the blob digest.
 

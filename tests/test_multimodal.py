@@ -169,3 +169,36 @@ def test_decode_media_real_png_roundtrip_strict(spark):
         for r in decode_media(df, strict=True).collect()
     }
     assert got == expected
+
+
+def test_media_from_files_binaryfile_ingest_and_real_decode(spark, tmp_path):
+    """Files on disk -> binaryFile source -> strict decode -> features:
+    the full multimodal ingest loop with a real codec, no driver-side
+    file iteration."""
+    from barco_spark.multimodal.media import (
+        decode_media,
+        extract_features,
+        media_from_files,
+    )
+    from barco_spark.multimodal.png import encode_png
+
+    expected = {}
+    for i, (w, h) in enumerate([(8, 4), (5, 5), (12, 3)]):
+        pixels = bytes((11 * i + j) % 256 for j in range(w * h * 3))
+        (tmp_path / f"img{i}.png").write_bytes(encode_png(pixels, w, h, 3))
+        expected[f"img{i}.png"] = (w, h, pixels)
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    media = media_from_files(spark, str(tmp_path), glob="*.png")
+    rows = media.collect()
+    assert len(rows) == 3
+    assert all(r["meta"]["format"] == "png" for r in rows)
+    assert len({r["media_id"] for r in rows}) == 3
+
+    decoded = decode_media(media, strict=True)
+    got = {(r["width"], r["height"], bytes(r["decoded"])) for r in decoded.collect()}
+    assert got == {v for v in expected.values()}
+
+    feats = extract_features(decoded, dim=8).collect()
+    assert len(feats) == 3
+    assert all(len(r["features"]) == 8 for r in feats)
