@@ -85,3 +85,52 @@ def test_ntz_safe_on_foreign_session(spark, sf_dir):
         assert isinstance(df.schema["ts"].dataType, TimestampType)
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def test_corpus_from_text_files(spark, tmp_path):
+    """Directory of .txt files -> canonical documents shape; every
+    registered operator can run on the result unchanged."""
+    from barco_spark.operators.text import with_quality
+    from barco_spark.sources.corpus import DOCUMENTS_SCHEMA, corpus_from_text_files
+
+    d = tmp_path / "shard0"
+    d.mkdir()
+    (d / "a.txt").write_text("the quick brown fox")
+    (d / "b.txt").write_text("lorem ipsum dolor sit amet and more words here")
+    (d / "skip.json").write_text("{}")
+
+    docs = corpus_from_text_files(spark, str(d), lang="en")
+    assert [(f.name, f.dataType) for f in docs.schema] == [
+        (f.name, f.dataType) for f in DOCUMENTS_SCHEMA
+    ]
+    rows = {r["text"]: r for r in docs.collect()}
+    assert set(rows) == {"the quick brown fox",
+                         "lorem ipsum dolor sit amet and more words here"}
+    a = rows["the quick brown fox"]
+    assert (a["lang"], a["source"], a["n_chars"]) == ("en", "shard0", 19)
+    assert len({r["doc_id"] for r in rows.values()}) == 2
+    # downstream operators accept the shape directly
+    scored = with_quality(docs)
+    assert scored.filter(F.col("quality_score").isNotNull()).count() == 2
+
+
+def test_corpus_from_jsonl(spark, tmp_path):
+    from barco_spark.sources.corpus import DOCUMENTS_SCHEMA, corpus_from_jsonl
+
+    d = tmp_path / "dumpdir"
+    d.mkdir()
+    (d / "part0.jsonl").write_text(
+        '{"text": "doc one", "lang": "en", "source": "web"}\n'
+        '{"text": "doc two"}\n'
+        '{"notext": true}\n'
+    )
+    docs = corpus_from_jsonl(spark, str(d))
+    assert [(f.name, f.dataType) for f in docs.schema] == [
+        (f.name, f.dataType) for f in DOCUMENTS_SCHEMA
+    ]
+    rows = {r["text"]: r for r in docs.collect()}
+    assert set(rows) == {"doc one", "doc two"}
+    assert rows["doc one"]["source"] == "web"
+    assert rows["doc two"]["source"] == "dumpdir"  # directory fallback
+    assert rows["doc two"]["lang"] is None
+    assert len({r["doc_id"] for r in rows.values()}) == 2
