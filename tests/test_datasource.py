@@ -201,3 +201,25 @@ def test_barco_stream_into_windowed_aggregation(ds_spark, tmp_path):
         ("2024-05-01 11:00:00", 2),
         ("2024-05-01 12:00:00", 1),
     }
+
+
+def test_stream_resume_after_compaction_no_duplicates(ds_spark):
+    """compact() rewrites the topic's files but preserves rows and
+    offsets exactly; a checkpointed stream that resumes AFTER a
+    compaction must see only new data (the source tracks offsets, not
+    file names — this pins that contract)."""
+    log = _fresh_log(ds_spark)
+    for batch in range(3):  # several small files per bucket
+        log.produce("t", [(f"k{i}", f"b{batch}-m{i}") for i in range(4)])
+    out_dir = tempfile.mkdtemp() + "/out"
+    ckpt = tempfile.mkdtemp()
+    _run_available_now(ds_spark, log.root, out_dir, ckpt)
+    first = sorted(r["payload"] for r in ds_spark.read.parquet(out_dir).collect())
+    assert len(first) == 12
+
+    log.compact("t")  # rewrite layout, same rows/offsets
+    log.produce("t", [("k0", "after-compact")])
+    _run_available_now(ds_spark, log.root, out_dir, ckpt)
+    resumed = sorted(r["payload"] for r in ds_spark.read.parquet(out_dir).collect())
+    assert len(resumed) == 13  # exactly one new row, nothing redelivered
+    assert "after-compact" in resumed
