@@ -183,7 +183,8 @@ class BrokerHttpServer:
 
     def _handle_poll(self, handler, q: dict) -> None:
         cid, group, topics = self._require_consumer(q)
-        owned = self.membership.buckets_for(group, cid)
+        with self._lock:  # assignment() mutates on debounce expiry
+            owned = self.membership.buckets_for(group, cid)
         if not owned:
             # the reference answers 204 + retry hint when a consumer
             # owns no data (consuming/server.go:400-404)
