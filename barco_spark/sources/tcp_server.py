@@ -36,7 +36,7 @@ from __future__ import annotations
 import socket
 import socketserver
 import threading
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import functions as F
 
@@ -78,10 +78,10 @@ class BinaryProducerServer:
         log: EventLog,
         host: str = "127.0.0.1",
         port: int = 0,
-        max_group_messages: int = 10_000,
+        max_group_frames: int = 10_000,
     ) -> None:
         self.log = log
-        self.max_group_messages = max_group_messages
+        self.max_group_frames = max_group_frames
         self._lock = threading.Lock()  # single-writer-per-topic contract
         outer = self
 
@@ -177,8 +177,8 @@ class BinaryProducerServer:
                 # the socket into one write group (the reference acks
                 # after the coalesced group write too)
                 group = [(flags, stream_id, body)]
-                n_msgs = 0
-                while n_msgs < self.max_group_messages:
+                n_frames = 0
+                while n_frames < self.max_group_frames:
                     nxt = self._read_frame(sock, peek=True)
                     if nxt is None:
                         break
@@ -199,7 +199,7 @@ class BinaryProducerServer:
                         )
                         return
                     group.append((nflags, nstream, nbody))
-                    n_msgs += 1
+                    n_frames += 1
                 if group:
                     self._flush_group(sock, group)
         except ValueError as ex:
@@ -225,13 +225,16 @@ class BinaryProducerServer:
         for flags, stream_id, body in group:
             try:
                 msgs = list(parse_produce_body(flags, stream_id, body))
+                # integer split, not us/1e6: float64 loses sub-us
+                # precision at current epoch magnitudes (~0.4 us error)
                 rows = [
                     (
                         m["partition_key"],
                         m["payload"].decode("utf-8"),
                         datetime.fromtimestamp(
-                            m["timestamp_us"] / 1e6, tz=timezone.utc
+                            m["timestamp_us"] // 1_000_000, tz=timezone.utc
                         )
+                        + timedelta(microseconds=m["timestamp_us"] % 1_000_000)
                         if m["timestamp_us"] is not None
                         else now,
                     )

@@ -126,3 +126,28 @@ def test_binary_fragmented_pipeline_not_torn(served_log):
     assert sorted(
         r["payload"] for r in log.poll("g", "tf", max_records_per_bucket=10).collect()
     ) == ["a", "b"]
+
+
+def test_binary_produce_preserves_microsecond_timestamp(served_log):
+    """The wire carries integer epoch micros; the stored timestamp must
+    round-trip exactly (float division would lose sub-us precision)."""
+    ts_us = 1_700_000_000_123_457  # odd microsecond on purpose
+    srv, log = served_log
+    with socket.create_connection(("127.0.0.1", srv.port)) as sock:
+        sock.sendall(encode_frame(STARTUP_OP))
+        _recv_frame(sock)
+        sock.sendall(
+            encode_produce_frame("tts", ["x"], stream_id=1, timestamp_us=ts_us)
+        )
+        assert _recv_frame(sock)[:2] == (1, PRODUCE_RESPONSE_OP)
+    log.register("g", ["tts"], reset="earliest")
+    row = log.poll("g", "tts", max_records_per_bucket=10).collect()[0]
+    import datetime as dt
+
+    got = row["timestamp"]
+    expect = dt.datetime.fromtimestamp(ts_us // 1_000_000) + dt.timedelta(
+        microseconds=ts_us % 1_000_000
+    )
+    assert got.replace(tzinfo=None) == expect.replace(tzinfo=None) or (
+        got.microsecond == expect.microsecond
+    )
