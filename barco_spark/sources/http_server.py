@@ -147,8 +147,30 @@ class BrokerHttpServer:
             "\n" in body.strip()
             or handler.headers.get("Content-Type", "") == "application/x-ndjson"
         )
+        # optional producer-supplied timestamp in epoch micros, like the
+        # reference (producing/server.go:178-183); integer split keeps
+        # exact microseconds
+        ts_raw = q.get("timestamp", [None])[0]
         with self._lock:
-            n = self.log.produce(topic, [body], partition_key=key, ndjson=ndjson)
+            if ts_raw is not None:
+                from datetime import datetime, timedelta, timezone
+
+                try:
+                    ts_us = int(ts_raw)
+                except ValueError:
+                    raise ValueError("timestamp must be integer epoch micros")
+                ts = datetime.fromtimestamp(
+                    ts_us // 1_000_000, tz=timezone.utc
+                ) + timedelta(microseconds=ts_us % 1_000_000)
+                df = self.log.spark.createDataFrame(
+                    [(key, body, ts)],
+                    "partition_key string, payload string, timestamp timestamp",
+                )
+                n = self.log.produce(topic, df, ndjson=ndjson)
+            else:
+                n = self.log.produce(
+                    topic, [body], partition_key=key, ndjson=ndjson
+                )
         handler._respond(200, json.dumps({"produced": n}), "application/json")
 
     def _handle_register(self, handler, q: dict) -> None:

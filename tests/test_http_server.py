@@ -177,3 +177,28 @@ def test_ownership_expands_after_goodbye(server):
 
     polled = [v for item in _json.loads(body) for v in item["values"]]
     assert polled  # s1's committed position left messages for s2 to read
+
+
+def test_produce_with_timestamp_query_param(server):
+    """?timestamp= (epoch micros) is honored exactly, like the
+    reference's producer endpoint."""
+    import datetime as dt
+
+    ts_us = 1_690_000_000_654_321
+    code, body = _req(
+        server, "POST",
+        f"/v1/topic/tstamp/messages?partitionKey=k&timestamp={ts_us}",
+        body="payload-x",
+    )
+    assert code == 200 and json.loads(body)["produced"] == 1
+    log = server.log
+    log.register("gt", ["tstamp"], reset="earliest")
+    row = log.poll("gt", "tstamp", max_records_per_bucket=5).collect()[0]
+    assert row["payload"] == "payload-x"
+    assert row["timestamp"].microsecond == 654321
+
+    # malformed timestamp -> 400
+    code, _ = _req(
+        server, "POST", "/v1/topic/tstamp/messages?timestamp=notanum", body="y"
+    )
+    assert code == 400
