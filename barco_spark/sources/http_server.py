@@ -74,8 +74,28 @@ class BrokerHttpServer:
                 self.wfile.write(data)
 
             def do_GET(self):  # noqa: N802
-                if urlparse(self.path).path == "/status":
+                path = urlparse(self.path).path
+                if path == "/status":
                     self._respond(200, "OK")
+                elif path == "/v1/brokers":
+                    # client-discovery bootstrap (GET /v1/brokers,
+                    # docs/rest_api/README.md:17-45): this facade is a
+                    # single logical broker — every bucket is served
+                    # here — so reference clients that target brokers
+                    # by topology route everything to us
+                    outer_host = self.server.server_address[0]
+                    self._respond(
+                        200,
+                        json.dumps(
+                            {
+                                "length": 1,
+                                "names": [outer_host],
+                                "producerPort": outer.port,
+                                "consumerPort": outer.port,
+                            }
+                        ),
+                        "application/json",
+                    )
                 else:
                     self._respond(404, "Not found")
 

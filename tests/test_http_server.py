@@ -202,3 +202,15 @@ def test_produce_with_timestamp_query_param(server):
         server, "POST", "/v1/topic/tstamp/messages?timestamp=notanum", body="y"
     )
     assert code == 400
+
+
+def test_discovery_brokers_topology(server):
+    """GET /v1/brokers answers the reference's discovery shape
+    (docs/rest_api/README.md:17-45) with a single logical broker."""
+    code, body = _req(server, "GET", "/v1/brokers")
+    assert code == 200
+    topo = json.loads(body)
+    assert topo["length"] == 1
+    assert topo["producerPort"] == server.port
+    assert topo["consumerPort"] == server.port
+    assert isinstance(topo["names"], list) and len(topo["names"]) == 1
