@@ -250,8 +250,15 @@ class EventLog:
         # Cache-build cost is dominated by columnar batch bookkeeping at
         # the 10k-row default; 100k-row batches are ~4x faster to build
         # for 1 KiB payloads (session.py sets this too, but the caller
-        # may hand us a vanilla session).
-        self.spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "100000")
+        # may hand us a vanilla session). Saved and restored below so a
+        # caller-supplied session doesn't inherit the override for its
+        # own caching workloads.
+        _batch_key = "spark.sql.inMemoryColumnarStorage.batchSize"
+        try:
+            _batch_prev: str | None = self.spark.conf.get(_batch_key)
+        except Exception:
+            _batch_prev = None
+        self.spark.conf.set(_batch_key, "100000")
         df = df.persist()
         # count matrix: map-side combined, so this job shuffles only
         # (bucket, pid, count) rows
@@ -302,6 +309,10 @@ class EventLog:
             )
         finally:
             df.unpersist()
+            if _batch_prev is None:
+                self.spark.conf.unset(_batch_key)
+            else:
+                self.spark.conf.set(_batch_key, _batch_prev)
         return n
 
     def high_watermarks(self, topic: str) -> dict[int, int]:
@@ -341,7 +352,29 @@ class EventLog:
         no-op that keeps the group's position, exactly like the
         reference (idempotent putRegister, consuming/server.go:203-291;
         defaults only fill missing offsets, offset_state.go:149-314).
+
+        Local roots take the Spark-free path (footer-stats watermark +
+        direct parquet commit write) so a facade register is ms-latency,
+        matching the reference's putRegister; object-store roots go
+        through Spark.
         """
+        if "://" not in self.root:
+            from barco_spark.sources.datasource import _high_watermarks
+
+            for topic in topics:
+                if self._committed_arrow(group, topic):
+                    continue  # existing position wins over the reset policy
+                wm = (
+                    _high_watermarks(self._data_path, topic)
+                    if reset == "latest"
+                    else {}
+                )
+                self._commit_arrow(
+                    group,
+                    topic,
+                    {b: wm.get(b, 0) for b in range(self.buckets)},
+                )
+            return
         rows = []
         now = None
         for topic in topics:
@@ -361,6 +394,7 @@ class EventLog:
 
     def committed(self, group: str, topic: str) -> dict[int, int]:
         """Latest committed (next-to-read) offset per bucket for a group."""
+        self._recover_offsets_store()
         try:
             df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(self._offsets_path)
         except AnalysisException:
@@ -505,8 +539,184 @@ class EventLog:
             ).alias("response")
         )
 
+    def poll_dicts(
+        self,
+        group: str,
+        topic: str,
+        max_records_per_bucket: int = 1000,
+        buckets: list[int] | None = None,
+        auto_commit: bool = True,
+    ) -> list[dict]:
+        """Spark-free poll: the reference's JSON response items as
+        Python dicts, served from pyarrow footer-pruned slice reads.
+
+        Semantics are identical to `poll_json` (same at-least-once
+        auto-commit: serving a batch records it in memory; the durable
+        commit happens on the NEXT poll or goodbye), but NO Spark job
+        runs — offset discovery is parquet footer stats, the slice read
+        is row-group-pruned pyarrow (the same `_read_slice` the
+        `format("barco")` datasource executes on workers), and the
+        commit write is a direct parquet append. This keeps a live
+        consumer's poll at ms latency like the reference's in-process
+        read queue (internal/consuming/server.go:389-419) instead of
+        putting the Spark driver in the per-request data path.
+
+        Object-store roots fall back to the Spark `poll_json` path.
+        """
+        if "://" in self.root:
+            import json as _json
+
+            rows = self.poll_json(
+                group, topic, max_records_per_bucket, buckets, auto_commit
+            ).collect()
+            return [_json.loads(r["response"]) for r in rows]
+        from barco_spark.sources.datasource import (
+            _high_watermarks,
+            _list_files,
+            _read_slice,
+        )
+
+        key = (group, topic)
+        served_prev = self._served.get(key, {})
+        if auto_commit and served_prev:
+            self.commit(group, topic, served_prev)
+        committed = self._committed_arrow(group, topic)
+        position = {**committed, **served_prev}
+        hwm = _high_watermarks(self._data_path, topic)
+        files = _list_files(self._data_path, topic)
+        targets = buckets if buckets is not None else list(range(self.buckets))
+        out: list[dict] = []
+        nexts: dict[int, int] = {}
+        for b in targets:
+            start = position.get(b, 0)
+            end = min(start + max_records_per_bucket, hwm.get(b, 0))
+            if end <= start:
+                continue
+            served: list[tuple[int, str]] = []
+            for batch in _read_slice(
+                files.get((topic, b), []), topic, b, start, end
+            ):
+                served.extend(
+                    zip(
+                        batch.column("offset").to_pylist(),
+                        batch.column("payload").to_pylist(),
+                    )
+                )
+            nexts[b] = end
+            if not served:
+                continue  # retention-trimmed gap: advance past it silently
+            served.sort(key=lambda t: t[0])
+            out.append(
+                {
+                    "topic": topic,
+                    "bucket": b,
+                    "startOffset": served[0][0],
+                    "values": [v for _, v in served],
+                }
+            )
+        if auto_commit:
+            self._served[key] = {**served_prev, **nexts}
+        return out
+
+    def _commit_arrow(
+        self, group: str, topic: str, next_offsets: dict[int, int]
+    ) -> None:
+        """Direct parquet append of one commit batch (no Spark job).
+
+        Writes the exact OFFSETS_SCHEMA shape (timestamp[us, UTC] is
+        what Spark reads back as TimestampType) so the Spark readers
+        and this writer share one store.
+        """
+        import os
+        import time as _time
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        self._recover_offsets_store()
+        os.makedirs(self._offsets_path, exist_ok=True)
+        items = sorted(next_offsets.items())
+        now_us = int(_time.time() * 1_000_000)
+        tbl = pa.table(
+            {
+                "group": pa.array([group] * len(items), pa.string()),
+                "topic": pa.array([topic] * len(items), pa.string()),
+                "bucket": pa.array([b for b, _ in items], pa.int32()),
+                "committed": pa.array([n for _, n in items], pa.int64()),
+                "committed_at": pa.array(
+                    [now_us] * len(items), pa.timestamp("us", tz="UTC")
+                ),
+            }
+        )
+        pq.write_table(
+            tbl,
+            os.path.join(
+                self._offsets_path, f"commit-{uuid.uuid4().hex}.parquet"
+            ),
+            compression="zstd",
+        )
+
+    def _committed_arrow(self, group: str, topic: str) -> dict[int, int]:
+        """Latest committed offset per bucket, read with pyarrow only.
+
+        Same resolution order as `committed()` — (committed_at DESC,
+        committed DESC) — so the two readers can never disagree on a
+        group's position. Timestamps are normalized to naive UTC micros
+        before comparison (Spark-written INT96 and arrow-written
+        timestamp[us, UTC] both store UTC instants).
+        """
+        import glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        self._recover_offsets_store()
+        paths = glob.glob(
+            os.path.join(self._offsets_path, "**", "*.parquet"), recursive=True
+        )
+        best: dict[int, tuple[int, int]] = {}  # bucket -> (at_us, committed)
+        for f in paths:
+            tbl = pq.read_table(
+                f, columns=["group", "topic", "bucket", "committed", "committed_at"]
+            )
+            tbl = tbl.filter(
+                pc.and_(pc.equal(tbl["group"], group), pc.equal(tbl["topic"], topic))
+            )
+            if tbl.num_rows == 0:
+                continue
+            at_us = (
+                tbl["committed_at"]
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64())
+                .to_pylist()
+            )
+            for b, c, a in zip(
+                tbl["bucket"].to_pylist(), tbl["committed"].to_pylist(), at_us
+            ):
+                cand = (a if a is not None else -1, c)
+                cur = best.get(b)
+                if cur is None or cand > cur:
+                    best[b] = cand
+        return {b: c for b, (_a, c) in best.items()}
+
     def commit(self, group: str, topic: str, next_offsets: dict[int, int]) -> None:
-        """Manual commit (R12, postManualCommit)."""
+        """Manual commit (R12, postManualCommit).
+
+        Local roots write the tiny commit batch as one parquet file
+        directly (no Spark job — the facade's poll/commit loop stays
+        ms-latency, like the reference's SQLite upsert); object-store
+        roots append through Spark. Both paths write the same schema
+        into the same log, so Spark readers (`committed()`,
+        `compact_offsets()`) and the arrow reader see one store.
+        """
+        if not next_offsets:
+            return
+        if "://" not in self.root:
+            self._commit_arrow(group, topic, next_offsets)
+            return
         rows = [(group, topic, b, nxt, None) for b, nxt in next_offsets.items()]
         df = self.spark.createDataFrame(rows, OFFSETS_SCHEMA).withColumn(
             "committed_at", F.current_timestamp()
@@ -629,6 +839,7 @@ class EventLog:
                 "supports local paths only; on object stores run the "
                 "same latest-row rewrite as a job (see deploy/README.md)"
             )
+        self._recover_offsets_store()
         try:
             df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(self._offsets_path)
         except AnalysisException:
@@ -648,9 +859,41 @@ class EventLog:
             "compression", "zstd"
         ).parquet(tmp)
         n = self.spark.read.schema(OFFSETS_SCHEMA).parquet(tmp).count()
-        shutil.rmtree(self._offsets_path)
-        shutil.move(tmp, self._offsets_path)
+        # crash-safe swap: the old store is MOVED aside (O(1) rename),
+        # the new one renamed into place, and only then is the old one
+        # deleted. A crash at any point leaves a recoverable store —
+        # `_recover_offsets_store()` (called by every offsets read)
+        # restores the trash dir iff the main path is missing. The old
+        # rmtree-then-move ordering had a window that lost the entire
+        # committed-offsets log (every group restarts from its reset
+        # policy); the reference's SQLite upsert store has no such
+        # window (internal/localdb/migrations.go:37-48).
+        import os
+
+        trash = f"{self.root}/_offsets_trash"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.rename(self._offsets_path, trash)
+        os.rename(tmp, self._offsets_path)
+        shutil.rmtree(trash)
         return n
+
+    def _recover_offsets_store(self) -> None:
+        """Heal a compact_offsets() crash window: if the main offsets
+        dir is gone but the trash (moved-aside old store) survives,
+        restore it. If the main dir exists, a leftover trash dir is
+        stale (the swap completed) and is removed."""
+        import os
+        import shutil
+
+        if "://" in self.root:
+            return
+        trash = f"{self.root}/_offsets_trash"
+        if not os.path.isdir(trash):
+            return
+        if os.path.isdir(self._offsets_path):
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            os.rename(trash, self._offsets_path)
 
     def _offsets_file_count(self) -> int:
         """Data files currently in the offsets log (0 if none/remote)."""
@@ -659,6 +902,7 @@ class EventLog:
 
         if "://" in self.root:
             return 0
+        self._recover_offsets_store()
         return len(
             glob.glob(os.path.join(self._offsets_path, "**", "*.parquet"),
                       recursive=True)

@@ -163,10 +163,12 @@ class BrokerHttpServer:
     def _handle_produce(self, handler, topic: str, q: dict) -> None:
         body = self._read_body(handler)
         key = q.get("partitionKey", [None])[0]
-        ndjson = (
-            "\n" in body.strip()
-            or handler.headers.get("Content-Type", "") == "application/x-ndjson"
-        )
+        # per-line split is gated SOLELY on the NDJSON content type, like
+        # the reference (internal/producing/models.go:33-35): a single
+        # application/json message with embedded newlines (pretty-printed
+        # JSON) stays ONE record
+        ctype = handler.headers.get("Content-Type", "").split(";")[0].strip()
+        ndjson = ctype == "application/x-ndjson"
         # optional producer-supplied timestamp in epoch micros, like the
         # reference (producing/server.go:178-183); integer split keeps
         # exact microseconds
@@ -202,15 +204,18 @@ class BrokerHttpServer:
         reset = q.get("onNewGroup", ["latest"])[0]
         if reset not in ("earliest", "latest"):
             raise ValueError("Invalid offset reset policy value")
-        existing = self._consumers.get(cid)
-        if existing is not None:
-            if existing != (group, topics):
-                raise ValueError(
-                    "Consumer already registered with different parameters"
-                )
-            handler._respond(200, "Already registered")
-            return
+        # whole check-and-insert under one lock: two concurrent registers
+        # for the same consumerId must not both pass the existence check
+        # and double-join the membership
         with self._lock:
+            existing = self._consumers.get(cid)
+            if existing is not None:
+                if existing != (group, topics):
+                    raise ValueError(
+                        "Consumer already registered with different parameters"
+                    )
+                handler._respond(200, "Already registered")
+                return
             self.log.register(group, topics, reset=reset)
             self._consumers[cid] = (group, topics)
             self.membership.join(group, cid)
@@ -224,34 +229,35 @@ class BrokerHttpServer:
         return cid, group, topics
 
     def _handle_poll(self, handler, q: dict) -> None:
-        cid, group, topics = self._require_consumer(q)
-        with self._lock:  # assignment() mutates on debounce expiry
-            owned = self.membership.buckets_for(group, cid)
-        if not owned:
-            # the reference answers 204 + retry hint when a consumer
-            # owns no data (consuming/server.go:400-404)
-            handler.send_response(204)
-            handler.send_header("Retry-After", "1")
-            handler.end_headers()
-            return
-        out = []
+        # one lock acquisition covers assignment lookup AND the poll so
+        # ownership cannot shift between the two (debounced rebalance
+        # mutates assignment on expiry)
         with self._lock:
+            cid, group, topics = self._require_consumer(q)
+            owned = self.membership.buckets_for(group, cid)
+            if not owned:
+                # the reference answers 204 + retry hint when a consumer
+                # owns no data (consuming/server.go:400-404)
+                handler.send_response(204)
+                handler.send_header("Retry-After", "1")
+                handler.end_headers()
+                return
+            out = []
             for topic in topics:
-                rows = self.log.poll_json(group, topic, buckets=owned).collect()
-                out.extend(json.loads(r["response"]) for r in rows)
+                out.extend(self.log.poll_dicts(group, topic, buckets=owned))
         handler._respond(200, json.dumps(out), "application/json")
 
     def _handle_commit(self, handler, q: dict) -> None:
-        _cid, group, topics = self._require_consumer(q)
         with self._lock:
+            _cid, group, topics = self._require_consumer(q)
             committed = {
                 topic: self.log.commit_served(group, topic) for topic in topics
             }
         handler._respond(200, json.dumps({"committed": committed}), "application/json")
 
     def _handle_goodbye(self, handler, q: dict) -> None:
-        cid, group, topics = self._require_consumer(q)
         with self._lock:
+            cid, group, topics = self._require_consumer(q)
             for topic in topics:
                 self.log.goodbye(group, topic)
             del self._consumers[cid]

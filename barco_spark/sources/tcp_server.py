@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import socket
 import socketserver
+import struct
 import threading
 from datetime import datetime, timedelta, timezone
 
@@ -202,7 +203,7 @@ class BinaryProducerServer:
                     n_frames += 1
                 if group:
                     self._flush_group(sock, group)
-        except ValueError as ex:
+        except (ValueError, struct.error, IndexError) as ex:
             # bad header / truncated frame: error out and drop, like the
             # broker's "Invalid data header from producer client"
             try:
@@ -240,7 +241,11 @@ class BinaryProducerServer:
                     )
                     for m in msgs
                 ]
-            except (ValueError, UnicodeDecodeError) as ex:
+            except (ValueError, UnicodeDecodeError, struct.error, IndexError) as ex:
+                # struct.error/IndexError come from truncated or empty
+                # produce bodies in parse_produce_body — they must error
+                # THIS frame, not kill the handler thread and drop acks
+                # for the already-parsed frames in the group
                 acks.append(encode_error_frame(stream_id, str(ex)))
                 continue
             for m, row in zip(msgs, rows):

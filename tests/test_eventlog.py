@@ -372,3 +372,60 @@ def test_goodbye_triggers_offsets_compaction(spark, tmp_path):
     after = log.committed("g", "t")
     # served batch was committed by goodbye; everything else unchanged
     assert after[0] >= before[0]
+
+
+def test_offsets_swap_crash_recovery(spark, tmp_path):
+    """compact_offsets() swaps the store via rename-aside (old -> trash,
+    tmp -> live, delete trash). Simulate a crash at each window and
+    assert the committed positions survive — the old rmtree-then-move
+    ordering lost the whole log in the first window."""
+    import os
+    import shutil
+
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.produce("t", [f"m{i}" for i in range(20)])
+    log.register("g", ["t"], reset="earliest")
+    for _ in range(3):
+        log.poll("g", "t", max_records_per_bucket=2)
+    pos = log.committed("g", "t")
+    assert pos
+
+    # window A: old store moved to trash, new store not yet in place
+    trash = str(tmp_path / "log" / "_offsets_trash")
+    os.rename(log._offsets_path, trash)
+    assert log.committed("g", "t") == pos  # recovered transparently
+    assert log._committed_arrow("g", "t") == pos
+
+    # window B: swap completed but trash not yet deleted -> stale trash
+    # (holding an OLDER position) must be discarded, not resurrected
+    shutil.copytree(log._offsets_path, trash)
+    log.produce("t", [f"n{i}" for i in range(40)])  # new data to advance past
+    log.poll("g", "t", max_records_per_bucket=50)
+    log.commit_served("g", "t")
+    newer = log.committed("g", "t")
+    assert newer != pos
+    assert not os.path.isdir(trash)  # recovery removed the stale copy
+    assert log._committed_arrow("g", "t") == newer
+
+
+def test_poll_dicts_matches_poll_json(spark, tmp_path):
+    """The Spark-free poll serves byte-identical response items to the
+    Spark poll_json path on the same log state."""
+    import json as _json
+
+    from barco_spark.sources.eventlog import EventLog
+
+    log_a = EventLog(spark, str(tmp_path / "log_shared"))
+    log_a.produce("t", [(f"k{i}", f"m{i}") for i in range(57)])
+    log_a.register("ga", ["t"], reset="earliest")
+    log_a.register("gb", ["t"], reset="earliest")
+
+    fast = log_a.poll_dicts("ga", "t", max_records_per_bucket=10)
+    slow = [
+        _json.loads(r["response"])
+        for r in log_a.poll_json("gb", "t", max_records_per_bucket=10).collect()
+    ]
+    key = lambda d: d["bucket"]  # noqa: E731
+    assert sorted(fast, key=key) == sorted(slow, key=key)

@@ -214,3 +214,68 @@ def test_discovery_brokers_topology(server):
     assert topo["producerPort"] == server.port
     assert topo["consumerPort"] == server.port
     assert isinstance(topo["names"], list) and len(topo["names"]) == 1
+
+
+def _num_spark_jobs(spark) -> int:
+    """Total jobs the DAG scheduler has ever seen (nextJobId)."""
+    return spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+
+
+def test_poll_is_spark_free_and_fast(server):
+    """The facade's consumer loop (register/poll/commit/goodbye) must
+    not run Spark jobs: the data path is the datasource's pyarrow
+    footer-pruned slice reader + direct parquet commit appends, so poll
+    latency matches the reference's in-process read queue
+    (internal/consuming/server.go:389-419) instead of paying per-request
+    Spark job scheduling."""
+    import statistics
+    import time
+
+    # a 10k-row topic across all buckets (one produce batch)
+    payloads = [(f"k{i}", f'{{"n": {i}}}') for i in range(10_000)]
+    server.log.produce("big", payloads)
+
+    spark = server.log.spark
+    jobs_before = _num_spark_jobs(spark)
+    code, _ = _req(
+        server, "PUT",
+        "/v1/consumer/register?consumerId=cf&group=gf&topic=big&onNewGroup=earliest",
+        body="",
+    )
+    assert code == 200
+
+    latencies = []
+    total = 0
+    for _ in range(12):
+        t0 = time.perf_counter()
+        code, body = _req(server, "POST", "/v1/consumer/poll?consumerId=cf", body=" ")
+        latencies.append(time.perf_counter() - t0)
+        assert code in (200, 204)
+        if code == 200:
+            total += sum(len(item["values"]) for item in json.loads(body))
+    assert total == 10_000  # everything served exactly once
+
+    code, _ = _req(server, "POST", "/v1/consumer/goodbye?consumerId=cf", body=" ")
+    assert code == 200
+    assert _num_spark_jobs(spark) == jobs_before, (
+        "facade consumer path scheduled a Spark job"
+    )
+    assert statistics.median(latencies) < 0.1, f"p50 poll too slow: {latencies}"
+
+
+def test_embedded_newline_json_is_one_record(server):
+    """A pretty-printed application/json body with embedded newlines is
+    ONE record — per-line splitting is gated solely on the
+    application/x-ndjson content type, like the reference
+    (internal/producing/models.go:33-35)."""
+    body = '{\n  "n": 1,\n  "s": "x"\n}'
+    code, resp = _req(
+        server, "POST", "/v1/topic/pretty/messages", body=body,
+        ctype="application/json",
+    )
+    assert code == 200 and json.loads(resp)["produced"] == 1
+    log = server.log
+    log.register("gp", ["pretty"], reset="earliest")
+    items = log.poll_dicts("gp", "pretty", max_records_per_bucket=10)
+    values = [v for item in items for v in item["values"]]
+    assert values == [body]
