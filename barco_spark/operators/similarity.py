@@ -113,7 +113,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_baseline",
     f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     pairs AS (
@@ -126,12 +126,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "similarity",
     doc=(
-        "Embedding near-duplicate pairs (cosine >= 0.4; the synthetic corpus has no planted dups, max pairwise cosine ~0.51). Correctness "
-        "baseline is all-pairs; the scale path buckets by LSH sign bits "
-        "first (ann_lsh_buckets) so only same-bucket pairs are scored."
+        "All-pairs oracle BASELINE for embedding near-dup (cosine >= "
+        "0.4; the synthetic corpus has no planted dups, max pairwise "
+        "cosine ~0.51). O(N^2) pairs by construction — kept ONLY as the "
+        "exhaustive-recall twin that validates the canonical blocked "
+        "plan (dedup_embedding_cosine); never the scale path."
     ),
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms are factored out BEFORE the pair join (N folds, not 3*N^2;
     # sqrt(n2a * n2b) keeps the oracle's exact expression shape), and
     # the streamed side is repartitioned: the single-file parquet scan
@@ -170,7 +172,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_blocked",
+    "dedup_embedding_cosine",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e
@@ -194,20 +196,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "similarity",
     doc=(
-        "SemDeDup-style embedding near-dup at scale: vectors are "
-        "assigned to their max-cosine IVF cell (deterministic "
-        "stride-sampled centroids, nlist~sqrt(N), same machinery as "
-        "ann_ivf_search), and cosine pairs are scored ONLY within a "
-        "cell — a hash join on the cell key, never the all-pairs "
-        "nested loop of dedup_embedding_cosine (21x fewer pairs at "
-        "500 vectors; the gap widens as N^2/nlist). The pair count is "
-        "sum(|cell|^2)/2 ~ N^1.5 for balanced cells; at 100 TB cell "
-        "assignment happens at ingest and this is one co-partitioned "
-        "self-join. Same sequential-fold arithmetic as the oracle, so "
-        "cosines match bit-for-bit."
+        "THE canonical embedding near-dup operator (SemDeDup-style): "
+        "vectors are assigned to their max-cosine IVF cell "
+        "(deterministic stride-sampled centroids, nlist~sqrt(N), same "
+        "machinery as ann_ivf_search), and cosine pairs are scored "
+        "ONLY within a cell — a hash join on the cell key, never the "
+        "all-pairs nested loop of dedup_embedding_cosine_baseline "
+        "(21x fewer pairs at 500 vectors; the gap widens as "
+        "N^2/nlist). The pair count is sum(|cell|^2)/2 ~ N^1.5 for "
+        "balanced cells; at 100 TB cell assignment happens at ingest "
+        "and this is one co-partitioned self-join. Same "
+        "sequential-fold arithmetic as the oracle, so cosines match "
+        "bit-for-bit."
     ),
 )
-def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = t(spark, sf_dir, "embeddings").select(
@@ -665,16 +668,19 @@ def ann_ivf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     bc = spark.sparkContext.broadcast((cent_ids, cmn))
 
-    # each query's nprobe cells (computed on the driver: q x nlist is tiny)
+    # each query's nprobe cells (computed on the driver: q x nlist is
+    # tiny); kept as SORTED numpy arrays so the executor-side membership
+    # test is vectorized np.isin, not a per-row Python lambda
     qsims = qmn @ cmn.T
     probe_cells = {
-        int(q_ids[i]): set(
-            int(cent_ids[j])
-            for j in np.argsort(-qsims[i], kind="stable")[:NPROBE]
+        int(q_ids[i]): np.sort(
+            cent_ids[np.argsort(-qsims[i], kind="stable")[:NPROBE]]
         )
         for i in range(len(q_ids))
     }
-    all_cells = sorted(set().union(*probe_cells.values()))
+    all_cells = sorted(
+        {int(cl) for arr in probe_cells.values() for cl in arr}
+    )
     bq = spark.sparkContext.broadcast((q_ids, qmn, probe_cells))
 
     def assign(batches):
@@ -701,10 +707,13 @@ def ann_ivf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             M = np.stack(pdf["v"].map(np.asarray).values)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             sims = Mn @ qmn_.T  # batch x n_query
+            cells_arr = pdf["cell"].to_numpy(dtype=np.int64)
             out = []
             for i, qid in enumerate(q_ids_):
-                cells = probes_[int(qid)]
-                mask = pdf["cell"].map(lambda cl: int(cl) in cells).values
+                # vectorized membership over the whole Arrow batch (the
+                # hot inner loop of the throughput path — a per-element
+                # Python lambda here defeated the point of numpy scoring)
+                mask = np.isin(cells_arr, probes_[int(qid)])
                 if mask.any():
                     out.append(
                         pd.DataFrame(

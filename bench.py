@@ -55,7 +55,7 @@ HEADLINE = [
     "decontaminate_ngram_overlap",
     "pack_sequences",
     "repetition_stats",
-    "dedup_embedding_blocked",
+    "dedup_embedding_cosine",
 ]
 
 

@@ -309,7 +309,7 @@ def test_embedding_blocked_dedup_joins_on_cell_not_cartesian(spark, sf_dir):
     what this operator exists to avoid. (The centroid-assignment stage
     legitimately uses a broadcast cross join: corpus x ~sqrt(N)
     broadcast centroids.)"""
-    df = QUERIES["dedup_embedding_blocked"].build(spark, sf_dir)
+    df = QUERIES["dedup_embedding_cosine"].build(spark, sf_dir)
     plan = explain_str(df, "formatted").lower()
     assert "hashpartitioning(cell" in plan
     assert "sortmergejoin" in plan or "shuffledhashjoin" in plan
