@@ -25,6 +25,18 @@ use — it exists for protocol parity and integration tests, not as the
 100 TB ingest path (that is Structured Streaming / bulk produce()).
 One lock serializes EventLog calls (single-writer-per-topic contract);
 the server thread is a daemon so it never blocks interpreter exit.
+
+The consumer path (register/poll/commit/goodbye) runs NO Spark job on
+local log roots: offset discovery is parquet footer stats and the data
+read is the datasource's pyarrow slice reader (EventLog.poll_dicts), so
+poll latency matches the reference's in-process read queue.
+
+Multi-facade: registrations persist in a shared MembershipStore under
+the log root (the analogue of the reference's peer-replicated
+registrations, internal/consuming/server.go:569-591). N facades over
+one log root converge on one membership view — each adopts peer
+joins/leaves through its own debounced rebalance — and a facade
+restart recovers every registration from the store.
 """
 
 from __future__ import annotations
@@ -36,7 +48,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from barco_spark.sources.eventlog import EventLog
-from barco_spark.sources.membership import GroupMembership
+from barco_spark.sources.membership import GroupMembership, MembershipStore
 
 _TOPIC_MSG_RE = re.compile(r"^/v1/topic/([^/]+)/messages$")
 
@@ -56,8 +68,15 @@ class BrokerHttpServer:
             log.buckets, debounce_s=rebalance_debounce_s
         )
         self._lock = threading.Lock()
+        # Durable, shared registration store next to the log (the
+        # reference replicates registrations to peer brokers,
+        # internal/consuming/server.go:569-591): a facade restart
+        # recovers every registration, and N facades over one log root
+        # converge on one membership view via _sync_membership().
+        self.store = MembershipStore(log.root)
         # consumerId -> (group, topics) — the tracked-consumer table
-        self._consumers: dict[str, tuple[str, list[str]]] = {}
+        self._consumers: dict[str, tuple[str, list[str]]] = self.store.consumers()
+        self.membership.bootstrap(self.store.members())
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -218,15 +237,37 @@ class BrokerHttpServer:
                 return
             self.log.register(group, topics, reset=reset)
             self._consumers[cid] = (group, topics)
+            self.store.put(group, cid, topics)
             self.membership.join(group, cid)
         handler._respond(200, "OK")
 
     def _require_consumer(self, q: dict) -> tuple[str, str, list[str]]:
         cid = q.get("consumerId", [""])[0]
-        if not cid or cid not in self._consumers:
+        if not cid:
+            raise ValueError("Unregistered consumer")
+        if cid not in self._consumers:
+            # the consumer may have registered on a peer facade over the
+            # same log root — adopt the shared store's view before
+            # rejecting (caller holds the lock)
+            self._sync_membership()
+        if cid not in self._consumers:
             raise ValueError("Unregistered consumer")
         group, topics = self._consumers[cid]
         return cid, group, topics
+
+    def _sync_membership(self) -> None:
+        """Converge this facade's view with the shared store: consumers
+        registered or departed via a PEER facade are joined/left here
+        through the same debounced rebalance path local churn takes.
+        Caller holds self._lock."""
+        shared = self.store.consumers()
+        for cid, (group, topics) in shared.items():
+            if cid not in self._consumers:
+                self._consumers[cid] = (group, topics)
+                self.membership.join(group, cid)
+        for cid in [c for c in self._consumers if c not in shared]:
+            group, _topics = self._consumers.pop(cid)
+            self.membership.leave(group, cid)
 
     def _handle_poll(self, handler, q: dict) -> None:
         # one lock acquisition covers assignment lookup AND the poll so
@@ -234,6 +275,7 @@ class BrokerHttpServer:
         # mutates assignment on expiry)
         with self._lock:
             cid, group, topics = self._require_consumer(q)
+            self._sync_membership()  # adopt peer-facade joins/leaves
             owned = self.membership.buckets_for(group, cid)
             if not owned:
                 # the reference answers 204 + retry hint when a consumer
@@ -261,5 +303,6 @@ class BrokerHttpServer:
             for topic in topics:
                 self.log.goodbye(group, topic)
             del self._consumers[cid]
+            self.store.remove(group, cid)
             self.membership.leave(group, cid)
         handler._respond(200, "Bye")

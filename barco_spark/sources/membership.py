@@ -17,8 +17,11 @@ makes the behavior deterministic and testable with an injected clock
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from typing import Callable
+from urllib.parse import quote, unquote
 
 from barco_spark.sources.eventlog import assign_buckets
 
@@ -92,3 +95,84 @@ class GroupMembership:
 
     def rebalance_pending(self, group: str) -> bool:
         return group in self._deadline
+
+    def bootstrap(self, members: dict[str, set[str]]) -> None:
+        """Adopt a recovered membership snapshot in one step, applying
+        the deal-out immediately (a restarting facade must serve the
+        same assignment the group had, not debounce every recovered
+        member as churn)."""
+        for group, cids in members.items():
+            self._members[group] = set(cids)
+            self._applied[group] = assign_buckets(sorted(cids), self.buckets)
+            self._deadline.pop(group, None)
+
+
+class MembershipStore:
+    """Durable, shared consumer-registration store.
+
+    The reference replicates consumer registrations to peer brokers so
+    any broker can answer for the group and a broker restart forgets
+    nothing (internal/consuming/server.go:569-591, consumer_state.go
+    peer sync). On shared storage the same guarantee is one object per
+    consumer under ``{root}/_membership/{group}/{consumer}.json`` —
+    joins/leaves are single-file writes/deletes (no multi-writer
+    conflict between facades), and every facade over the same log root
+    sees one membership view by listing the directory. Object-store
+    friendly by construction (one small object per consumer, no
+    appends, no renames of shared files).
+    """
+
+    def __init__(self, root: str) -> None:
+        self.path = os.path.join(root, "_membership")
+
+    def _group_dir(self, group: str) -> str:
+        return os.path.join(self.path, quote(group, safe=""))
+
+    def put(self, group: str, consumer_id: str, topics: list[str]) -> None:
+        d = self._group_dir(group)
+        os.makedirs(d, exist_ok=True)
+        target = os.path.join(d, quote(consumer_id, safe="") + ".json")
+        tmp = target + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"group": group, "consumer_id": consumer_id, "topics": topics},
+                fh,
+            )
+        os.replace(tmp, target)  # atomic publish
+
+    def remove(self, group: str, consumer_id: str) -> None:
+        target = os.path.join(
+            self._group_dir(group), quote(consumer_id, safe="") + ".json"
+        )
+        try:
+            os.remove(target)
+        except FileNotFoundError:
+            pass  # concurrent goodbye from another facade already won
+
+    def consumers(self) -> dict[str, tuple[str, list[str]]]:
+        """consumer_id -> (group, topics) across every group."""
+        out: dict[str, tuple[str, list[str]]] = {}
+        if not os.path.isdir(self.path):
+            return out
+        for gdir in sorted(os.listdir(self.path)):
+            gpath = os.path.join(self.path, gdir)
+            if not os.path.isdir(gpath):
+                continue
+            for fn in sorted(os.listdir(gpath)):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(gpath, fn), encoding="utf-8") as fh:
+                        rec = json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    continue  # torn concurrent write: visible next scan
+                cid = rec.get("consumer_id") or unquote(fn[: -len(".json")])
+                out[cid] = (rec.get("group", unquote(gdir)), rec.get("topics", []))
+        return out
+
+    def members(self) -> dict[str, set[str]]:
+        """group -> set of consumer ids (derived from consumers())."""
+        out: dict[str, set[str]] = {}
+        for cid, (group, _topics) in self.consumers().items():
+            out.setdefault(group, set()).add(cid)
+        return out

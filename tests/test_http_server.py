@@ -279,3 +279,148 @@ def test_embedded_newline_json_is_one_record(server):
     items = log.poll_dicts("gp", "pretty", max_records_per_bucket=10)
     values = [v for item in items for v in item["values"]]
     assert values == [body]
+
+
+def test_multi_facade_stateless_consumers(spark, tmp_path):
+    """Two facades over ONE log root (the reference's multi-broker
+    scenario, internal/test/integration/roundtrip_test.go:382 +
+    replicated registrations server.go:569-591): consumers registering
+    on DIFFERENT facades converge on the shared membership store, both
+    facades compute the same deterministic deal-out, and a partitioned
+    poll covers every bucket exactly once across facades."""
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    root = str(tmp_path / "log")
+    log_a, log_b = EventLog(spark, root), EventLog(spark, root)
+    fa, fb = BrokerHttpServer(log_a), BrokerHttpServer(log_b)
+    fa.start(), fb.start()
+    try:
+        # keyed so every bucket holds data
+        log_a.produce("t", [(f"k{i}", f"m{i}") for i in range(200)])
+        code, _ = _req(
+            fa, "PUT",
+            "/v1/consumer/register?consumerId=c1&group=g&topic=t&onNewGroup=earliest",
+            body="",
+        )
+        assert code == 200
+        code, _ = _req(
+            fb, "PUT",
+            "/v1/consumer/register?consumerId=c2&group=g&topic=t&onNewGroup=earliest",
+            body="",
+        )
+        assert code == 200
+
+        # each consumer polls ITS OWN facade; ownership must partition
+        # the ring identically on both sides (pure deal-out function of
+        # the converged member list)
+        code_a, body_a = _req(fa, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+        code_b, body_b = _req(fb, "POST", "/v1/consumer/poll?consumerId=c2", body=" ")
+        assert code_a == 200 and code_b == 200
+        items_a, items_b = json.loads(body_a), json.loads(body_b)
+        buckets_a = {it["bucket"] for it in items_a}
+        buckets_b = {it["bucket"] for it in items_b}
+        assert buckets_a and buckets_b
+        assert not (buckets_a & buckets_b), "bucket served by both facades"
+        values = [v for it in items_a + items_b for v in it["values"]]
+        assert sorted(values) == sorted(f"m{i}" for i in range(200))
+        # both facades hold the identical applied assignment
+        assert fa.membership.assignment("g") == fb.membership.assignment("g")
+
+        # goodbye on one facade propagates: the survivor's next poll
+        # owns the whole ring
+        code, _ = _req(fa, "POST", "/v1/consumer/goodbye?consumerId=c1", body=" ")
+        assert code == 200
+        log_b.produce("t", [(f"k{i}", f"n{i}") for i in range(24)])
+        code, body = _req(fb, "POST", "/v1/consumer/poll?consumerId=c2", body=" ")
+        assert code == 200
+        polled = [v for it in json.loads(body) for v in it["values"]]
+        assert sorted(polled) == sorted(f"n{i}" for i in range(24))
+    finally:
+        fa.stop(), fb.stop()
+
+
+def test_multi_facade_debounce_honored(spark, tmp_path):
+    """A peer-facade join inside the debounce window must NOT re-deal
+    immediately: the first facade keeps serving its applied view until
+    the window expires (the reference queues mutations and applies them
+    on the rebalance timer tick, consumer_state.go:181-272)."""
+    import time as _t
+
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    root = str(tmp_path / "log")
+    log_a, log_b = EventLog(spark, root), EventLog(spark, root)
+    fa = BrokerHttpServer(log_a, rebalance_debounce_s=0.3)
+    fb = BrokerHttpServer(log_b, rebalance_debounce_s=0.3)
+    fa.start(), fb.start()
+    try:
+        _req(
+            fa, "PUT",
+            "/v1/consumer/register?consumerId=c1&group=g&topic=t&onNewGroup=earliest",
+            body="",
+        )
+        _req(fa, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+        assert fa.membership.buckets_for("g", "c1") == list(range(log_a.buckets))
+
+        _req(
+            fb, "PUT",
+            "/v1/consumer/register?consumerId=c2&group=g&topic=t&onNewGroup=earliest",
+            body="",
+        )
+        # c2's join reaches facade A on its next poll, but inside the
+        # window c1 still owns the full ring
+        _req(fa, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+        assert fa.membership.buckets_for("g", "c1") == list(range(log_a.buckets))
+        assert fa.membership.rebalance_pending("g")
+        _t.sleep(0.35)
+        _req(fa, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+        half = fa.membership.buckets_for("g", "c1")
+        assert 0 < len(half) < log_a.buckets  # re-deal applied after expiry
+    finally:
+        fa.stop(), fb.stop()
+
+
+def test_facade_restart_recovers_registrations(spark, tmp_path):
+    """Stop a facade and start a fresh one over the same log root: the
+    durable membership store restores every registration, so a consumer
+    keeps polling (from its last durable commit — at-least-once
+    redelivery of the unacked batch) WITHOUT re-registering."""
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    root = str(tmp_path / "log")
+    fa = BrokerHttpServer(EventLog(spark, root))
+    fa.start()
+    try:
+        fa.log.produce("t", [(f"k{i}", f"m{i}") for i in range(30)])
+        _req(
+            fa, "PUT",
+            "/v1/consumer/register?consumerId=c1&group=g&topic=t&onNewGroup=earliest",
+            body="",
+        )
+        code, body = _req(fa, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+        assert code == 200
+        first = sorted(v for it in json.loads(body) for v in it["values"])
+        assert first == sorted(f"m{i}" for i in range(30))
+    finally:
+        fa.stop()
+
+    fb = BrokerHttpServer(EventLog(spark, root))  # fresh process, same root
+    fb.start()
+    try:
+        # no re-register: the recovered store must already know c1
+        code, body = _req(fb, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+        assert code == 200
+        redelivered = sorted(v for it in json.loads(body) for v in it["values"])
+        # facade A never durably committed the served batch (auto-commit
+        # lands on the NEXT poll), so the restart redelivers it exactly
+        assert redelivered == first
+        # the following poll durably commits; new data flows normally
+        fb.log.produce("t", [("kx", "fresh")])
+        code, body = _req(fb, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+        assert code == 200
+        assert [v for it in json.loads(body) for v in it["values"]] == ["fresh"]
+    finally:
+        fb.stop()
