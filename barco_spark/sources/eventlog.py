@@ -159,6 +159,17 @@ class EventLog:
             raise ValueError(
                 f"invalid topic name (1..{self.config.max_topic_length} chars)"
             )
+        # Statically keyless batch (no key column, no shared key): every
+        # record round-robins, so the whole-partition fast path applies
+        # (see _produce_keyless). Detected from the API shape, never by
+        # scanning the data.
+        keyless_static = partition_key is None and (
+            (isinstance(payloads, DataFrame) and "partition_key" not in payloads.columns)
+            or (
+                not isinstance(payloads, DataFrame)
+                and not (payloads and isinstance(payloads[0], tuple))
+            )
+        )
         if isinstance(payloads, DataFrame):
             df = payloads
             if "payload" not in df.columns:
@@ -200,6 +211,9 @@ class EventLog:
                 .withColumnRenamed("_line", "payload")
                 .filter(F.length("payload") > 0)
             )
+        if keyless_static:
+            return self._produce_keyless(topic, df)
+
         # arrival sequence, captured before the bucket shuffle so offsets
         # reflect produce order (per-key ordering guarantee,
         # docs/rest_api/README.md:69-72)
@@ -314,6 +328,82 @@ class EventLog:
             else:
                 self.spark.conf.set(_batch_key, _batch_prev)
         return n
+
+    def _produce_keyless(self, topic: str, df: DataFrame) -> int:
+        """Single-pass, zero-shuffle produce for statically keyless
+        batches: one scan, one write, no persist, no counting job.
+
+        Keyless records have NO per-key ordering or placement contract —
+        the reference round-robins them for load spread only
+        (internal/discovery/discoverer.go:370-411) and hits its 1M msg/s
+        headline number via client-side packing of many messages per
+        stored batch (docs/benchmarks/README.md:34-35). The Spark-shaped
+        analogue of that packing: ``coalesce(buckets)`` folds the scan
+        into at most one partition PER BUCKET (no shuffle — partitions
+        are concatenated, payloads never hashed or moved), which makes
+        offset assignment pure arithmetic:
+
+        - bucket  = (pid + salt) % buckets  (bijective per batch)
+        - offset  = watermark[bucket] + row-index-in-partition, where
+          the row index is recovered from ``monotonically_increasing_id``
+          (low 33 bits) — no window sort, offsets contiguous per bucket
+          and monotone within every written file (footer seek stays
+          sharp, R5)
+        - the batch row count is an ``Observation`` on the same pass,
+          so NOTHING runs twice.
+
+        This is exactly the reference's one-coalescer-goroutine-per-
+        bucket write shape (W1): produce parallelism = bucket count. At
+        100 TB you raise ``buckets`` with the cluster, not this code.
+        Task retries can reorder rows WITHIN a partition only — the
+        offset set stays the same contiguous range, and keyless rows
+        have no ordering contract, so no persist is needed to pin
+        placement (the keyed path's count-matrix persist exists for its
+        per-key guarantee).
+
+        Small batches rotate via a salt derived from the topic's total
+        produced count (every write grows the total, so successive
+        single-message produces walk the ring even when the single row
+        keeps landing in the same source partition) — replay-stable
+        because the salt is a pure function of the pre-batch watermarks.
+        """
+        from pyspark.sql import Observation
+
+        watermarks = self.high_watermarks(topic)
+        salt = sum(watermarks.values()) % self.buckets
+        df = df.coalesce(self.buckets)
+        base = [
+            watermarks.get((pid + salt) % self.buckets, 0)
+            for pid in range(self.buckets)
+        ]
+        base_lit = F.array(*[F.lit(v).cast("bigint") for v in base])
+        obs = Observation()
+        out = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .select(
+                F.lit(topic).alias("topic"),
+                F.lit(None).cast("string").alias("partition_key"),
+                "timestamp",
+                "payload",
+                F.pmod(F.col("_pid") + F.lit(salt), F.lit(self.buckets))
+                .cast("int")
+                .alias("bucket"),
+                (
+                    F.element_at(base_lit, F.col("_pid") + 1)
+                    + F.monotonically_increasing_id().bitwiseAND(
+                        F.lit((1 << 33) - 1)
+                    )
+                ).alias("offset"),
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        (
+            out.write.mode("append")
+            .partitionBy("topic", "bucket")
+            .option("compression", "zstd")
+            .parquet(self._data_path)
+        )
+        return obs.get["n"]
 
     def high_watermarks(self, topic: str) -> dict[int, int]:
         """Next offset per bucket (max written + 1); {} for a new topic.

@@ -429,3 +429,60 @@ def test_poll_dicts_matches_poll_json(spark, tmp_path):
     ]
     key = lambda d: d["bucket"]  # noqa: E731
     assert sorted(fast, key=key) == sorted(slow, key=key)
+
+
+def test_keyless_produce_is_single_pass(spark, tmp_path):
+    """The statically-keyless fast path schedules exactly TWO Spark
+    jobs per produce — the footer-stats watermark lookup and the write
+    itself (with its Observation riding along). No persist, no counting
+    job, no shuffle (plan-asserted): the reference's packed keyless
+    write shape (docs/benchmarks/README.md:34-35, W1)."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    src = spark.range(5000).select(
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("payload")
+    )
+    log.produce("warm", src.limit(10))  # settle lazy session init
+
+    def jobs():
+        return spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+
+    before = jobs()
+    n = log.produce("t", src)
+    assert n == 5000
+    assert jobs() - before <= 2, "keyless produce must be watermark + write only"
+
+    # contiguity + spread survive the arithmetic assignment
+    rows = log.read("t").select("bucket", "offset").collect()
+    per_bucket: dict[int, list[int]] = {}
+    for r in rows:
+        per_bucket.setdefault(r["bucket"], []).append(r["offset"])
+    assert len(per_bucket) > 1
+    for offs in per_bucket.values():
+        assert sorted(offs) == list(range(len(offs)))
+
+    # and the plan has no exchange: payloads are never shuffled
+    plan = log.spark.range(1)._jdf  # noqa: F841 - keep py4j warm
+    keyless_plan = (
+        src.coalesce(log.buckets)
+        .withColumn("_pid", F.spark_partition_id())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in keyless_plan
+
+
+def test_keyless_salt_rotates_single_messages(spark, tmp_path):
+    """Successive single-message keyless produces walk the ring via the
+    least-filled-bucket salt instead of piling into bucket 0."""
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    for i in range(6):
+        log.produce("t", [f"solo{i}"])
+    buckets = {r["bucket"] for r in log.read("t").select("bucket").collect()}
+    assert len(buckets) == 6  # each landed on a different bucket

@@ -45,7 +45,9 @@ def main() -> None:
     n = log.produce("keyed", src_keyed)
     out["produce_keyed_msgs_per_s"] = round(n / (time.perf_counter() - t0))
 
-    src_unkeyed = src_keyed.withColumn("partition_key", F.lit(None).cast("string"))
+    # keyless API shape: no partition_key column at all (triggers the
+    # zero-shuffle whole-partition fast path)
+    src_unkeyed = src_keyed.drop("partition_key")
     t0 = time.perf_counter()
     n = log.produce("unkeyed", src_unkeyed)
     out["produce_unkeyed_msgs_per_s"] = round(n / (time.perf_counter() - t0))
