@@ -178,3 +178,56 @@ def test_wire_frame_roundtrip_fuzz(topic, key, payloads, ts, stream_id, n_frames
         assert bytes(r["payload"]) == payloads[i % len(payloads)]
         if ts is not None:
             assert r["timestamp_us"] == ts
+
+
+# ---------------------------------------------------------------------------
+# Sketch error bounds vs ground truth at three scales (VERDICT r3 item 8).
+# No DuckDB oracle is possible for HLL/approx_count_distinct (engine-
+# specific sketch families), so the correctness claim is a statistical
+# bound: the estimate must sit within a few standard errors of the exact
+# count, and the bound must hold as cardinality grows 100x.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+@pytest.mark.parametrize("n_distinct", [1_000, 10_000, 100_000])
+def test_approx_count_distinct_error_bound_scales(spark, n_distinct):
+    """approx_count_distinct(rsd=0.02): documented relative standard
+    error 2%; assert within 5 sigma (10%) at 1k/10k/100k distincts,
+    with each value duplicated so the sketch sees repeats."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_distinct * 3).select(
+        (F.col("id") % n_distinct).cast("string").alias("v")
+    )
+    est = df.agg(F.approx_count_distinct("v", rsd=0.02).alias("e")).collect()[0]["e"]
+    assert abs(est - n_distinct) <= 0.10 * n_distinct, (n_distinct, est)
+
+
+@pytest.mark.parametrize("n_distinct", [1_000, 10_000, 100_000])
+def test_hll_sketch_error_bound_and_mergeability_scales(spark, n_distinct):
+    """Datasketches HLL (lgConfigK=12 default): RSE ~ 1.04/sqrt(4096)
+    ~ 1.63%; assert within 5 sigma (8.2%). Also assert the merge
+    property the 100 TB pattern relies on: union of per-shard
+    sketches estimates the same set within the same bound (the union
+    gadget promotes sparse sketches to a dense representation, so the
+    estimate is not bit-identical to the direct sketch — only
+    equally accurate)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_distinct * 3).select(
+        (F.col("id") % n_distinct).cast("string").alias("v"),
+        (F.col("id") % 8).alias("shard"),
+    )
+    whole = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")
+    ).collect()[0]["e"]
+    merged = (
+        df.groupBy("shard")
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(whole - n_distinct) <= 0.082 * n_distinct, (n_distinct, whole)
+    assert abs(merged - n_distinct) <= 0.082 * n_distinct, (n_distinct, merged)
