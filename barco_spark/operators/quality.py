@@ -1,0 +1,291 @@
+"""Corpus-quality operators for LLM training-data pipelines, round 4.
+
+Four first-class curation primitives the 100 TB pipeline needs beyond
+the round-1..3 set (text.py, dedup.py, pipeline.py):
+
+- C4-style duplicate-chunk statistics (the "remove repeated lines
+  across the corpus" signal from the C4 paper, on fixed-width word
+  chunks since the synthetic corpus has no newlines),
+- tf-idf top terms per source (integer-exact scoring: rank by
+  ``tf * N / df`` as ONE double division of exact integers, so the
+  ordering is bit-identical across engines — ln()-based idf is not),
+- vocabulary growth / hapax statistics (type-token ratio per source,
+  the classic corpus-diversity signal),
+- PII pseudonymization over identifier-bearing columns (digit-run
+  masking with redaction counts; the e-mail/phone regex rules are
+  exercised on constructed strings in tests/test_operators_lib.py
+  since the synthetic corpus contains no organic PII).
+
+Determinism contract with the DuckDB oracle (same as text.py): all
+cross-row aggregates are integer sums; doubles appear only in final
+single divisions of integers (IEEE-identical in both engines). The
+portable hash is h28 (md5-prefix) shared with text.py.
+
+Scale notes per operator are in each docstring; none of these shuffle
+anything wider than (key, counters) rows, and the only join
+(duplicate-chunk) is an equi-join on the chunk hash — the same shape
+as exact dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from barco_spark.registry import register
+from barco_spark.operators.text import h28, h28_sql, words_col
+from barco_spark.tables import t
+
+CHUNK = 10  # words per chunk for the C4-style duplicate-chunk pass
+
+
+@register(
+    "dedup_chunk_share",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               range(0, (len(words) + {CHUNK - 1}) // {CHUNK}),
+               j -> {h28_sql(f"array_to_string(list_slice(words, j*{CHUNK}+1, j*{CHUNK}+{CHUNK}), ' ')")}
+             )) AS ch
+      FROM w
+    ),
+    cnt AS (SELECT ch, COUNT(*) AS n FROM c GROUP BY ch)
+    SELECT c.source,
+           COUNT(DISTINCT c.doc_id) AS n_docs,
+           COUNT(*) AS total_chunks,
+           CAST(SUM(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(SUM(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_share
+    FROM c JOIN cnt USING (ch)
+    GROUP BY c.source
+    """,
+    "text",
+    doc=(
+        "C4-style duplicate-chunk statistics: documents are cut into "
+        f"fixed {CHUNK}-word chunks (the corpus has no newlines, so "
+        "fixed-width chunks stand in for C4's line split), each chunk "
+        "h28-hashed, counted corpus-wide, and every occurrence of a "
+        "chunk seen more than once is flagged. Per-source duplicated-"
+        "chunk share is THE boilerplate signal C4 filters on. Plan: "
+        "one explode, one hash-aggregate on chunk hash (map-side "
+        "combinable), one equi-join back on the hash — the exact-dedup "
+        "shuffle shape; nothing wider than (hash, count) moves twice."
+    ),
+)
+def dedup_chunk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = words_col()
+    n_chunks = F.expr(f"(size(split(text, ' ')) + {CHUNK - 1}) div {CHUNK}")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda j: h28(F.concat_ws(" ", F.slice(w, j * CHUNK + 1, CHUNK))),
+    )
+    c = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.explode(chunks).alias("ch"))
+    )
+    cnt = c.groupBy("ch").agg(F.count(F.lit(1)).alias("n"))
+    dup = F.when(F.col("n") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        c.join(cnt, "ch")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.sum(dup).cast("bigint").alias("dup_chunks"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_share"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY source, term),
+    df AS (
+      SELECT term, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM terms)
+      GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT source, term, tf, df, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY score DESC, term ASC
+             ) AS rn
+      FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    "text",
+    doc=(
+        "tf-idf top-5 terms per source, integer-exact: score = "
+        "tf * N / df as ONE double division of exact integer products, "
+        "so ranking (score desc, term asc) is bit-identical across "
+        "engines — ln()-based idf would differ in ulps and flip "
+        "near-ties. Plan: one explode feeds both the tf aggregate and "
+        "the distinct-doc df aggregate; N is a 1-row broadcast cross "
+        "join; rank <= 5 compiles to WindowGroupLimit (map-side top-k "
+        "per source before the window shuffle)."
+    ),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", "source", F.explode(words_col()).alias("term"))
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        terms.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "vocab_growth_stats",
+    """
+    WITH terms AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tc AS (SELECT source, term, COUNT(*) AS cnt FROM terms GROUP BY source, term)
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           COUNT(*) AS distinct_terms,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_terms,
+           CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS type_token_ratio
+    FROM tc
+    GROUP BY source
+    """,
+    "text",
+    doc=(
+        "Vocabulary growth per source: total tokens, distinct terms, "
+        "hapax legomena (terms seen once), and the type-token ratio — "
+        "the corpus-diversity / Zipf-head signal used to spot template-"
+        "generated sources. Two cascaded hash aggregations on the same "
+        "(source, term) partitioning (the second is map-side local); "
+        "shuffle volume is vocabulary size, not token count."
+    ),
+)
+def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tc = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(words_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hapax = F.when(F.col("cnt") == 1, F.lit(1)).otherwise(F.lit(0))
+    return tc.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_terms"),
+        F.sum(hapax).cast("bigint").alias("hapax_terms"),
+        (F.count(F.lit(1)).cast("double") / F.sum("cnt")).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "pii_pseudonymize",
+    """
+    WITH m AS (
+      SELECT c_mktsegment,
+             c_name,
+             regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS masked,
+             CAST(length(c_name)
+               - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT)
+               AS n_digits
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_digits) AS BIGINT) AS digits_masked,
+           COUNT(DISTINCT masked) AS distinct_masked_forms
+    FROM m
+    GROUP BY c_mktsegment
+    """,
+    "pipeline",
+    doc=(
+        "PII pseudonymization: digit-run identifiers replaced with "
+        "'<ID>' and redaction volume counted per market segment — the "
+        "de-identification pass a training-data pipeline runs before "
+        "release. The digit rule runs live on the customer table "
+        "(names embed numeric ids); the e-mail/phone/IPv4 rules share "
+        "the same regexp_replace machinery and are verified on "
+        "constructed strings in tests/test_operators_lib.py (no "
+        "organic PII exists in the synthetic corpus). Pure per-row "
+        "regex inside codegen + one hash aggregation; at 100 TB this "
+        "is one scan with shuffle bounded by segment cardinality."
+    ),
+)
+def pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.regexp_replace("c_name", "[0-9]+", "<ID>").alias("masked"),
+        (
+            F.length("c_name") - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+        )
+        .cast("bigint")
+        .alias("n_digits"),
+    )
+    return m.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_digits").cast("bigint").alias("digits_masked"),
+        F.countDistinct("masked").alias("distinct_masked_forms"),
+    )
+
+
+# Reusable PII masking rules (RE2-safe: no lookaround, portable to the
+# DuckDB oracle and to any regex engine a downstream pipeline uses).
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("id_digits", r"[0-9]+", "<ID>"),
+]
+
+
+def mask_pii(col: Column, rules: list[str] | None = None) -> Column:
+    """Apply the PII_RULES chain (or a named subset) to a string column.
+
+    Rule order matters: e-mail/phone/IP run before the generic digit
+    rule so structured identifiers keep their typed tags.
+    """
+    wanted = set(rules) if rules is not None else {n for n, _, _ in PII_RULES}
+    out = col
+    for name, pat, tag in PII_RULES:
+        if name in wanted:
+            out = F.regexp_replace(out, pat, tag)
+    return out

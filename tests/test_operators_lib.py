@@ -148,3 +148,60 @@ def test_dedup_clusters_paths_agree(spark, sf_dir):
     }
     assert fast == loop
     assert fast  # non-empty at every test SF
+
+
+def test_mask_pii_rules_on_constructed_strings(spark):
+    """The e-mail/phone/IPv4/digit rules from quality.PII_RULES, applied
+    to strings the synthetic corpus doesn't contain — and the same
+    chain through DuckDB's regexp_replace to prove the RE2-safe
+    portability claim in the docstring."""
+    import duckdb
+
+    from barco_spark.operators.quality import PII_RULES, mask_pii
+
+    cases = [
+        ("mail me at jane.doe+spam@example.co.uk today", "mail me at <EMAIL> today"),
+        ("call +1 (415) 555-0199 now", "call <PHONE> now"),
+        ("host 192.168.1.254 is up", "host <IP> is up"),
+        ("order 123456 shipped", "order <ID> shipped"),
+        ("no pii here", "no pii here"),
+        # chained: typed tags win over the generic digit rule
+        (
+            "a@b.io or 10.0.0.1 or 99",
+            "<EMAIL> or <IP> or <ID>",
+        ),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
+    got = [r.m for r in df.select(mask_pii(F.col("s")).alias("m")).collect()]
+    assert got == [want for _, want in cases]
+
+    con = duckdb.connect()
+    for (raw, want) in cases:
+        expr = "s"
+        for _, pat, tag in PII_RULES:
+            expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+        duck = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS s)", [raw]
+        ).fetchone()[0]
+        assert duck == want, (raw, duck)
+    con.close()
+
+
+def test_pii_pseudonymize_masks_all_digits(spark, sf_dir):
+    """Every digit in c_name is accounted for: sum(digits_masked) must
+    equal the raw digit count, and no masked form may contain a digit."""
+    from barco_spark.operators.quality import pii_pseudonymize
+
+    rows = pii_pseudonymize(spark, sf_dir).collect()
+    total_masked = sum(r.digits_masked for r in rows)
+    raw = (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.sum(
+                F.length("c_name") - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+            ).alias("n")
+        )
+        .collect()[0]
+        .n
+    )
+    assert total_masked == raw > 0
