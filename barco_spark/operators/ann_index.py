@@ -1,0 +1,199 @@
+"""Persisted IVF index: the at-rest form of the IVF ANN scale path.
+
+SCALING.md's ANN study ends with the posture "at 100 TB, signatures and
+cell assignments are computed once at ingest and stored (the corpus is
+written bucketed by cell), making a query a pure bucket probe". This
+module makes that real:
+
+- ``ivf_index_write``: assigns every corpus vector to its max-cosine
+  stride-sampled centroid with the SAME sequential-fold arithmetic as
+  ``ann_ivf_search`` (similarity.py) and writes the corpus as parquet
+  PARTITIONED BY cell, centroids alongside. One broadcast join + one
+  partial-aggregating groupBy + one partitioned write — no all-pairs
+  stage, no collect of corpus rows.
+- ``ivf_index_search``: resolves each query's NPROBE cells from the
+  tiny centroid table, then scans ONLY those cell directories — the
+  probe-cell literals reach the scan as PartitionFilters (asserted in
+  tests/test_plans.py), so a query reads ~nprobe/nlist of the index
+  regardless of corpus size. Scoring reuses the fold-exact cosine, so
+  results are bit-identical to ``ann_ivf_search`` over the same data —
+  which is why the registered query shares its DuckDB oracle verbatim.
+
+At 100 TB the write runs once per ingest batch (append new cells /
+compact), and every search is a partition-pruned scan + broadcast
+probe join: the FAISS IVF posture expressed as plain parquet layout +
+Catalyst partition pruning, no custom index format needed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import barco_spark.operators.similarity  # noqa: F401  (registers ann_ivf_search)
+from barco_spark.operators.similarity import N_QUERY, NPROBE, dot, norm2
+from barco_spark.registry import QUERIES, register
+from barco_spark.tables import t
+
+# bit-identical results => the oracle is literally ann_ivf_search's
+_IVF_ORACLE_SQL = QUERIES["ann_ivf_search"].oracle
+
+
+def _cos(a: str, b: str, n2a: str, n2b: str) -> Column:
+    return dot(a, b) / F.sqrt(F.col(n2a) * F.col(n2b))
+
+
+def _centroids(e: DataFrame, n_corpus: int) -> DataFrame:
+    """Deterministic stride sample, nlist ~ sqrt(corpus) — the same
+    centroid set ann_ivf_search and its oracle use."""
+    stride = max(1, math.ceil(math.sqrt(n_corpus)))
+    return e.filter(
+        (F.col("vec_id") >= N_QUERY) & ((F.col("vec_id") - N_QUERY) % stride == 0)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("centv"),
+        norm2("v").alias("n2cent"),
+    )
+
+
+def ivf_index_write(spark: SparkSession, sf_dir: str, index_path: str) -> int:
+    """Build the persisted index under ``index_path``:
+
+    - ``{index_path}/corpus`` — parquet partitioned by ``cell``, rows
+      ``(cand_id, cv, n2c)`` (vector + precomputed squared norm),
+    - ``{index_path}/centroids`` — the sqrt(N) centroid table.
+
+    Returns the number of indexed vectors.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        norm2("v").alias("n2c"),
+    )
+    n_corpus = c.count()
+    cent = _centroids(e, n_corpus)
+    assigned = (
+        c.join(F.broadcast(cent))
+        .select(
+            "cand_id",
+            "cv",
+            "n2c",
+            "centroid_id",
+            _cos("cv", "centv", "n2c", "n2cent").alias("cos"),
+        )
+        .groupBy("cand_id")
+        .agg(
+            F.any_value("cv").alias("cv"),
+            F.any_value("n2c").alias("n2c"),
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cos"), (-F.col("centroid_id")).cast("double")),
+            ).alias("cell"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_path}/corpus"
+    )
+    cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
+    return n_corpus
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = NPROBE,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index.
+
+    ``queries``: DataFrame (query_id, qv: array<double>). The probe
+    cells are resolved against the centroid table (tiny: sqrt(N) rows)
+    and collected as LITERALS, so Catalyst prunes the corpus scan to
+    the probed cell directories (PartitionFilters, not a post-scan
+    filter). Everything downstream is a broadcast join of the probe set
+    against only those partitions.
+    """
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    q = queries.select(
+        "query_id", F.col("qv"), norm2("qv").alias("n2q")
+    )
+    qscore = (
+        F.broadcast(q)
+        .join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "n2q",
+            "centroid_id",
+            _cos("qv", "centv", "n2q", "n2cent").alias("cos"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qscore.select(
+            "query_id",
+            "qv",
+            "n2q",
+            F.col("centroid_id").alias("cell"),
+            F.row_number().over(wp).alias("pr"),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "n2q", "cell")
+    )
+    # the probe set is <= nprobe * |queries| rows: collect the cell ids
+    # so the corpus scan sees IN (<literals>) and prunes partitions
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(f"{index_path}/corpus").filter(
+        F.col("cell").isin(cells)
+    )
+    scored = F.broadcast(probes).join(corpus, "cell").select(
+        "query_id", "cand_id", _cos("qv", "cv", "n2q", "n2c").alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.select(
+            "query_id", "cand_id", "cosine_sim", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register(
+    "ann_ivf_index_search",
+    _IVF_ORACLE_SQL,
+    "similarity",
+    doc=(
+        "Persisted-index twin of ann_ivf_search: build the cell-"
+        "partitioned parquet index, then answer the standard query set "
+        "through partition-pruned probes. Same centroids, same "
+        "sequential-fold cosine => bit-identical results, same oracle. "
+        "The registered query times build + search; a production "
+        "deployment amortizes the build across every query "
+        "(tests/test_plans.py asserts the probe scan carries "
+        "PartitionFilters on cell)."
+    ),
+)
+def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    safe = sf_dir.strip("/").replace("/", "_")
+    index_path = f"/tmp/barco_ivf_index/{safe}"
+    ivf_index_write(spark, sf_dir, index_path)
+    queries = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    return ivf_index_search(spark, index_path, queries)

@@ -881,3 +881,120 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Vectorized twin of the canonical blocked embedding dedup: identical
+# IVF-cell blocking, numpy throughput. The fold twin exists for
+# bit-exact oracle parity; THIS is what runs at 100 TB.
+# --------------------------------------------------------------------------
+_VEC_DEDUP_CELL_BLOCK = 4096  # row-block size for the bounded-memory path
+
+
+@register(
+    "dedup_embedding_vectorized",
+    None,  # numpy summation order differs from the sequential fold =>
+    # rows-only check; pair-set equality vs the fold twin is asserted
+    # in tests/test_similarity.py
+    "similarity",
+    doc=(
+        "Throughput twin of dedup_embedding_cosine: the SAME SemDeDup "
+        "IVF-cell blocking (stride-sampled sqrt(N) centroids, pairs "
+        "scored only within a cell) with the per-vector work done as "
+        "numpy matmul over Arrow batches — centroid assignment via "
+        "mapInPandas argmax, within-cell pair scoring via "
+        "applyInPandas (one gram matrix per cell, upper triangle "
+        "thresholded). Oversized cells fall back to fixed-size row "
+        "blocks so a skewed cell costs bounded memory instead of an "
+        "|cell|^2 allocation — the cell-level analogue of the LSH "
+        "bucket cap. Use this at scale; the fold twin when bit-exact "
+        "oracle parity is required."
+    ),
+)
+def dedup_embedding_vectorized(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()
+    stride = max(1, math.ceil(math.sqrt(n)))
+    cent_rows = e.filter(F.col("vec_id") % stride == 0).collect()
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cm = np.stack([np.asarray(r.v) for r in cent_rows])
+    cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cent_ids, cmn))
+
+    def assign(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].map(np.asarray).values)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            # ties broken toward the lower centroid id like the fold
+            # twin's max_by((cos, -centroid_id)): argmax takes the
+            # first maximum and ids are sorted ascending by stride
+            cells = ids[np.argmax(Mn @ mat.T, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cells, "v": pdf["v"]}
+            )
+
+    assigned = e.mapInPandas(assign, "vec_id long, cell long, v array<double>")
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int64"),
+                    "cosine_sim": pd.Series(dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cell = int(pdf["cell"].iloc[0])
+        M = np.stack(pdf["v"].map(np.asarray).values)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        out_a, out_b, out_s = [], [], []
+        # fixed-size row blocks: peak extra memory is BLOCK x m doubles
+        # even for a pathological mega-cell
+        B = _VEC_DEDUP_CELL_BLOCK
+        for lo in range(0, m, B):
+            hi = min(lo + B, m)
+            S = Mn[lo:hi] @ Mn.T  # (hi-lo) x m
+            for i in range(lo, hi):
+                row = S[i - lo]
+                js = np.nonzero(row[i + 1 :] >= threshold)[0] + i + 1
+                if len(js):
+                    out_a.append(np.full(len(js), ids[i], dtype=np.int64))
+                    out_b.append(ids[js])
+                    out_s.append(row[js])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int64"),
+                    "cosine_sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cell": cell,
+                "cosine_sim": np.concatenate(out_s),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        score_cell, "vec_a long, vec_b long, cell long, cosine_sim double"
+    )

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     import barco_spark.operators.broker  # noqa: F401
     import barco_spark.operators.dedup  # noqa: F401
     import barco_spark.operators.similarity  # noqa: F401
+    import barco_spark.operators.ann_index  # noqa: F401
     import barco_spark.operators.text  # noqa: F401
     import barco_spark.operators.quality  # noqa: F401
     import barco_spark.functions.udfs  # noqa: F401

@@ -56,6 +56,11 @@ HEADLINE = [
     "pack_sequences",
     "repetition_stats",
     "dedup_embedding_cosine",
+    "dedup_embedding_vectorized",
+    "dedup_chunk_share",
+    "tfidf_top_terms",
+    "vocab_growth_stats",
+    "ann_ivf_index_search",
 ]
 
 

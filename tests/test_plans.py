@@ -313,3 +313,37 @@ def test_embedding_blocked_dedup_joins_on_cell_not_cartesian(spark, sf_dir):
     plan = explain_str(df, "formatted").lower()
     assert "hashpartitioning(cell" in plan
     assert "sortmergejoin" in plan or "shuffledhashjoin" in plan
+
+
+def test_ivf_index_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The persisted IVF index's probe scan must prune by cell at the
+    file-index level (PartitionFilters), not post-scan: that is the
+    property that makes a query read ~nprobe/nlist of a 100 TB index."""
+    from barco_spark.operators.ann_index import (
+        ivf_index_search,
+        ivf_index_write,
+    )
+    from barco_spark.operators.similarity import N_QUERY
+
+    index_path = str(tmp_path / "ivf")
+    ivf_index_write(spark, sf_dir, index_path)
+    queries = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    out = ivf_index_search(spark, index_path, queries)
+    plan = explain_str(out)
+    # the corpus scan must carry a non-empty partition filter on cell
+    assert "PartitionFilters: [cell" in plan.replace(
+        "PartitionFilters: [isnotnull(cell", "PartitionFilters: [cell"
+    ) or "cell IN" in plan, plan[:4000]
+
+    # and the result must be bit-identical to the non-indexed IVF path
+    direct = QUERIES["ann_ivf_search"].build(spark, sf_dir)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -131,3 +131,28 @@ def test_kmeans_sparse_ids_and_small_corpus(spark):
     )
     centroids, _ = kmeans_fit(tiny, k=16, iters=1)
     assert centroids.shape[0] == 3  # clamped to corpus size
+
+
+def test_dedup_embedding_vectorized_matches_fold_twin(spark, sf_dir):
+    """The numpy blocked dedup must find exactly the canonical twin's
+    pair set, with cosines equal to fp tolerance (summation order is
+    the only allowed difference)."""
+    from barco_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_vectorized,
+    )
+
+    fold = {
+        (r.vec_a, r.vec_b): (r.cell, r.cosine_sim)
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    vec = {
+        (r.vec_a, r.vec_b): (r.cell, r.cosine_sim)
+        for r in dedup_embedding_vectorized(spark, sf_dir).collect()
+    }
+    assert set(fold) == set(vec)
+    for k, (cell_f, cos_f) in fold.items():
+        cell_v, cos_v = vec[k]
+        assert cell_f == cell_v, (k, cell_f, cell_v)
+        assert abs(cos_f - cos_v) < 1e-9, (k, cos_f, cos_v)
+    assert fold  # non-empty at every test SF
