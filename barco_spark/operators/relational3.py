@@ -455,3 +455,52 @@ def scd1_upsert_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events)
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, act_week) // 7 AS BIGINT)
+             AS weeks_since,
+           COUNT(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY cohort_week, weeks_since
+    """,
+    "aggregation",
+    doc=(
+        "Cohort retention matrix: users bucketed by first-seen week, "
+        "counted in each subsequent activity week — the standard "
+        "product-analytics retention triangle. Two aggregations share "
+        "one shuffle on user_id (first-seen min and distinct activity "
+        "weeks), then a join on user_id that AQE keeps co-partitioned "
+        "with that shuffle; the final rollup's cardinality is "
+        "weeks x weeks, tiny at any scale. All-integer week math "
+        "(datediff // 7) — no doubles anywhere."
+    ),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = ev.distinct().withColumnRenamed("wk", "act_week")
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
