@@ -97,7 +97,13 @@ def ivf_index_write(spark: SparkSession, sf_dir: str, index_path: str) -> int:
             ).alias("cell"),
         )
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+    # one writer per cell: without this the hash-partitioned groupBy
+    # output scatters every cell across all shuffle partitions and the
+    # dynamic-partition write emits |cells| x |partitions| small files;
+    # repartition("cell") makes each cell one contiguous file — the
+    # layout a probe scan wants (and the small-file count a 100 TB
+    # object store requires)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_path}/corpus"
     )
     cent.write.mode("overwrite").parquet(f"{index_path}/centroids")
@@ -185,8 +191,13 @@ def ivf_index_search(
     ),
 )
 def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    # per-process path: two processes sharing one sf_dir (pytest-xdist,
+    # overlapping CI jobs) must not overwrite each other's index while
+    # the other's probe scan is reading it
     safe = sf_dir.strip("/").replace("/", "_")
-    index_path = f"/tmp/barco_ivf_index/{safe}"
+    index_path = f"/tmp/barco_ivf_index/{safe}_{os.getpid()}"
     ivf_index_write(spark, sf_dir, index_path)
     queries = (
         t(spark, sf_dir, "embeddings")

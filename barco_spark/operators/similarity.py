@@ -659,6 +659,11 @@ def ann_ivf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    # ascending centroid ids: collect() order follows parquet file
+    # listing (not guaranteed sorted across files), and np.argmax
+    # breaks ties toward the FIRST index — sorting makes that the
+    # lowest centroid id, matching the fold path's max_by tie-break
+    cent_rows.sort(key=lambda r: r.vec_id)
     cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     cm = np.stack([np.asarray(r.v) for r in cent_rows])
     cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
@@ -908,7 +913,13 @@ _VEC_DEDUP_CELL_BLOCK = 4096  # row-block size for the bounded-memory path
         "blocks so a skewed cell costs bounded memory instead of an "
         "|cell|^2 allocation — the cell-level analogue of the LSH "
         "bucket cap. Use this at scale; the fold twin when bit-exact "
-        "oracle parity is required."
+        "oracle parity is required. Caveat: numpy cosine rounding can "
+        "differ from the sequential fold's by ~1 ulp, so a vector "
+        "whose top-two centroid cosines are closer than that may land "
+        "in a different cell than the fold twin assigns (exact ties "
+        "break identically — centroids are sorted ascending so argmax "
+        "matches max_by's lower-id preference); pair sets are asserted "
+        "equal on the test corpora, which have no sub-ulp near-ties."
     ),
 )
 def dedup_embedding_vectorized(
@@ -925,6 +936,9 @@ def dedup_embedding_vectorized(
     n = e.count()
     stride = max(1, math.ceil(math.sqrt(n)))
     cent_rows = e.filter(F.col("vec_id") % stride == 0).collect()
+    # ascending ids => np.argmax's first-index tie-break == the fold
+    # twin's max_by((cos, -centroid_id)) for EXACT cosine ties
+    cent_rows.sort(key=lambda r: r.vec_id)
     cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     cm = np.stack([np.asarray(r.v) for r in cent_rows])
     cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)

@@ -211,9 +211,75 @@ class EventLog:
                 .withColumnRenamed("_line", "payload")
                 .filter(F.length("payload") > 0)
             )
-        if keyless_static:
-            return self._produce_keyless(topic, df)
+        with self._topic_produce_lock(topic):
+            if keyless_static:
+                return self._produce_keyless(topic, df)
+            return self._produce_keyed(topic, df)
 
+    def _topic_produce_lock(self, topic: str):
+        """Cross-process advisory lock for the single-writer-per-topic
+        contract.
+
+        In-process callers (HTTP facade, TCP server, foreachBatch)
+        already serialize produce with their own locks; this guards the
+        MULTI-facade deployment, where two processes over one log root
+        would otherwise read the same high watermark and write
+        colliding offsets. mkdir is atomic on POSIX; a holder that
+        died is broken after 10 minutes (produce batches are seconds,
+        not minutes); contenders briefly wait, then fail loudly rather
+        than corrupt the log. Object-store roots skip it (no atomic
+        mkdir there — single-producer discipline stays on the caller,
+        as documented in produce()).
+        """
+        import os
+        from contextlib import contextmanager
+        from urllib.parse import quote
+
+        @contextmanager
+        def noop():
+            yield
+
+        if "://" in self.root:
+            return noop()
+
+        @contextmanager
+        def held():
+            lock_root = f"{self.root}/_locks"
+            os.makedirs(lock_root, exist_ok=True)
+            lock = os.path.join(
+                lock_root, f"produce-{quote(topic, safe='')}.lock"
+            )
+            deadline = time.time() + 30
+            while True:
+                try:
+                    os.mkdir(lock)
+                    break
+                except FileExistsError:
+                    try:
+                        age = time.time() - os.stat(lock).st_mtime
+                    except FileNotFoundError:
+                        continue  # holder released; retry immediately
+                    if age > 600:
+                        os.utime(lock)  # stale holder: adopt the lock
+                        break
+                    if time.time() >= deadline:
+                        raise ValueError(
+                            f"topic {topic!r} has an active producer in "
+                            "another process (single-writer-per-topic "
+                            "contract); retry when its batch completes"
+                        )
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                try:
+                    os.rmdir(lock)
+                except OSError:
+                    pass
+
+        return held()
+
+    def _produce_keyed(self, topic: str, df: DataFrame) -> int:
         # arrival sequence, captured before the bucket shuffle so offsets
         # reflect produce order (per-key ordering guarantee,
         # docs/rest_api/README.md:69-72)
@@ -792,7 +858,13 @@ class EventLog:
                     best[b] = cand
         return {b: c for b, (_a, c) in best.items()}
 
-    def commit(self, group: str, topic: str, next_offsets: dict[int, int]) -> None:
+    def commit(
+        self,
+        group: str,
+        topic: str,
+        next_offsets: dict[int, int],
+        monotonic: bool = True,
+    ) -> None:
         """Manual commit (R12, postManualCommit).
 
         Local roots write the tiny commit batch as one parquet file
@@ -801,12 +873,37 @@ class EventLog:
         roots append through Spark. Both paths write the same schema
         into the same log, so Spark readers (`committed()`,
         `compact_offsets()`) and the arrow reader see one store.
+
+        ``monotonic`` (default) drops any bucket whose new position is
+        at or below the durably stored one. The store resolves by
+        (committed_at DESC, committed DESC) — wall-clock last-writer-
+        wins — so during a rebalance-debounce window where two facades
+        briefly both own a bucket, a slower facade's stale auto-commit
+        could otherwise rewind a position a peer already advanced and
+        durably acknowledged. Pass ``monotonic=False`` for the explicit
+        rewind/replay use case (the reference's offset-set semantics).
         """
         if not next_offsets:
             return
         if "://" not in self.root:
+            if monotonic:
+                stored = self._committed_arrow(group, topic)
+                next_offsets = {
+                    b: nxt
+                    for b, nxt in next_offsets.items()
+                    if nxt > stored.get(b, -1)
+                }
+                if not next_offsets:
+                    return
             self._commit_arrow(group, topic, next_offsets)
             return
+        if monotonic:
+            stored = self.committed(group, topic)
+            next_offsets = {
+                b: nxt for b, nxt in next_offsets.items() if nxt > stored.get(b, -1)
+            }
+            if not next_offsets:
+                return
         rows = [(group, topic, b, nxt, None) for b, nxt in next_offsets.items()]
         df = self.spark.createDataFrame(rows, OFFSETS_SCHEMA).withColumn(
             "committed_at", F.current_timestamp()
@@ -929,49 +1026,103 @@ class EventLog:
                 "supports local paths only; on object stores run the "
                 "same latest-row rewrite as a job (see deploy/README.md)"
             )
-        self._recover_offsets_store()
-        try:
-            df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(self._offsets_path)
-        except AnalysisException:
-            return 0  # no commits yet
-        w = Window.partitionBy("group", "topic", "bucket").orderBy(
-            F.col("committed_at").desc(), F.col("committed").desc()
-        )
-        latest = (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        tmp = f"{self.root}/_offsets_compact_tmp"
-        # one file: the compacted store is tiny (|groups| x |topics| x
-        # buckets rows); committed() then reads a single footer
-        latest.coalesce(1).write.mode("overwrite").option(
-            "compression", "zstd"
-        ).parquet(tmp)
-        n = self.spark.read.schema(OFFSETS_SCHEMA).parquet(tmp).count()
-        # crash-safe swap: the old store is MOVED aside (O(1) rename),
-        # the new one renamed into place, and only then is the old one
-        # deleted. A crash at any point leaves a recoverable store —
-        # `_recover_offsets_store()` (called by every offsets read)
-        # restores the trash dir iff the main path is missing. The old
-        # rmtree-then-move ordering had a window that lost the entire
-        # committed-offsets log (every group restarts from its reset
-        # policy); the reference's SQLite upsert store has no such
-        # window (internal/localdb/migrations.go:37-48).
+        import glob as _glob
         import os
 
-        trash = f"{self.root}/_offsets_trash"
-        shutil.rmtree(trash, ignore_errors=True)
-        os.rename(self._offsets_path, trash)
-        os.rename(tmp, self._offsets_path)
-        shutil.rmtree(trash)
-        return n
+        # Cross-process exclusion: goodbye() auto-triggers compaction,
+        # so two facades over one root can reach here together. The
+        # mkdir lock is atomic on POSIX; compaction is opportunistic
+        # maintenance, so a held lock means "someone else is doing the
+        # work" and we simply skip. A crashed holder's lock is broken
+        # after 10 minutes.
+        lock_dir = f"{self.root}/_offsets_compact_lock"
+        try:
+            os.mkdir(lock_dir)
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock_dir).st_mtime
+            except FileNotFoundError:
+                return 0  # holder just finished
+            if age < 600:
+                return 0  # active compaction elsewhere — skip
+            # stale (holder crashed): adopt the lock by refreshing it
+            os.utime(lock_dir)
+        try:
+            self._recover_offsets_store()
+            # snapshot the exact input files: commits that land AFTER
+            # this listing are rescued from the trash dir below instead
+            # of being deleted with it
+            snapshot = sorted(
+                _glob.glob(
+                    os.path.join(self._offsets_path, "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+            if not snapshot:
+                return 0  # no commits yet
+            snap_rel = {os.path.relpath(f, self._offsets_path) for f in snapshot}
+            df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(*snapshot)
+            w = Window.partitionBy("group", "topic", "bucket").orderBy(
+                F.col("committed_at").desc(), F.col("committed").desc()
+            )
+            latest = (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            tmp = f"{self.root}/_offsets_compact_tmp"
+            # one file: the compacted store is tiny (|groups| x |topics| x
+            # buckets rows); committed() then reads a single footer
+            latest.coalesce(1).write.mode("overwrite").option(
+                "compression", "zstd"
+            ).parquet(tmp)
+            n = self.spark.read.schema(OFFSETS_SCHEMA).parquet(tmp).count()
+            # crash-safe swap: the old store is MOVED aside (O(1)
+            # rename), the new one renamed into place, late commits
+            # rescued, and only then is the old one deleted. A crash at
+            # any point leaves a recoverable store —
+            # `_recover_offsets_store()` (called by every offsets read)
+            # restores the trash dir iff the main path is missing.
+            trash = f"{self.root}/_offsets_trash"
+            shutil.rmtree(trash, ignore_errors=True)
+            os.rename(self._offsets_path, trash)
+            try:
+                os.rename(tmp, self._offsets_path)
+            except OSError:
+                # a peer's _recover_offsets_store() restored the old dir
+                # between our two renames: that store is valid and
+                # complete (it IS the dir we moved aside), so abandon
+                # this compaction instead of fighting the restore
+                shutil.rmtree(tmp, ignore_errors=True)
+                return n
+            # rescue commits written between the snapshot listing and
+            # the move-aside: anything in trash we did not compact is a
+            # concurrent facade's acknowledged durable commit
+            for f in _glob.glob(
+                os.path.join(trash, "**", "*.parquet"), recursive=True
+            ):
+                rel = os.path.relpath(f, trash)
+                if rel not in snap_rel:
+                    dest = os.path.join(self._offsets_path, rel)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    os.rename(f, dest)
+            shutil.rmtree(trash)
+            return n
+        finally:
+            try:
+                os.rmdir(lock_dir)
+            except OSError:
+                pass
 
     def _recover_offsets_store(self) -> None:
         """Heal a compact_offsets() crash window: if the main offsets
         dir is gone but the trash (moved-aside old store) survives,
-        restore it. If the main dir exists, a leftover trash dir is
-        stale (the swap completed) and is removed."""
+        restore it. If BOTH exist, the compactor crashed between the
+        swap and the late-commit rescue — merge the trash's files back
+        in (re-appending already-compacted rows is harmless in an
+        append-only log resolved by latest-wins; dropping a late commit
+        is not) and remove the empty trash."""
+        import glob as _glob
         import os
         import shutil
 
@@ -981,9 +1132,24 @@ class EventLog:
         if not os.path.isdir(trash):
             return
         if os.path.isdir(self._offsets_path):
+            for f in _glob.glob(
+                os.path.join(trash, "**", "*.parquet"), recursive=True
+            ):
+                rel = os.path.relpath(f, trash)
+                dest = os.path.join(self._offsets_path, rel)
+                if os.path.exists(dest):
+                    continue  # same name both sides: already present
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                try:
+                    os.rename(f, dest)
+                except OSError:
+                    pass  # concurrent recovery moved it first
             shutil.rmtree(trash, ignore_errors=True)
         else:
-            os.rename(trash, self._offsets_path)
+            try:
+                os.rename(trash, self._offsets_path)
+            except OSError:
+                pass  # concurrent recovery or compaction won the race
 
     def _offsets_file_count(self) -> int:
         """Data files currently in the offsets log (0 if none/remote)."""

@@ -48,7 +48,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from barco_spark.sources.eventlog import EventLog
-from barco_spark.sources.membership import GroupMembership, MembershipStore
+from barco_spark.sources.membership import (
+    GroupMembership,
+    LocalMembershipStore,
+    MembershipStore,
+)
 
 _TOPIC_MSG_RE = re.compile(r"^/v1/topic/([^/]+)/messages$")
 
@@ -73,10 +77,27 @@ class BrokerHttpServer:
         # internal/consuming/server.go:569-591): a facade restart
         # recovers every registration, and N facades over one log root
         # converge on one membership view via _sync_membership().
-        self.store = MembershipStore(log.root)
+        # Object-store roots get the explicit in-process fallback (no
+        # restart recovery, single facade) instead of silently writing
+        # a bogus local './s3:/...' directory.
+        if "://" in log.root:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "object-store log root %s: using in-process membership "
+                "(no facade-restart recovery, no cross-facade "
+                "convergence); mount the store for durable membership",
+                log.root,
+            )
+            self.store: MembershipStore | LocalMembershipStore = (
+                LocalMembershipStore(log.root)
+            )
+        else:
+            self.store = MembershipStore(log.root)
         # consumerId -> (group, topics) — the tracked-consumer table
         self._consumers: dict[str, tuple[str, list[str]]] = self.store.consumers()
         self.membership.bootstrap(self.store.members())
+        self._synced_version = self.store.version()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -225,8 +246,14 @@ class BrokerHttpServer:
             raise ValueError("Invalid offset reset policy value")
         # whole check-and-insert under one lock: two concurrent registers
         # for the same consumerId must not both pass the existence check
-        # and double-join the membership
+        # and double-join the membership. Sync with the shared store
+        # FIRST so (a) a fresh facade's first registrant joins the
+        # existing group's deal-out instead of being treated as the
+        # group's first-ever member (which would grant it every bucket
+        # immediately), and (b) the divergent-parameters check also
+        # covers consumers registered via a peer facade.
         with self._lock:
+            self._sync_membership()
             existing = self._consumers.get(cid)
             if existing is not None:
                 if existing != (group, topics):
@@ -259,7 +286,16 @@ class BrokerHttpServer:
         """Converge this facade's view with the shared store: consumers
         registered or departed via a PEER facade are joined/left here
         through the same debounced rebalance path local churn takes.
-        Caller holds self._lock."""
+        Caller holds self._lock.
+
+        The full rescan (listdir + json parse per consumer) runs only
+        when the store's directory-mtime version stamp moved — the per-
+        poll steady-state cost is a couple of stat() calls, so fleet
+        poll work stays O(C), not O(C^2)."""
+        version = self.store.version()
+        if version == self._synced_version:
+            return
+        self._synced_version = version
         shared = self.store.consumers()
         for cid, (group, topics) in shared.items():
             if cid not in self._consumers:

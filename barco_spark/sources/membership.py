@@ -119,11 +119,43 @@ class MembershipStore:
     conflict between facades), and every facade over the same log root
     sees one membership view by listing the directory. Object-store
     friendly by construction (one small object per consumer, no
-    appends, no renames of shared files).
+    appends, no renames of shared files) — but this implementation
+    writes through the local filesystem, so a ``scheme://`` root is
+    rejected loudly instead of silently creating a cwd-relative
+    ``./s3:/...`` directory no peer facade would ever see. Run facades
+    over a mounted shared path (NFS/FUSE), or subclass with an
+    object-store client.
     """
 
     def __init__(self, root: str) -> None:
+        if "://" in root:
+            raise NotImplementedError(
+                "MembershipStore writes through the local filesystem; "
+                f"object-store root {root!r} needs a mounted path "
+                "(NFS/FUSE) or an object-store-backed subclass"
+            )
         self.path = os.path.join(root, "_membership")
+
+    def version(self) -> tuple:
+        """Cheap change stamp: (name, mtime_ns) of the membership root
+        and every group dir. File creates/deletes/os.replace all bump
+        the containing directory's mtime, so an unchanged stamp means
+        consumers() would return the same view — callers use it to skip
+        full rescans on hot paths (the facade checks it per poll)."""
+        try:
+            st = os.stat(self.path)
+        except FileNotFoundError:
+            return ()
+        parts = [("", st.st_mtime_ns)]
+        for gdir in sorted(os.listdir(self.path)):
+            gpath = os.path.join(self.path, gdir)
+            try:
+                gst = os.stat(gpath)
+            except FileNotFoundError:
+                continue  # concurrent group removal
+            if os.path.isdir(gpath):
+                parts.append((gdir, gst.st_mtime_ns))
+        return tuple(parts)
 
     def _group_dir(self, group: str) -> str:
         return os.path.join(self.path, quote(group, safe=""))
@@ -174,5 +206,38 @@ class MembershipStore:
         """group -> set of consumer ids (derived from consumers())."""
         out: dict[str, set[str]] = {}
         for cid, (group, _topics) in self.consumers().items():
+            out.setdefault(group, set()).add(cid)
+        return out
+
+
+class LocalMembershipStore:
+    """Single-facade fallback for roots MembershipStore cannot serve
+    (object-store URIs without a mounted path): keeps registrations in
+    this process only. Restart recovery and cross-facade convergence
+    are explicitly OFF — the facade logs a warning when it picks this —
+    but the single-facade contract is identical to the durable store.
+    """
+
+    def __init__(self, root: str) -> None:
+        self._data: dict[str, tuple[str, list[str]]] = {}
+        self._version = 0
+
+    def version(self) -> tuple:
+        return (self._version,)
+
+    def put(self, group: str, consumer_id: str, topics: list[str]) -> None:
+        self._data[consumer_id] = (group, topics)
+        self._version += 1
+
+    def remove(self, group: str, consumer_id: str) -> None:
+        self._data.pop(consumer_id, None)
+        self._version += 1
+
+    def consumers(self) -> dict[str, tuple[str, list[str]]]:
+        return dict(self._data)
+
+    def members(self) -> dict[str, set[str]]:
+        out: dict[str, set[str]] = {}
+        for cid, (group, _topics) in self._data.items():
             out.setdefault(group, set()).add(cid)
         return out

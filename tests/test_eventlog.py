@@ -486,3 +486,53 @@ def test_keyless_salt_rotates_single_messages(spark, tmp_path):
         log.produce("t", [f"solo{i}"])
     buckets = {r["bucket"] for r in log.read("t").select("bucket").collect()}
     assert len(buckets) == 6  # each landed on a different bucket
+
+
+def test_recover_offsets_merges_late_commits_from_trash(spark, tmp_path):
+    """Crash window between compact's swap and its late-commit rescue:
+    offsets dir AND trash dir both exist, with a commit file in trash
+    that the compaction snapshot never saw. Recovery must merge it
+    back instead of deleting it with the trash."""
+    import os
+    import shutil
+
+    from barco_spark.sources.eventlog import EventLog
+
+    root = str(tmp_path / "log")
+    log = EventLog(spark, root)
+    log.produce("t", [(f"k{i}", f"m{i}") for i in range(20)])
+    log.register("g", ["t"], reset="earliest")
+    log.commit("g", "t", {0: 1})
+    # move the store aside (compactor's first rename)...
+    trash = f"{root}/_offsets_trash"
+    os.rename(log._offsets_path, trash)
+    # ...a peer facade's commit lands in what is now the trash dir
+    late = EventLog(spark, root)
+    late._offsets_path = trash  # write directly into the moved-aside dir
+    late._commit_arrow("g", "t", {3: 7})
+    # ...compactor writes its compacted store into place, then crashes
+    # before the rescue step
+    os.makedirs(log._offsets_path)
+    log_fresh = EventLog(spark, root)
+    log_fresh._commit_arrow("g", "t", {0: 1})  # the compacted row
+    # any offsets read triggers recovery; the late {3: 7} must survive
+    committed = log_fresh.committed("g", "t")
+    assert committed.get(3) == 7, committed
+    assert not os.path.isdir(trash)
+    shutil.rmtree(root)
+
+
+def test_commit_is_monotonic_by_default(spark, tmp_path):
+    """A stale facade's lower auto-commit must not rewind a durably
+    advanced position; explicit rewind still works via
+    monotonic=False (the reference's offset-set semantics)."""
+    from barco_spark.sources.eventlog import EventLog
+
+    root = str(tmp_path / "log")
+    log = EventLog(spark, root)
+    log.produce("t", [(f"k{i}", f"m{i}") for i in range(10)])
+    log.commit("g", "t", {0: 50})
+    log.commit("g", "t", {0: 10})  # stale writer: dropped
+    assert log.committed("g", "t")[0] == 50
+    log.commit("g", "t", {0: 5}, monotonic=False)  # explicit rewind
+    assert log.committed("g", "t")[0] == 5

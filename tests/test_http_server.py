@@ -424,3 +424,56 @@ def test_facade_restart_recovers_registrations(spark, tmp_path):
         assert [v for it in json.loads(body) for v in it["values"]] == ["fresh"]
     finally:
         fb.stop()
+
+
+def test_register_on_fresh_facade_respects_peer_members(spark, tmp_path):
+    """A consumer registering on a facade that has not yet seen the
+    group must NOT be granted the full ring while a peer facade's
+    consumer owns it: _handle_register syncs with the shared store
+    first, so inside a debounce window the late joiner waits (204)
+    instead of double-serving every bucket."""
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    root = str(tmp_path / "log")
+    log_a, log_b = EventLog(spark, root), EventLog(spark, root)
+    fa = BrokerHttpServer(log_a, rebalance_debounce_s=30.0)
+    fb = BrokerHttpServer(log_b, rebalance_debounce_s=30.0)
+    fa.start(), fb.start()
+    try:
+        log_a.produce("t", [(f"k{i}", f"m{i}") for i in range(100)])
+        code, _ = _req(
+            fa, "PUT",
+            "/v1/consumer/register?consumerId=c1&group=g&topic=t&onNewGroup=earliest",
+            body="",
+        )
+        assert code == 200
+        # c2 registers on B, which has never seen group g locally; the
+        # shared store already holds c1, so c2 must join as the SECOND
+        # member (debounced), not as a fresh group owning everything
+        code, _ = _req(
+            fb, "PUT",
+            "/v1/consumer/register?consumerId=c2&group=g&topic=t&onNewGroup=earliest",
+            body="",
+        )
+        assert code == 200
+        assert fb.membership.assignment("g") == {"c1": list(range(12))}
+
+        # inside the window: c1 (via A) still owns the ring; c2 (via B)
+        # waits — nothing is double-owned
+        code_a, body_a = _req(fa, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+        code_b, _ = _req(fb, "POST", "/v1/consumer/poll?consumerId=c2", body=" ")
+        assert code_a == 200
+        assert code_b == 204
+        got = [v for it in json.loads(body_a) for v in it["values"]]
+        assert sorted(got) == sorted(f"m{i}" for i in range(100))
+
+        # divergent re-register of c1 via the fresh facade is rejected
+        code, _ = _req(
+            fb, "PUT",
+            "/v1/consumer/register?consumerId=c1&group=other&topic=t",
+            body="",
+        )
+        assert code == 400
+    finally:
+        fa.stop(), fb.stop()
