@@ -1,6 +1,6 @@
 """Corpus-quality operators for LLM training-data pipelines, round 4.
 
-Four first-class curation primitives the 100 TB pipeline needs beyond
+First-class curation primitives the 100 TB pipeline needs beyond
 the round-1..3 set (text.py, dedup.py, pipeline.py):
 
 - C4-style duplicate-chunk statistics (the "remove repeated lines
@@ -14,7 +14,11 @@ the round-1..3 set (text.py, dedup.py, pipeline.py):
 - PII pseudonymization over identifier-bearing columns (digit-run
   masking with redaction counts; the e-mail/phone regex rules are
   exercised on constructed strings in tests/test_operators_lib.py
-  since the synthetic corpus contains no organic PII).
+  since the synthetic corpus contains no organic PII),
+- C4-style heuristic quality filtering reported as per-source
+  retention,
+- out-of-vocabulary rate against the corpus head vocabulary (the
+  integer-exact stand-in for LM-perplexity scoring).
 
 Determinism contract with the DuckDB oracle (same as text.py): all
 cross-row aggregates are integer sums; doubles appear only in final
@@ -289,3 +293,134 @@ def mask_pii(col: Column, rules: list[str] | None = None) -> Column:
         if name in wanted:
             out = F.regexp_replace(out, pat, tag)
     return out
+
+
+@register(
+    "quality_filter_c4",
+    f"""
+    WITH m AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             (length(text) - length(replace(text, '{{', ''))) AS n_curly
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN n_words >= 50 AND n_words <= 100000
+                   AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                   AND n_curly = 0
+                  THEN 1 ELSE 0 END AS keep
+      FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS retention
+    FROM flags GROUP BY source
+    """,
+    "pipeline",
+    doc=(
+        "C4-style heuristic quality filter, reported as per-source "
+        "retention: word-count bounds, mean-word-length bounds, and "
+        "the no-curly-brace rule (code leakage), composed exactly like "
+        "the C4 paper's line/document rules. The per-doc mean word "
+        "length is one double division of exact integers, so keep "
+        "flags match the oracle bit-for-bit. Pure per-row expressions "
+        "inside codegen + one hash aggregation — a filter pass over "
+        "100 TB is one scan with shuffle bounded by source count."
+    ),
+)
+def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = words_col()
+    n_words = F.size(w)
+    mean_wl = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_words
+    )
+    n_curly = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "\\{", "")
+    )
+    keep = (
+        F.when(
+            (n_words >= 50)
+            & (n_words <= 100000)
+            & (mean_wl >= 2.0)
+            & (mean_wl <= 12.0)
+            & (n_curly == 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            (F.sum("keep").cast("double") / F.count(F.lit(1))).alias("retention"),
+        )
+    )
+
+
+OOV_VOCAB_K = 25  # head-vocabulary size for the OOV-rate signal
+
+
+@register(
+    "oov_rate_stats",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS freq FROM terms GROUP BY term
+        ORDER BY freq DESC, term LIMIT {OOV_VOCAB_K}
+      )
+    ),
+    flagged AS (
+      SELECT t.source,
+             CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM terms t LEFT JOIN vocab v ON t.term = v.term
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM flagged GROUP BY source
+    """,
+    "text",
+    doc=(
+        "Out-of-vocabulary rate per source against the corpus's own "
+        f"top-{OOV_VOCAB_K} head vocabulary — the integer-exact stand-"
+        "in for LM-perplexity quality scoring (log-prob scoring would "
+        "diverge from any oracle by ulps; OOV counting cannot). The "
+        "head vocabulary is a tiny driver-side top-k broadcast into a "
+        "left join, token flags partial-aggregate before the one "
+        "shuffle — at 100 TB this is the standard broadcast-lookup "
+        "scoring shape, with the vocab table swappable for a real "
+        "tokenizer's."
+    ),
+)
+def oov_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = t(spark, sf_dir, "documents").select(
+        "source", F.explode(words_col()).alias("term")
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term"))
+        .limit(OOV_VOCAB_K)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    flagged = terms.join(F.broadcast(vocab), "term", "left").select(
+        "source",
+        F.when(F.col("_in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("oov"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )
