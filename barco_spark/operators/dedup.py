@@ -543,13 +543,21 @@ _CLUSTER_DRIVER_MAX_EDGES = 2_000_000  # ~32 MB of (long, long) pairs
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, driver_max_edges: int | None = None
 ) -> DataFrame:
+    from barco_spark.session import persistent_rdd_ids, unpersist_rdds
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    before_edges = persistent_rdd_ids(spark)
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
         .distinct()
         .localCheckpoint()  # eager: the loop re-reads edges every round
     )
+    # blocks pinned by the edge checkpoint (and by dedup_minhash_lsh's
+    # signature persist, released with it): freed below once the result
+    # no longer depends on them — a long-lived session otherwise leaks
+    # them per call (catalog.clearCache does not cover RDD blocks)
+    edge_block_ids = persistent_rdd_ids(spark) - before_edges
     cap = (
         _CLUSTER_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
     )
@@ -583,9 +591,13 @@ def dedup_clusters(
                 else:
                     parent[ra] = rb
         rows = [(n, find(n)) for n in parent]
+        # the result is driver-local rows: the edge checkpoint (and the
+        # signature blocks materialized under it) can be freed now
+        unpersist_rdds(spark, edge_block_ids)
         return spark.createDataFrame(rows, "doc_id long, cluster_id long")
 
     labels = edges.select("s").distinct().select("s", F.col("s").alias("lbl"))
+    prev_round_ids: set[int] = set()
     prev_sum = None
     for _round in range(25):  # >= max cluster diameter at any sane scale
         nbr_min = (
@@ -596,6 +608,7 @@ def dedup_clusters(
             .groupBy("s")
             .agg(F.min("dlbl").alias("nlbl"))
         )
+        before_round = persistent_rdd_ids(spark)
         labels = (
             labels.join(nbr_min, "s", "left")
             .select(
@@ -608,9 +621,17 @@ def dedup_clusters(
         )
         # labels only ever decrease -> the sum is a convergence fixpoint
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        # round N's checkpoint is materialized: round N-1's blocks are
+        # unreachable from here on — free them instead of leaking one
+        # checkpoint per round for the life of the session
+        unpersist_rdds(spark, prev_round_ids)
+        prev_round_ids = persistent_rdd_ids(spark) - before_round
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # only the FINAL labels checkpoint (prev_round_ids) must survive —
+    # the returned DataFrame reads it; edges are no longer reachable
+    unpersist_rdds(spark, edge_block_ids)
     return labels.select(F.col("s").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -57,3 +57,46 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# --------------------------------------------------------------------------
+# Persistent-RDD block hygiene
+#
+# `spark.catalog.clearCache()` drops DataFrame/table cache entries but NOT
+# RDD-level blocks created by `localCheckpoint()` — those live in the block
+# manager until the RDD is unpersisted or the session dies.  Iterative
+# operators (label propagation, k-means) checkpoint per round; in a
+# long-lived session serving many queries the leaked blocks accumulate
+# into executor memory pressure that slows every later query.  These
+# helpers let an operator free exactly the blocks it created once its
+# result no longer depends on them, and let a session owner (the bench,
+# a facade) reclaim everything between requests.
+# --------------------------------------------------------------------------
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Snapshot the ids of all currently-persisted RDDs (incl. blocks
+    pinned by ``localCheckpoint``, which ``catalog.clearCache`` misses)."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+
+def unpersist_rdds(
+    spark: SparkSession, ids: set[int], blocking: bool = False
+) -> int:
+    """Unpersist the given RDD ids if still held; returns how many were
+    freed.  Safe on ids that were already released."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    freed = 0
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(blocking)
+            freed += 1
+    return freed
+
+
+def free_persistent_rdds(spark: SparkSession, blocking: bool = False) -> int:
+    """Release EVERY persisted RDD block (checkpoints included).  For
+    session owners between independent requests — never inside an
+    operator, which must free only the blocks it created."""
+    return unpersist_rdds(spark, persistent_rdd_ids(spark), blocking)

@@ -15,7 +15,7 @@ import sys
 import time
 
 from barco_spark.registry import load_all
-from barco_spark.session import get_spark
+from barco_spark.session import free_persistent_rdds, get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -76,8 +76,13 @@ def main() -> None:
         # queries plan construction is sub-millisecond noise.
         # Cold cache per run: persisted subtrees (dedup signatures)
         # would otherwise turn iteration 2 into an InMemoryTableScan
-        # read and overstate the pipeline's throughput.
+        # read and overstate the pipeline's throughput.  clearCache
+        # misses RDD-level localCheckpoint blocks (iterative operators'
+        # per-round state), so free those too — without this, blocks
+        # accumulate across the suite and queries 20+ run under memory
+        # pressure they didn't create (measured 2-4x slowdowns at sf0.1).
         spark.catalog.clearCache()
+        free_persistent_rdds(spark)
         t0 = time.perf_counter()
         df = queries[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -150,6 +150,38 @@ def test_dedup_clusters_paths_agree(spark, sf_dir):
     assert fast  # non-empty at every test SF
 
 
+def test_dedup_clusters_releases_checkpoint_blocks(spark, sf_dir):
+    """Both paths must free the RDD blocks they pinned (edge checkpoint,
+    per-round label checkpoints) once the result no longer depends on
+    them — catalog.clearCache does NOT cover localCheckpoint blocks, so
+    a leak here degrades every later query in a long-lived session.
+    Driver path: zero new blocks survive. Distributed path: exactly the
+    final labels checkpoint may survive (the result reads it)."""
+    from barco_spark.operators.dedup import dedup_clusters
+    from barco_spark.session import free_persistent_rdds, persistent_rdd_ids
+
+    spark.catalog.clearCache()
+    free_persistent_rdds(spark)
+
+    before = persistent_rdd_ids(spark)
+    dedup_clusters(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()  # release the signature DataFrame cache
+    leaked_fast = persistent_rdd_ids(spark) - before
+    assert leaked_fast == set(), f"driver path leaked RDD blocks: {leaked_fast}"
+
+    before = persistent_rdd_ids(spark)
+    df = dedup_clusters(spark, sf_dir, driver_max_edges=0)
+    df.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    leaked_loop = persistent_rdd_ids(spark) - before
+    # the distributed loop's single surviving block set is the final
+    # labels checkpoint the returned DataFrame is rooted at
+    assert len(leaked_loop) <= 1, (
+        f"distributed path leaked intermediate checkpoints: {leaked_loop}"
+    )
+    free_persistent_rdds(spark)
+
+
 def test_mask_pii_rules_on_constructed_strings(spark):
     """The e-mail/phone/IPv4/digit rules from quality.PII_RULES, applied
     to strings the synthetic corpus doesn't contain — and the same
