@@ -545,30 +545,21 @@ def dedup_clusters(
 ) -> DataFrame:
     from barco_spark.session import persistent_rdd_ids, unpersist_rdds
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    before_edges = persistent_rdd_ids(spark)
-    edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .distinct()
-        .localCheckpoint()  # eager: the loop re-reads edges every round
-    )
-    # blocks pinned by the edge checkpoint (and by dedup_minhash_lsh's
-    # signature persist, released with it): freed below once the result
-    # no longer depends on them — a long-lived session otherwise leaks
-    # them per call (catalog.clearCache does not cover RDD blocks)
-    edge_block_ids = persistent_rdd_ids(spark) - before_edges
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
     cap = (
         _CLUSTER_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
     )
-    # Adaptive small-graph path: the pair graph is the OUTPUT of
-    # LSH+verify — near-dup pairs only, orders of magnitude smaller
-    # than the corpus — so it usually fits on the driver even when the
-    # corpus is 100 TB. Union-find there gives the same min-label
-    # closure in one pass instead of O(diameter) Spark rounds. The
-    # distributed loop below remains the fallback (and is forced in
-    # tests via driver_max_edges=0).
-    if edges.count() <= cap:
+    # Adaptive small-graph path, decided by ONE capped probe job on the
+    # raw undirected pairs: the pair graph is the OUTPUT of LSH+verify —
+    # near-dup pairs only, orders of magnitude smaller than the corpus —
+    # so it usually fits on the driver even when the corpus is 100 TB.
+    # Union-find there needs neither direction-doubling nor distinct
+    # (duplicate unions are no-ops), so the fast path materializes the
+    # LSH subtree exactly once and never builds the edge checkpoint.
+    # The distributed loop below remains the fallback (and is forced in
+    # tests via driver_max_edges=0). `cap` counts undirected pairs.
+    head = pairs.limit(cap + 1).collect()
+    if len(head) <= cap:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -579,8 +570,8 @@ def dedup_clusters(
                 parent[x], x = r, parent[x]
             return r
 
-        for r in edges.collect():
-            a, b = r.s, r.d
+        for r in head:
+            a, b = r.doc_a, r.doc_b
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -591,10 +582,22 @@ def dedup_clusters(
                 else:
                     parent[ra] = rb
         rows = [(n, find(n)) for n in parent]
-        # the result is driver-local rows: the edge checkpoint (and the
-        # signature blocks materialized under it) can be freed now
-        unpersist_rdds(spark, edge_block_ids)
+        # the result is driver-local rows: nothing distributed survives
+        pairs.unpersist()
         return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
+    before_edges = persistent_rdd_ids(spark)
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()  # eager: the loop re-reads edges every round
+    )
+    # blocks pinned by the edge checkpoint: freed below once the result
+    # no longer depends on them — a long-lived session otherwise leaks
+    # them per call (catalog.clearCache does not cover RDD blocks)
+    edge_block_ids = persistent_rdd_ids(spark) - before_edges
+    pairs.unpersist()  # edge checkpoint is materialized; cache done
 
     labels = edges.select("s").distinct().select("s", F.col("s").alias("lbl"))
     prev_round_ids: set[int] = set()
