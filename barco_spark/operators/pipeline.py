@@ -173,6 +173,26 @@ def _decon_shingles_sql() -> str:
         ELSE [array_to_string(words, ' ')] END)"""
 
 
+def _decon_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, shingle) — each document's distinct word
+    ``_DECON_N``-shingles, exploded. Shared by the exact (hash
+    semi-join) and Bloom decontamination variants."""
+    w = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
+    words = F.col("words")
+    shingles = F.array_distinct(
+        F.when(
+            F.size(words) >= _DECON_N,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - _DECON_N),
+                lambda i: F.concat_ws(
+                    " ", *[words[i + j] for j in range(_DECON_N)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+    return w.select("doc_id", "source", F.explode(shingles).alias("shingle"))
+
+
 @register(
     "decontaminate_ngram_overlap",
     f"""
@@ -213,25 +233,8 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barco_spark.tables import t
 
     docs = t(spark, sf_dir, "documents")
-    w = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
-    words = F.col("words")
-    shingles = F.array_distinct(
-        F.when(
-            F.size(words) >= _DECON_N,
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - _DECON_N),
-                lambda i: F.concat_ws(
-                    " ", *[words[i + j] for j in range(_DECON_N)]
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
-    )
-    hs = w.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(F.transform(shingles, lambda s: h28(s)))
-        ).alias("h"),
+    hs = _decon_shingles(docs).select(
+        "doc_id", "source", h28(F.col("shingle")).alias("h")
     )
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     eval_h = hs.filter(is_eval).select("h").distinct()
@@ -251,5 +254,116 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("bigint").alias(
                 "n_contaminated"
             ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (the large-eval-set scale path)
+# --------------------------------------------------------------------------
+_BLOOM_M = 1 << 20  # bits (128 KiB bitmap)
+_BLOOM_K = 5  # probes per shingle
+_BLOOM_WORDS = _BLOOM_M // 64
+
+
+def bloom_bitmap(shingles: DataFrame, col: str = "shingle") -> list[int]:
+    """Build a Bloom filter of the given shingle strings DISTRIBUTEDLY:
+    k probe positions per shingle via double hashing (xxhash64 +
+    murmur3, both JVM built-ins), bit_or-aggregated into 64-bit words,
+    and only the fixed-size word table (``_BLOOM_WORDS`` longs, 128 KiB)
+    is collected. The eval set itself is never collected — this is the
+    decontamination path for when the benchmark suite is too big to
+    broadcast as an exact hash set (the GPT-3 appendix-C setup at
+    hundreds of eval sets x millions of shingles)."""
+    h1 = F.pmod(F.xxhash64(col), _BLOOM_M)
+    # force h2 odd so every probe stride is coprime with the power-of-2 m
+    h2 = F.pmod(F.hash(col), _BLOOM_M) * 2 + 1
+    pos = (
+        shingles.select(h1.alias("h1"), h2.alias("h2"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i"),
+            "h1",
+            "h2",
+        )
+        .select(F.pmod(F.col("h1") + F.col("i") * F.col("h2"), _BLOOM_M).alias("pos"))
+    )
+    words = (
+        pos.select(
+            F.expr("pos div 64").cast("int").alias("w"),
+            F.expr("cast(pos % 64 as int)").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), bit))").alias("bits"))
+        .collect()
+    )
+    table = [0] * _BLOOM_WORDS
+    for r in words:
+        table[r.w] = r.bits
+    return table
+
+
+def bloom_contains(bitmap_col: str, shingle_col: str) -> F.Column:
+    """Membership predicate: all k probe bits set. Pure JVM expression
+    (element_at + shifts inside an `aggregate` fold) — no Python in the
+    probe path, so the corpus scan stays in whole-stage codegen."""
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0, {_BLOOM_K - 1}), true, (acc, i) -> acc AND (
+            (element_at({bitmap_col},
+                cast(pmod(pmod(xxhash64({shingle_col}), {_BLOOM_M})
+                     + i * (pmod(hash({shingle_col}), {_BLOOM_M}) * 2 + 1),
+                     {_BLOOM_M}) div 64 as int) + 1)
+             & shiftleft(cast(1 as bigint),
+                cast(pmod(pmod(xxhash64({shingle_col}), {_BLOOM_M})
+                     + i * (pmod(hash({shingle_col}), {_BLOOM_M}) * 2 + 1),
+                     {_BLOOM_M}) % 64 as int))) != 0))
+        """
+    )
+
+
+@register(
+    "decontaminate_bloom",
+    None,  # Bloom false positives are data-dependent; no SQL oracle.
+    # Guarantees are property-tested instead (tests/test_properties.py):
+    # flags are a SUPERSET of the exact operator's (no false negatives,
+    # the side that matters for decontamination) with FP rate <= ~0.2%.
+    "pipeline",
+    doc=(
+        "Bloom-filter benchmark decontamination — the scale path of "
+        "decontaminate_ngram_overlap for when the eval suite is too "
+        "large to broadcast as an exact distinct-hash set. The filter "
+        f"({_BLOOM_M} bits, k={_BLOOM_K}, double hashing over xxhash64/"
+        "murmur3) is BUILT distributedly with a bit_or aggregation and "
+        "only the fixed 128 KiB word table reaches the driver, then "
+        "ships to executors as a plan literal; the corpus probe is a "
+        "pure-JVM expression (no UDF, no shuffle, no join). One-sided "
+        "error: contaminated docs are always flagged; clean docs are "
+        "flagged at the filter's FP rate (~0.1% at these fill levels)."
+    ),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    sh = _decon_shingles(docs)
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    table = bloom_bitmap(sh.filter(is_eval).select("shingle").distinct())
+    probed = (
+        sh.filter(~is_eval)
+        .withColumn("bm", F.lit(table))
+        .withColumn("hit", bloom_contains("bm", "shingle"))
+        .groupBy("doc_id")
+        .agg(F.max("hit").alias("contaminated"))
+    )
+    train = docs.filter(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+    return (
+        train.join(probed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(
+                F.when(F.col("contaminated"), 1).otherwise(0)
+            ).cast("bigint").alias("n_flagged"),
         )
     )

@@ -541,3 +541,90 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based language rebalancing (multilingual mixture sampling)
+# --------------------------------------------------------------------------
+_MIX_ALPHA_SQL = "sqrt"  # alpha = 0.5 => weight ~ tokens^0.5
+_MIX_BUDGET_FRAC = 0.5  # sample half the corpus' tokens
+
+
+@register(
+    "mixture_temperature_sample",
+    f"""
+    WITH d AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_h28_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    tl AS (SELECT lang, SUM(n_tokens) AS t_l FROM d GROUP BY lang),
+    b AS (
+      SELECT lang, t_l,
+             CAST(FLOOR({_MIX_BUDGET_FRAC} * SUM(t_l) OVER ()
+                        * sqrt(t_l) / SUM(sqrt(t_l)) OVER ()) AS BIGINT)
+               AS budget_tokens
+      FROM tl),
+    c AS (
+      SELECT d.lang, d.n_tokens, b.budget_tokens,
+             SUM(d.n_tokens) OVER (PARTITION BY d.lang
+                                   ORDER BY d.h, d.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d JOIN b USING (lang))
+    SELECT lang, budget_tokens,
+           COUNT(*) FILTER (WHERE cum - n_tokens < budget_tokens)
+             AS n_selected,
+           CAST(COALESCE(SUM(n_tokens)
+                  FILTER (WHERE cum - n_tokens < budget_tokens), 0) AS BIGINT)
+             AS tokens_selected
+    FROM c GROUP BY lang, budget_tokens
+    """,
+    "sampling",
+    doc=(
+        "Temperature-based multilingual rebalancing (the XLM-R / mT5 "
+        "alpha-sampling recipe, alpha=0.5): each language's token budget "
+        "is proportional to sqrt(its token count), damping head languages "
+        "and boosting the tail; documents fill the budget in deterministic "
+        "hash order (stable across runs and engines, unlike rand()). Plan: "
+        "one narrow map + tiny per-lang agg for the budgets (broadcast "
+        "back), then ONE window cumsum per language partition — the corpus "
+        "is scanned twice, shuffled once (by lang for the cumsum; at 100 "
+        "TB you would pre-bucket by lang or 2-level the cumsum per "
+        "(lang, shard) to avoid the single-reducer-per-lang skew)."
+    ),
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        _h28(F.col("doc_id").cast("string")).alias("h"),
+    )
+    tl = d.groupBy("lang").agg(F.sum("n_tokens").alias("t_l"))
+    w_all = Window.partitionBy()
+    b = tl.select(
+        "lang",
+        F.floor(
+            F.lit(_MIX_BUDGET_FRAC)
+            * F.sum("t_l").over(w_all)
+            * F.sqrt(F.col("t_l"))
+            / F.sum(F.sqrt(F.col("t_l"))).over(w_all)
+        )
+        .cast("bigint")
+        .alias("budget_tokens"),
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.join(F.broadcast(b), "lang").withColumn(
+        "cum", F.sum("n_tokens").over(w_cum)
+    )
+    sel = F.col("cum") - F.col("n_tokens") < F.col("budget_tokens")
+    return c.groupBy("lang", "budget_tokens").agg(
+        F.count(F.when(sel, 1)).alias("n_selected"),
+        F.coalesce(F.sum(F.when(sel, F.col("n_tokens"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_selected"),
+    )

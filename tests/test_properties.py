@@ -231,3 +231,55 @@ def test_hll_sketch_error_bound_and_mergeability_scales(spark, n_distinct):
     )
     assert abs(whole - n_distinct) <= 0.082 * n_distinct, (n_distinct, whole)
     assert abs(merged - n_distinct) <= 0.082 * n_distinct, (n_distinct, merged)
+
+
+def test_bloom_decontamination_superset_and_fp_bound(spark, sf_dir):
+    """decontaminate_bloom's one-sided error contract: every document
+    the exact operator flags is flagged by the Bloom variant (a Bloom
+    filter has NO false negatives — the side that matters for
+    decontamination), and false positives stay under the documented
+    rate (~0.1% at these fill levels; assert a loose 1% so the test
+    never flakes on an unlucky hash alignment)."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.operators.pipeline import (
+        _DECON_EVAL_MOD,
+        _decon_shingles,
+        bloom_bitmap,
+        bloom_contains,
+    )
+    from barco_spark.operators.text import h28
+    from barco_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    sh = _decon_shingles(docs)
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+
+    eval_h = (
+        sh.filter(is_eval).select(h28(F.col("shingle")).alias("h")).distinct()
+    )
+    exact = {
+        r.doc_id
+        for r in sh.filter(~is_eval)
+        .select("doc_id", h28(F.col("shingle")).alias("h"))
+        .join(F.broadcast(eval_h), "h")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+
+    table = bloom_bitmap(sh.filter(is_eval).select("shingle").distinct())
+    flagged = {
+        r.doc_id
+        for r in sh.filter(~is_eval)
+        .withColumn("bm", F.lit(table))
+        .filter(bloom_contains("bm", "shingle"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+
+    assert exact <= flagged, f"false negatives: {sorted(exact - flagged)[:5]}"
+    n_clean = docs.filter(~is_eval).count() - len(exact)
+    false_pos = len(flagged - exact)
+    assert false_pos <= max(3, 0.01 * n_clean), (false_pos, n_clean)
