@@ -61,6 +61,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "vocab_growth_stats",
     "ann_ivf_index_search",
+    "decontaminate_bloom",
+    "mixture_temperature_sample",
 ]
 
 

@@ -246,7 +246,7 @@ def test_bloom_decontamination_superset_and_fp_bound(spark, sf_dir):
         _DECON_EVAL_MOD,
         _decon_shingles,
         bloom_bitmap,
-        bloom_contains,
+        bloom_probe,
     )
     from barco_spark.operators.text import h28
     from barco_spark.tables import t
@@ -268,12 +268,11 @@ def test_bloom_decontamination_superset_and_fp_bound(spark, sf_dir):
         .collect()
     }
 
-    table = bloom_bitmap(sh.filter(is_eval).select("shingle").distinct())
+    table, m = bloom_bitmap(sh.filter(is_eval).select("shingle").distinct())
     flagged = {
         r.doc_id
         for r in sh.filter(~is_eval)
-        .withColumn("bm", F.lit(table))
-        .filter(bloom_contains("bm", "shingle"))
+        .filter(bloom_probe(spark, table, m, F.col("shingle")))
         .select("doc_id")
         .distinct()
         .collect()
