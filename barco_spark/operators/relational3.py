@@ -504,3 +504,100 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "scd2_history_build",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR event_type <> LAG(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    versioned AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version_id
+      FROM flagged),
+    intervals AS (
+      SELECT user_id, version_id,
+             MIN(event_type) AS attr,
+             MIN(ts) AS valid_from,
+             COUNT(*) AS n_events
+      FROM versioned GROUP BY user_id, version_id),
+    closed AS (
+      SELECT *,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY version_id) AS valid_to
+      FROM intervals)
+    SELECT attr AS event_type,
+           COUNT(*) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_current,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(date_diff('microsecond', valid_from, valid_to)), 0)
+                AS BIGINT) AS closed_duration_us
+    FROM closed GROUP BY attr
+    """,
+    "window",
+    doc=(
+        "SCD type-2 history build: collapse each user's event_type "
+        "stream into validity intervals [valid_from, valid_to) — change "
+        "detection via lag, version numbering via running sum, interval "
+        "close via lead on the collapsed versions — then summarize per "
+        "attribute value. The standard dimension-history shape when a "
+        "table format's MERGE isn't available. All three windows share "
+        "the user_id partitioning, so the plan shuffles the events once "
+        "and the lead runs on the (much smaller) collapsed intervals. "
+        "Durations are exact microsecond integers (no double folds)."
+    ),
+)
+def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = t(spark, sf_dir, "events")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(order).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(order)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    versioned = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("chg").over(run).cast("bigint").alias("version_id"),
+    )
+    intervals = versioned.groupBy("user_id", "version_id").agg(
+        F.min("event_type").alias("attr"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vorder = Window.partitionBy("user_id").orderBy("version_id")
+    closed = intervals.withColumn(
+        "valid_to", F.lead("valid_from").over(vorder)
+    )
+    return closed.groupBy(F.col("attr").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_current"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.coalesce(
+            F.sum(
+                F.unix_micros(F.col("valid_to")) - F.unix_micros(F.col("valid_from"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("closed_duration_us"),
+    )
