@@ -85,6 +85,11 @@ def main() -> None:
         # pressure they didn't create (measured 2-4x slowdowns at sf0.1).
         spark.catalog.clearCache()
         free_persistent_rdds(spark)
+        # force ContextCleaner to drain now: each query must be measured
+        # against a clean block/shuffle state, not the previous queries'
+        # uncollected garbage (see session.py periodicGC note; measured
+        # dedup_clusters 3.3s -> 1.8s at suite position 22)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = queries[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
