@@ -88,8 +88,13 @@ def main() -> None:
         # force ContextCleaner to drain now: each query must be measured
         # against a clean block/shuffle state, not the previous queries'
         # uncollected garbage (see session.py periodicGC note; measured
-        # dedup_clusters 3.3s -> 1.8s at suite position 22)
+        # dedup_clusters 3.3s -> 1.8s at suite position 22). The cleaner
+        # consumes its weak-ref queue ASYNCHRONOUSLY after the GC — give
+        # it a beat so its unpersist/removeShuffle RPCs don't overlap
+        # the timed region (they cost ~0.3s of contention on sub-second
+        # queries when they do).
         spark.sparkContext._jvm.System.gc()
+        time.sleep(0.3)
         t0 = time.perf_counter()
         df = queries[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -73,18 +73,34 @@ def main() -> int:
     with open(PIN_PATH) as f:
         pin = json.load(f)
 
+    # Environment normalization: the guard exists to catch PER-QUERY
+    # regressions caused by code changes, not uniform machine drift
+    # (shared host, noisy neighbors). The median current/pin ratio over
+    # all pinned queries estimates the drift — code changes move a few
+    # queries, drift moves all of them, so the median isolates it.
+    # Limits scale by the drift (never below 1.0 so a uniformly FASTER
+    # machine cannot mask a real regression).
+    ratios = sorted(
+        timings[n] / b
+        for n, b in pin["queries"].items()
+        if n in timings and b > 0
+    )
+    drift = ratios[len(ratios) // 2] if ratios else 1.0
+    scale = max(1.0, drift)
+    print(f"machine drift vs pin (median ratio): {drift:.2f}x -> limits x{scale:.2f}")
+
     regressions: list[str] = []
     for name, base in sorted(pin["queries"].items()):
         cur = timings.get(name)
         if cur is None:
             regressions.append(f"{name}: DNF (pinned at {base:.3f}s)")
             continue
-        limit = max(base * TOL_RATIO, base + TOL_ABS)
+        limit = max(base * scale * TOL_RATIO, base * scale + TOL_ABS)
         status = "FAIL" if cur > limit else "ok"
         print(f"{status:4s} {name:35s} {cur:7.3f}s  pin {base:7.3f}s  limit {limit:7.3f}s")
         if cur > limit:
             regressions.append(
-                f"{name}: {cur:.3f}s > limit {limit:.3f}s (pin {base:.3f}s)"
+                f"{name}: {cur:.3f}s > limit {limit:.3f}s (pin {base:.3f}s, drift x{drift:.2f})"
             )
     new = sorted(set(timings) - set(pin["queries"]))
     if new:
