@@ -1,0 +1,416 @@
+"""Corpus language-model / IR operators for LLM training-data pipelines.
+
+Round-4 additions beyond quality.py: the statistical-LM and
+information-retrieval primitives a 100 TB curation pipeline runs after
+the heuristic filters:
+
+- ``unigram_logprob_quality``: CCNet-style LM quality scoring — train a
+  corpus unigram model (one hash aggregation), score every document by
+  its mean token log-probability, and band-filter per language the way
+  CCNet keeps the middle perplexity band.  To stay bit-identical with
+  the DuckDB oracle the log-prob is quantized to integer ``floor(log2
+  (count))`` per token (exact in IEEE for every int, and a cross-row
+  *integer* sum), so the only doubles are one final division and the
+  exact-rational ``percent_rank``.
+- ``dedup_chunk_rewrite``: the C4 dedup *transform* (quality.py's
+  ``dedup_chunk_share`` is the diagnostic): every fixed-width chunk
+  that occurs more than once corpus-wide is dropped except its first
+  occurrence (min ``(doc_id, position)``), and documents are
+  reassembled from their surviving chunks.
+- ``inverted_index_topdocs``: search-shard build — token -> document
+  frequency + top-k posting list ranked by term frequency.
+- ``bigram_lift_top``: collocation mining; ranks bigrams by lift
+  ``P(w1 w2) / (P(w1) P(w2))`` (monotone to PMI, but computable as one
+  division of exact integer products — ln() is not cross-engine exact).
+- ``doc_chunk_overlap``: RAG chunking — overlapping sliding windows of
+  ``CHUNK_W`` tokens with stride ``CHUNK_S``, the standard
+  retrieval-corpus prep step.
+
+Scale notes (100 TB posture):
+- The unigram model is a (token, count) table bounded by vocabulary
+  size, not corpus size — it is broadcast back to the exploded corpus,
+  so the scoring pass is map-only after one hash aggregation.  The
+  per-language band filter uses a partitioned window here (exact, and
+  what the oracle can check); at petabyte scale the two thresholds per
+  language come from ``approxQuantile`` and the window disappears —
+  the band semantics are unchanged.
+- ``dedup_chunk_rewrite`` shuffles (chunk-hash, doc, pos) rows — the
+  exact-dedup shape; the rebuild groups by doc_id, co-partitioned with
+  the explode's natural key.  No all-pairs anything.
+- ``bigram_lift_top`` aggregates to vocabulary² worst-case but
+  real-corpus bigram tables are Zipf-bounded; the total-token scalar
+  joins in as a broadcast single-row table (never ``.collect()``).
+  The integer products ``c12*T`` overflow int64 only past ~10^18
+  token-pairs; at that scale flip the two product columns to
+  DECIMAL(38,0) — the ranking is unchanged.
+- ``inverted_index_topdocs``'s top-k-per-token is a rank-1..k window
+  partitioned by token (WindowGroupLimit pushes the limit before the
+  sort at scale), never a global sort.
+
+No reference analogue: barco/PolarStreams has no text processing
+(SURVEY.md §2 marks relational/text categories ABSENT); these follow
+the public C4 (Raffel et al. 2020) and CCNet (Wenzek et al. 2020)
+pipeline descriptions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from barco_spark.operators.quality import CHUNK
+from barco_spark.operators.text import h28, h28_sql, words_col
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+# CCNet-style band filter: keep the middle of the per-language
+# mean-log-probability distribution, drop the extreme tails.
+KEEP_LO = 0.05
+KEEP_HI = 0.95
+
+# inverted index: only tokens seen in >= MIN_DF docs; top TOP_DOCS postings
+MIN_DF = 3
+TOP_DOCS = 3
+
+# collocations: global top-k by lift
+TOP_BIGRAMS = 20
+
+# RAG chunking: window of CHUNK_W tokens advancing by CHUNK_S
+CHUNK_W = 16
+CHUNK_S = 8
+
+
+@register(
+    "unigram_logprob_quality",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    scored AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tokens,
+             CAST(SUM(CAST(FLOOR(LOG2(c)) AS BIGINT)) AS BIGINT) AS sum_log2
+      FROM tok JOIN cnt USING (w)
+      GROUP BY doc_id, lang
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens, sum_log2,
+             CAST(sum_log2 AS DOUBLE) / n_tokens AS mean_log2,
+             PERCENT_RANK() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(sum_log2 AS DOUBLE) / n_tokens, doc_id
+             ) AS lang_pct
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, sum_log2, mean_log2, lang_pct,
+           lang_pct >= {KEEP_LO} AND lang_pct <= {KEEP_HI} AS kept
+    FROM ranked
+    """,
+    "text",
+    doc=(
+        "CCNet-style unigram-LM quality scoring: corpus token counts -> "
+        "per-doc mean floor(log2(count)) -> per-language percent_rank "
+        "band filter keeping the middle of the distribution. Integer "
+        "log-quantization keeps every cross-row aggregate exact."
+    ),
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(words_col()).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        tok.join(F.broadcast(cnt), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.floor(F.log2("c")).cast("bigint")).alias("sum_log2"),
+        )
+    )
+    mean = F.col("sum_log2").cast("double") / F.col("n_tokens")
+    win = Window.partitionBy("lang").orderBy(mean, "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "sum_log2",
+        mean.alias("mean_log2"),
+        F.percent_rank().over(win).alias("lang_pct"),
+    )
+    return ranked.withColumn(
+        "kept",
+        (F.col("lang_pct") >= KEEP_LO) & (F.col("lang_pct") <= KEEP_HI),
+    )
+
+
+@register(
+    "dedup_chunk_rewrite",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id, j,
+             array_to_string(
+               list_slice(words, j*{CHUNK}+1, j*{CHUNK}+{CHUNK}), ' ') AS chunk
+      FROM w, unnest(range(0, (len(words) + {CHUNK - 1}) // {CHUNK})) AS u(j)
+    ),
+    flagged AS (
+      SELECT doc_id, j, chunk,
+             ROW_NUMBER() OVER (
+               PARTITION BY {h28_sql('chunk')} ORDER BY doc_id, j
+             ) AS rn
+      FROM c
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id,
+             COUNT(*) AS n_kept,
+             array_to_string(list(chunk ORDER BY j), ' ') AS new_text
+      FROM flagged WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           t.n_chunks - COALESCE(r.n_kept, 0) AS n_dropped,
+           COALESCE(r.new_text, '') AS new_text
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "dedup",
+    doc=(
+        "C4 dedup transform: fixed-width chunks duplicated corpus-wide "
+        "are dropped except the first occurrence (min (doc_id, pos)); "
+        "documents are reassembled from surviving chunks in order. "
+        "Shuffle = exact-dedup shape on the chunk hash."
+    ),
+)
+def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = words_col()
+    n_chunks = F.expr(f"(size(split(text, ' ')) + {CHUNK - 1}) div {CHUNK}")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda j: F.struct(
+            j.alias("j"),
+            F.concat_ws(" ", F.slice(w, j * CHUNK + 1, CHUNK)).alias("chunk"),
+        ),
+    )
+    c = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(chunk_structs).alias("s"))
+        .select("doc_id", F.col("s.j").alias("j"), F.col("s.chunk").alias("chunk"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(h28(F.col("chunk"))).orderBy("doc_id", "j")
+    )
+    flagged = c.withColumn("rn", rn)
+    totals = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = (
+        flagged.where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j"), F.col("chunk")))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_dropped"
+        ),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )
+
+
+@register(
+    "inverted_index_topdocs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT w, doc_id, COUNT(*) AS tf FROM tok GROUP BY w, doc_id),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    ranked AS (
+      SELECT tf.w, tf.doc_id, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.w ORDER BY tf.tf DESC, tf.doc_id
+             ) AS rn
+      FROM tf JOIN df USING (w)
+      WHERE df.df >= {MIN_DF}
+    )
+    SELECT w AS token, df,
+           array_to_string(list(doc_id ORDER BY rn), ',') AS top_docs,
+           array_to_string(list(tf ORDER BY rn), ',') AS top_tfs
+    FROM ranked WHERE rn <= {TOP_DOCS}
+    GROUP BY w, df
+    """,
+    "text",
+    doc=(
+        "Inverted-index shard build: token -> document frequency + "
+        "top-k posting list by term frequency (ties broken by doc_id). "
+        "Top-k is a per-token window (WindowGroupLimit), never a "
+        "global sort; posting lists serialized to CSV for hashability."
+    ),
+)
+def inverted_index_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(words_col()).alias("w")
+    )
+    tf = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.col("tf").desc(), "doc_id")
+    )
+    ranked = (
+        tf.join(F.broadcast(df.where(F.col("df") >= MIN_DF)), "w")
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= TOP_DOCS)
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("rn"), F.col("doc_id"), F.col("tf")))
+    )
+    return (
+        ranked.groupBy(F.col("w").alias("token"), "df")
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda s: s["doc_id"].cast("string")), ","
+            ).alias("top_docs"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["tf"].cast("string")), ","
+            ).alias("top_tfs"),
+        )
+    )
+
+
+@register(
+    "bigram_lift_top",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    big AS (
+      SELECT words[j+1] AS w1, words[j+2] AS w2
+      FROM w, unnest(range(0, len(words) - 1)) AS u(j)
+    ),
+    tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    total AS (SELECT COUNT(*) AS t FROM tok)
+    SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+           CAST(c12 * total.t AS DOUBLE) / (u1.c * u2.c) AS lift
+    FROM pair
+    JOIN uni u1 ON pair.w1 = u1.w
+    JOIN uni u2 ON pair.w2 = u2.w
+    CROSS JOIN total
+    ORDER BY lift DESC, w1, w2
+    LIMIT {TOP_BIGRAMS}
+    """,
+    "text",
+    doc=(
+        "Collocation mining: top bigrams by lift P(w1 w2)/(P(w1)P(w2)) "
+        "— monotone to PMI but exact across engines (one division of "
+        "integer products). Unigram table broadcast; total-token scalar "
+        "joins as a broadcast single-row table, never collected."
+    ),
+)
+def bigram_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = words_col()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), (F.size(w) - 2).cast("int")),
+        lambda j: F.struct(
+            F.element_at(w, j + 1).alias("w1"),
+            F.element_at(w, j + 2).alias("w2"),
+        ),
+    )
+    # guard: F.sequence(0, -1) would generate a *descending* sequence for
+    # single-token docs; such docs contribute no bigrams on either engine
+    big = (
+        docs.where(F.size(w) >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    tok = docs.select(F.explode(w).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pair = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    total = tok.agg(F.count(F.lit(1)).alias("t"))
+    scored = (
+        pair.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                              .withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            (
+                (F.col("c12") * F.col("t")).cast("double")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(TOP_BIGRAMS)
+
+
+@register(
+    "doc_chunk_overlap",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id, j AS chunk_id,
+           array_to_string(
+             list_slice(words, j*{CHUNK_S}+1, j*{CHUNK_S}+{CHUNK_W}), ' ')
+             AS chunk_text,
+           len(list_slice(words, j*{CHUNK_S}+1, j*{CHUNK_S}+{CHUNK_W}))
+             AS n_chunk_tokens
+    FROM w, unnest(range(0,
+      (GREATEST(n - {CHUNK_W}, 0) + {CHUNK_S - 1}) // {CHUNK_S} + 1)) AS u(j)
+    """,
+    "text",
+    doc=(
+        f"RAG chunking: overlapping sliding windows of {CHUNK_W} tokens "
+        f"with stride {CHUNK_S} (last window clamps to the doc tail). "
+        "Pure per-row explode — map-only at any scale."
+    ),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = words_col()
+    n = F.size(w)
+    n_windows = (
+        (F.greatest(n - CHUNK_W, F.lit(0)) + (CHUNK_S - 1)) / CHUNK_S
+    ).cast("int") + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda j: F.struct(
+            j.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(w, j * CHUNK_S + 1, CHUNK_W)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(w, j * CHUNK_S + 1, CHUNK_W)).alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_chunk_tokens")
+    )

@@ -1,0 +1,164 @@
+"""Semantic properties of the corpus-LM / IR operators (corpus_lm.py).
+
+Oracle parity is covered by tests/test_oracle_parity.py (all five are
+registered with DuckDB oracles); these tests pin the *semantics* the
+oracle alone can't express: conservation laws, band widths, ranking
+invariants, and coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from barco_spark.operators import corpus_lm as cl
+from barco_spark.operators.quality import CHUNK
+from barco_spark.tables import t
+
+
+def test_chunk_rewrite_conserves_chunks(spark, sf_dir):
+    out = cl.dedup_chunk_rewrite(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_chunks").alias("total"),
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_dropped").alias("dropped"),
+    ).collect()[0]
+    assert agg.total == agg.kept + agg.dropped
+    assert agg.dropped >= 0 and agg.kept > 0
+    # every doc survives as a row, even if fully deduplicated
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+
+
+def test_chunk_rewrite_kept_chunks_are_unique_corpus_wide(spark, sf_dir):
+    out = cl.dedup_chunk_rewrite(spark, sf_dir)
+    # re-chunk the rebuilt corpus: no chunk string may appear twice
+    # (kept chunks are exactly the first occurrence per chunk hash)
+    rechunk = out.where(F.col("new_text") != "").select(
+        F.explode(F.split(F.col("new_text"), " ")).alias("w")
+    )
+    # cheaper exact check: total kept chunks == distinct kept chunk texts
+    kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    chunks = (
+        out.where(F.col("new_text") != "")
+        .select("doc_id", F.split(F.col("new_text"), " ").alias("words"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        ((F.size("words") + (CHUNK - 1)) / CHUNK).cast("int")
+                        - 1,
+                    ),
+                    lambda j: F.concat_ws(
+                        " ", F.slice(F.col("words"), j * CHUNK + 1, CHUNK)
+                    ),
+                )
+            ).alias("chunk")
+        )
+    )
+    assert rechunk.count() > 0
+    # NOTE: chunk boundaries shift after dropping interior chunks, so we
+    # verify uniqueness on the *decision* layer instead: recompute the
+    # original chunks and check each duplicated hash was kept exactly once.
+    w = F.split(F.col("text"), " ")
+    orig = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        ((F.size(w) + (CHUNK - 1)) / CHUNK).cast("int") - 1,
+                    ),
+                    lambda j: F.concat_ws(" ", F.slice(w, j * CHUNK + 1, CHUNK)),
+                )
+            ).alias("chunk"),
+        )
+    )
+    n_distinct = orig.select("chunk").distinct().count()
+    assert kept == n_distinct
+    assert chunks.count() >= 0  # rebuilt corpus re-chunks without error
+
+
+def test_unigram_band_filter_width(spark, sf_dir):
+    out = cl.unigram_logprob_quality(spark, sf_dir).cache()
+    try:
+        per_lang = (
+            out.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            )
+            .collect()
+        )
+        for r in per_lang:
+            share = r.n_kept / r.n
+            # percent_rank band [0.05, 0.95] keeps ~90% (exact fraction
+            # depends on partition size; allow discretization slack)
+            assert 0.80 <= share <= 1.0, (r.lang, share)
+        # scores are sane: 0 <= mean_log2 <= log2(total token count)
+        import math
+
+        total = (
+            t(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")))
+            .count()
+        )
+        bounds = out.agg(
+            F.min("mean_log2").alias("lo"), F.max("mean_log2").alias("hi")
+        ).collect()[0]
+        assert bounds.lo >= 0.0
+        assert bounds.hi <= math.log2(total)
+    finally:
+        out.unpersist()
+
+
+def test_unigram_scoring_join_is_broadcast(spark, sf_dir):
+    plan = cl.unigram_logprob_quality(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_invariants(spark, sf_dir):
+    rows = cl.inverted_index_topdocs(spark, sf_dir).collect()
+    assert rows, "index must be non-empty"
+    for r in rows:
+        assert r.df >= cl.MIN_DF
+        docs = r.top_docs.split(",")
+        tfs = [int(x) for x in r.top_tfs.split(",")]
+        assert 1 <= len(docs) <= cl.TOP_DOCS
+        assert len(docs) == len(tfs)
+        assert tfs == sorted(tfs, reverse=True), "postings ranked by tf desc"
+
+
+def test_bigram_lift_ranking(spark, sf_dir):
+    rows = cl.bigram_lift_top(spark, sf_dir).collect()
+    assert len(rows) == cl.TOP_BIGRAMS
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    assert all(lf > 0 for lf in lifts)
+    for r in rows:
+        # lift definition holds: c12 * T / (c1*c2) with integer inputs
+        assert r.c12 >= 1 and r.c1 >= r.c12 and r.c2 >= r.c12
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    out = cl.doc_chunk_overlap(spark, sf_dir)
+    per_doc = out.groupBy("doc_id").agg(
+        F.max("chunk_id").alias("last_id"),
+        F.sum("n_chunk_tokens").alias("token_slots"),
+        F.max("n_chunk_tokens").alias("max_w"),
+    )
+    j = docs.join(per_doc, "doc_id")
+    bad = j.where(
+        # the last window must reach the end of the doc:
+        # last window starts at last_id*S+1 and has n - last_id*S tokens
+        (F.col("last_id") * cl.CHUNK_S + F.col("max_w") < F.col("n"))
+        | (F.col("max_w") > cl.CHUNK_W)
+    ).count()
+    assert bad == 0
+    # every doc chunked
+    assert j.count() == docs.count()
