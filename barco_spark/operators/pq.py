@@ -1,0 +1,212 @@
+"""Product-quantization ANN: the memory-budget scale path.
+
+IVF (similarity.py / ann_index.py) cuts how much of the corpus a query
+*scans*; PQ cuts how many bytes per vector the scan *touches*. A 64-dim
+float64 vector (512 B) compresses to ``M_SUB`` one-byte codes (8 B,
+64x): at 100 TB of embeddings the PQ code table for a billion vectors
+is ~8 GB — small enough to sit in executor memory or a bucketed
+parquet table, which is exactly how FAISS IVF-PQ deployments run
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — public paper; no reference analogue, barco has no vector
+ops).
+
+Pipeline (all deterministic — no RNG anywhere):
+
+1. TRAIN (driver, tiny): stride-sample ≤ ``TRAIN_CAP`` corpus vectors
+   (same deterministic stride idiom as the IVF centroid sample),
+   L2-normalize, split into ``M_SUB`` subspaces, run ``KM_ITERS``
+   Lloyd iterations per subspace with first-K-rows init and
+   lowest-index tie-breaks. Codebooks are M_SUB x K_CODES x dim/M_SUB
+   — a few KB, broadcast.
+2. ENCODE (distributed, mapInPandas + numpy over Arrow batches): each
+   normalized corpus vector -> per-subspace argmin codebook entry ->
+   ``M_SUB`` uint8 codes. One map-only pass; at scale this runs once
+   at ingest and the codes are stored columnar next to the vectors.
+3. SEARCH (asymmetric distance computation): per query build the
+   M_SUB x K_CODES lookup table of subspace dot products, broadcast;
+   executors score a whole Arrow batch of codes with numpy gather+sum
+   (no Python per row). Keep a per-query shortlist of
+   ``SHORTLIST`` candidates by ADC score.
+4. RERANK (exact): join the shortlist back to the true vectors and
+   re-score with exact cosine; emit top ``TOP_K``. This is the
+   standard ADC-shortlist + exact-rerank shape — recall is then
+   governed by shortlist depth, not code resolution.
+
+Scale notes: train is O(TRAIN_CAP) on the driver; encode/score are
+map-only with a broadcast of a few KB; the only shuffles are the two
+per-query top-k windows (partitioned by query, never global). The
+corpus is never collected.
+
+Registered rows-only (ADC scores are float sums whose order differs
+from any SQL fold); recall vs the brute-force oracle is property-tested
+in tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from barco_spark.operators.similarity import N_QUERY
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+M_SUB = 8  # subspaces (dim must divide evenly)
+K_CODES = 32  # codebook entries per subspace (5-bit codes)
+TRAIN_CAP = 256  # max driver-side training sample
+KM_ITERS = 5  # Lloyd iterations per subspace
+SHORTLIST = 64  # ADC candidates kept per query before exact rerank
+TOP_K = 3  # final neighbors per query (matches the other ann_* ops)
+
+
+def _train_codebooks(sample, m_sub: int = M_SUB, k: int = K_CODES):
+    """Per-subspace Lloyd's k-means on a driver-side sample.
+
+    Deterministic: init = first k rows of the (vec_id-sorted) sample,
+    argmin ties break to the lowest code index, empty clusters keep
+    their previous centroid. Returns (m_sub, k, sub_dim) ndarray.
+    """
+    import numpy as np
+
+    n, dim = sample.shape
+    sub = dim // m_sub
+    books = np.empty((m_sub, k, sub))
+    for m in range(m_sub):
+        X = sample[:, m * sub : (m + 1) * sub]
+        C = X[: min(k, n)].copy()
+        if len(C) < k:  # degenerate tiny sample: pad by repeating
+            C = np.concatenate([C] * (k // len(C) + 1))[:k]
+        for _ in range(KM_ITERS):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for j in range(k):
+                pts = X[a == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        books[m] = C
+    return books
+
+
+@register(
+    "ann_pq_search",
+    None,  # ADC float-sum order is engine-specific => rows-only check;
+    # recall vs brute force is property-tested in tests/test_pq.py
+    "similarity",
+    doc=(
+        "Product-quantization ANN (FAISS ADC shape): stride-sampled "
+        f"deterministic per-subspace k-means codebooks ({M_SUB}x"
+        f"{K_CODES}), one map-only numpy encode pass (64x vector "
+        "compression), broadcast per-query lookup tables, ADC "
+        f"shortlist of {SHORTLIST} then exact cosine rerank to top "
+        f"{TOP_K}. Corpus never collected; broadcasts are KB-sized."
+    ),
+)
+def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY)
+
+    # --- train on a deterministic stride sample (<= TRAIN_CAP rows) ---
+    n_corpus = c.count()
+    stride = max(1, math.ceil(n_corpus / TRAIN_CAP))
+    sample_rows = c.filter((F.col("vec_id") - N_QUERY) % stride == 0).collect()
+    sample_rows.sort(key=lambda r: r.vec_id)
+    S = np.stack([np.asarray(r.v) for r in sample_rows])
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    books = _train_codebooks(Sn)
+    m_sub, k, sub = books.shape
+    bb = spark.sparkContext.broadcast(books)
+
+    # --- queries are tiny: collect, build ADC lookup tables, broadcast ---
+    q_rows = e.filter(F.col("vec_id") < N_QUERY).collect()
+    q_rows.sort(key=lambda r: r.vec_id)
+    qm = np.stack([np.asarray(r.v) for r in q_rows])
+    qmn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    # luts[q, m, code] = dot(q_sub_m, codebook[m, code])
+    luts = np.einsum("qms,mks->qmk", qmn.reshape(len(qmn), m_sub, sub), books)
+    bq = spark.sparkContext.broadcast((q_ids, luts))
+
+    # --- encode + ADC-score each Arrow batch; emit per-batch shortlist ---
+    def encode_score(batches):
+        B = bb.value
+        q_ids_, luts_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].map(np.asarray).values)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Xs = Mn.reshape(len(Mn), m_sub, sub)
+            # codes[i, m] = argmin_j ||x_im - B[m, j]||^2
+            d2 = (
+                (Xs[:, :, None, :] - B[None, :, :, :]) ** 2
+            ).sum(axis=3)
+            codes = np.argmin(d2, axis=2)  # batch x m_sub
+            # ADC: score[i, q] = sum_m luts[q, m, codes[i, m]]
+            scores = luts_[:, np.arange(m_sub)[None, :], codes].sum(axis=2)
+            cand = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = []
+            for qi, qid in enumerate(q_ids_):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "cand_id": cand,
+                            "adc_score": scores[qi],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    adc = c.mapInPandas(
+        encode_score, "query_id long, cand_id long, adc_score double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("cand_id")
+    )
+    shortlist = (
+        adc.withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+
+    # --- exact cosine rerank of the shortlist (numpy over the join) ---
+    def rerank(batches):
+        q_ids_, _ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].map(np.asarray).values)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            # vectorized query-row lookup (q_ids_ is sorted): no
+            # per-row Python in the batch loop
+            qi = np.searchsorted(q_ids_, pdf["query_id"].to_numpy(np.int64))
+            Q = qmn[qi]
+            sims = (Mn * Q).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "cosine_sim": sims,
+                }
+            )
+
+    joined = shortlist.join(c.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+    exact = joined.mapInPandas(
+        rerank, "query_id long, cand_id long, cosine_sim double"
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )
