@@ -505,6 +505,81 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.unionByName(m)
 
 
+@register(
+    "set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "setop",
+    doc="INTERSECT ALL (multiset: min of per-side multiplicities), "
+    "planned as a count-bucketed semi join — no full materialization "
+    "of either side's duplicates.",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "setop",
+    doc="EXCEPT ALL (multiset difference: per-key multiplicity n1-n2), "
+    "planned as a counted anti-semi join on the key.",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    o AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal AS acctbal,
+           o.n_orders AS n_orders
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+    "join",
+    doc="FULL OUTER join with unmatched rows on BOTH sides (segment-"
+    "filtered customers vs pre-aggregated finished orders); the "
+    "pre-aggregation keeps the outer join 1:1 so null padding is "
+    "per-key, and a full-outer SMJ shuffles both sides exactly once.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("n_orders"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar functions: strings, math, dates, json
 # --------------------------------------------------------------------------

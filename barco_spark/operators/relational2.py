@@ -803,3 +803,107 @@ def hll_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
     )
     return per_type.unionByName(overall)
+
+
+CMS_D = 4  # count-min-sketch hash rows
+CMS_W = 256  # buckets per row
+CMS_CAND = 20  # candidate heavy keys to point-query
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH cms AS (
+      SELECT d,
+             (('0x' || substr(md5(d || ':' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT)
+               % {CMS_W} AS bucket,
+             COUNT(*) AS n
+      FROM events, unnest(range(0, {CMS_D})) AS u(d)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT user_id, COUNT(*) AS exact_count
+      FROM events WHERE user_id < {CMS_CAND} GROUP BY user_id
+    ),
+    probes AS (
+      SELECT c.user_id, c.exact_count, u.d,
+             (('0x' || substr(md5(u.d || ':' || CAST(c.user_id AS VARCHAR)), 1, 7))::BIGINT)
+               % {CMS_W} AS bucket
+      FROM cand c, unnest(range(0, {CMS_D})) AS u(d)
+    )
+    SELECT p.user_id,
+           MIN(cms.n) AS est_count,
+           p.exact_count,
+           MIN(cms.n) - p.exact_count AS overestimate
+    FROM probes p JOIN cms ON p.d = cms.d AND p.bucket = cms.bucket
+    GROUP BY p.user_id, p.exact_count
+    """,
+    "aggregation",
+    doc=(
+        "Count-min sketch built with pure DataFrame ops and the "
+        "portable md5-prefix hash, so (unlike the HLL/approx entries) "
+        "the sketch itself is integer-exact and fully ORACLE-PAIRED: "
+        f"{CMS_D} hash rows x {CMS_W} buckets of integer counts "
+        "(bounded state, partial-agg before the shuffle, mergeable by "
+        "addition — the 100 TB streaming heavy-hitter pattern), then "
+        "point queries for candidate keys as min-over-rows via an "
+        "equi-join on (row, bucket). CMS guarantee est >= exact is "
+        "asserted in tests/test_relational_extra.py."
+    ),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def bucket(d_col, key_col):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(d_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (h % CMS_W).alias("bucket")
+
+    ev = t(spark, sf_dir, "events")
+    rows = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), bucket(F.lit(d), F.col("user_id")))
+            for d in range(CMS_D)
+        ]
+    )
+    cms = (
+        ev.select(F.explode(rows).alias("r"))
+        .select("r.d", "r.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cand = (
+        ev.filter(F.col("user_id") < CMS_CAND)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probes = cand.select(
+        "user_id",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), bucket(F.lit(d), F.col("user_id"))
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("r"),
+    ).select("user_id", "exact_count", "r.d", "r.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("n").alias("est_count"))
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+    )

@@ -63,6 +63,10 @@ HEADLINE = [
     "ann_ivf_index_search",
     "decontaminate_bloom",
     "mixture_temperature_sample",
+    "unigram_logprob_quality",
+    "dedup_chunk_rewrite",
+    "inverted_index_topdocs",
+    "ann_pq_search",
 ]
 
 

@@ -167,3 +167,62 @@ def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_cms_overestimates_and_bounds(spark, sf_dir):
+    """CMS guarantee: est >= exact for every key, and the overestimate
+    is bounded by the row with the fewest colliding counts."""
+    q = load_all()["cms_heavy_hitters"]
+    rows = q.build(spark, sf_dir).collect()
+    assert rows, "candidate set must be non-empty"
+    total = t(spark, sf_dir, "events").count()
+    for r in rows:
+        assert r.est_count >= r.exact_count, r
+        assert r.overestimate == r.est_count - r.exact_count
+        # trivial upper bound: one row can't hold more than all events
+        assert r.est_count <= total
+
+
+def test_cms_merge_by_addition(spark, sf_dir):
+    """The sketch is mergeable: CMS(first half) + CMS(second half)
+    gives the same table as CMS(all) — the property that makes it the
+    100 TB streaming heavy-hitter pattern."""
+    from barco_spark.operators.relational2 import CMS_D, CMS_W
+
+    ev = t(spark, sf_dir, "events")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+
+    def cms_of(df):
+        def bucket(d):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(str(d)), F.lit(":"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            return (h % CMS_W).alias("bucket")
+
+        rows = F.array(
+            *[F.struct(F.lit(d).alias("d"), bucket(d)) for d in range(CMS_D)]
+        )
+        return (
+            df.select(F.explode(rows).alias("r"))
+            .select("r.d", "r.bucket")
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    whole = {(r.d, r.bucket): r.n for r in cms_of(ev).collect()}
+    lo = {(r.d, r.bucket): r.n for r in cms_of(ev.filter(F.col("event_id") <= mid)).collect()}
+    hi = {(r.d, r.bucket): r.n for r in cms_of(ev.filter(F.col("event_id") > mid)).collect()}
+    merged = dict(lo)
+    for k, v in hi.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == whole
