@@ -1,0 +1,64 @@
+"""Registry-wide physical-plan lint: no scale-killers may ever register.
+
+tests/test_plans.py pins detailed plan contracts for specific queries;
+this lint is the coarse safety net over EVERY registry entry — a new
+operator cannot ship with a plan Catalyst compiled to a cartesian
+product or a row-at-a-time Python UDF, the two patterns that turn a
+working sf0.01 query into a non-starter at 100 TB.
+
+- ``CartesianProduct``: forbidden outright (even the all-pairs oracle
+  baselines are written as theta joins over a broadcast side).
+- ``BatchEvalPython`` (row-at-a-time Python eval): forbidden outright;
+  Python in plans must be Arrow-batched (ArrowEvalPython / MapInPandas
+  / FlatMapGroupsInPandas), which the lint permits.
+- ``BroadcastNestedLoopJoin``: allowed only for the whitelisted
+  queries below, each of which broadcasts a provably tiny side
+  (N_QUERY query vectors, a one-row total, or a scalar-subquery
+  threshold) — the pattern is then a broadcast map, not a join blowup.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from barco_spark.registry import load_all
+
+QUERIES = load_all()
+
+# BroadcastNestedLoopJoin with a provably tiny build side:
+BNLJ_OK = {
+    # N_QUERY (5) query vectors broadcast against the corpus
+    "ann_cosine_topk",
+    "ann_ivf_search",
+    # one-row total-token table broadcast into the scored pairs
+    "bigram_lift_top",
+    # theta join (vec_a < vec_b) over the broadcast cell/centroid side
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_baseline",
+    # scalar subquery threshold (one row) against the group sums
+    "q11_important_parts",
+    # probe-cell resolution over the tiny centroid table (sqrt(N) rows)
+    "ann_ivf_index_search",
+    # one-row corpus-size total crossed into the per-term df table
+    "tfidf_top_terms",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_plan_has_no_scale_killers(spark, sf_dir, name):
+    plan = (
+        QUERIES[name]
+        .build(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python eval (use pandas_udf/mapInPandas)"
+    )
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join — broadcast a tiny "
+            "side deliberately and whitelist it, or fix the join keys"
+        )
