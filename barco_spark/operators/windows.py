@@ -614,3 +614,54 @@ def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_1h_sum"),
         F.count(F.lit(1)).over(w).alias("rolling_1h_n"),
     )
+
+
+@register(
+    "rollup_reuse_hourly",
+    """
+    WITH minute AS (
+      SELECT DATE_TRUNC('minute', ts) AS m, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT DATE_TRUNC('hour', m) AS window_start,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           COUNT(*) AS n_minutes,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM minute GROUP BY 1, 2
+    """,
+    "window",
+    doc=(
+        "Continuous-aggregate (hypertable-style) rollup reuse: the hour "
+        "level is computed FROM the minute-level partials (integer "
+        "counts + exact decimal sums are mergeable), not from raw "
+        "events — the pattern that makes multi-resolution dashboards "
+        "over 100 TB one raw scan + tiny re-aggregations. Hash-matches "
+        "the direct-from-raw oracle, proving partial-merge correctness."
+    ),
+)
+def rollup_reuse_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    minute = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("m"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+    )
+    return (
+        minute.groupBy(
+            F.date_trunc("hour", F.col("m")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).alias("n_minutes"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
