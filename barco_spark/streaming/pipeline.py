@@ -156,3 +156,102 @@ def streaming_funnel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     return spark.read.schema("user_id long, stage string, ts_us long").parquet(out)
+
+
+@register(
+    "streaming_rollup_snapshot",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "window",
+    doc=(
+        "Watermarked 1h tumbling-window aggregation run as a REAL "
+        "streaming query (file source -> event-time watermark -> "
+        "window state -> parquet sink, Trigger.AvailableNow) and "
+        "hash-matched against the batch-from-raw oracle: streaming "
+        "state finalization proven equivalent to the declarative "
+        "GROUP BY. A far-future watermark sentinel plus the no-data "
+        "finalization batch flushes every real window in append mode "
+        "(the sentinel's own window can never finalize, so it never "
+        "emits)."
+    ),
+)
+def streaming_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from barco_spark.tables import t
+
+    tmp = tempfile.mkdtemp(prefix="rollup-snap-")
+    src = tmp + "/src"
+    out = tmp + "/out"
+    ev = t(spark, sf_dir, "events").selectExpr(
+        "event_type", "unix_micros(ts) AS ts_us", "value"
+    )
+    # watermark sentinel 2h past the last real event: it advances the
+    # event-time watermark beyond every real window so append mode can
+    # finalize them all; the row itself never reaches the aggregation
+    max_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [("__wm__", max_us + 7_200_000_000, 0.0)],
+        "event_type string, ts_us long, value double",
+    )
+    ev.unionByName(sentinel).write.json(src)
+
+    stream = (
+        spark.readStream.schema("event_type string, ts_us long, value double")
+        .json(src)
+        .selectExpr("event_type", "timestamp_micros(ts_us) AS ts", "value")
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        # NO pre-aggregation filter: Catalyst pushes deterministic
+        # predicates below the EventTimeWatermark node, which would drop
+        # the sentinel before it advances event time. The sentinel flows
+        # into the aggregation instead; its own window sits 2h past the
+        # final watermark, so it can never finalize and never emits —
+        # the post-read filter below is belt-and-braces only.
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("v").cast("double").alias("total_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_rollup_snapshot: query did not drain in 300s"
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(src, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return (
+        spark.read.schema(
+            "window_start timestamp, event_type string, n long, total_value double"
+        )
+        .parquet(out)
+        .filter(F.col("event_type") != "__wm__")
+    )
