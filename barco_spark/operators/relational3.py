@@ -601,3 +601,168 @@ def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("closed_duration_us"),
     )
+
+
+@register(
+    "value_percentiles_per_type",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    "aggregation",
+    doc=(
+        "Exact interpolated per-group percentiles (the latency-SLO "
+        "P50/P90/P99 shape). Sort-based, not sum-based, so doubles are "
+        "deterministic: both engines interpolate the same two order "
+        "statistics. At 100 TB swap percentile() for approx_percentile "
+        "(t-digest) — same query shape, bounded memory."
+    ),
+)
+def value_percentiles_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("ps"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p90"),
+            F.col("ps")[2].alias("p99"),
+        )
+    )
+
+
+@register(
+    "interpolate_missing_daily",
+    """
+    WITH bounds AS (
+      SELECT CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(DATE_TRUNC('day', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, CAST(u.day AS TIMESTAMP) AS day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 DAY)) AS day) u
+    ),
+    daily AS (
+      SELECT event_type,
+             CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT s.event_type, s.day, d.v FROM spine s
+      LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+    ),
+    ctx AS (
+      SELECT event_type, day, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT event_type, day,
+           v IS NULL AS was_missing,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (CAST(datediff('day', pd, day) AS DOUBLE)
+                                    / datediff('day', pd, nd))
+           END AS v_filled
+    FROM ctx
+    """,
+    "window",
+    doc=(
+        "Time-series linear interpolation: a per-type calendar spine is "
+        "left-joined to daily decimal-exact averages, then gaps are "
+        "filled by interpolating between the last and next observed "
+        "points (edges extend the nearest observation). Doubles stay "
+        "deterministic: one division per daily average, and the "
+        "interpolation combines the same two row values on both "
+        "engines. The spine is (types x days) — tiny and broadcast at "
+        "any corpus scale; the windows partition by type."
+    ),
+)
+def interpolate_missing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(
+                        F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+                    ).alias("day")
+                )
+            )
+        )
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    )
+    return ctx.select(
+        "event_type",
+        "day",
+        F.col("v").isNull().alias("was_missing"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("v_filled"),
+    )

@@ -67,6 +67,8 @@ HEADLINE = [
     "dedup_chunk_rewrite",
     "inverted_index_topdocs",
     "ann_pq_search",
+    "cms_heavy_hitters",
+    "rollup_reuse_hourly",
 ]
 
 

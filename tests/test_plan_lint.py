@@ -41,6 +41,9 @@ BNLJ_OK = {
     "ann_ivf_index_search",
     # one-row corpus-size total crossed into the per-term df table
     "tfidf_top_terms",
+    # calendar-spine build: distinct types crossed with the broadcast
+    # day list (derived from a one-row min/max aggregate)
+    "interpolate_missing_daily",
 }
 
 
