@@ -81,6 +81,32 @@ CHUNK_W = 16
 CHUNK_S = 8
 
 
+def unigram_scores(docs: DataFrame) -> DataFrame:
+    """Composable core of ``unigram_logprob_quality``: score the GIVEN
+    corpus slice (the unigram model is trained on exactly these docs).
+    Returns doc_id, lang, n_tokens, sum_log2, mean_log2, lang_pct."""
+    tok = docs.select("doc_id", "lang", F.explode(words_col()).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        tok.join(F.broadcast(cnt), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.floor(F.log2("c")).cast("bigint")).alias("sum_log2"),
+        )
+    )
+    mean = F.col("sum_log2").cast("double") / F.col("n_tokens")
+    win = Window.partitionBy("lang").orderBy(mean, "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "sum_log2",
+        mean.alias("mean_log2"),
+        F.percent_rank().over(win).alias("lang_pct"),
+    )
+
+
 @register(
     "unigram_logprob_quality",
     f"""
@@ -117,31 +143,59 @@ CHUNK_S = 8
     ),
 )
 def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.explode(words_col()).alias("w")
-    )
-    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    scored = (
-        tok.join(F.broadcast(cnt), "w")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.floor(F.log2("c")).cast("bigint")).alias("sum_log2"),
-        )
-    )
-    mean = F.col("sum_log2").cast("double") / F.col("n_tokens")
-    win = Window.partitionBy("lang").orderBy(mean, "doc_id")
-    ranked = scored.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        "sum_log2",
-        mean.alias("mean_log2"),
-        F.percent_rank().over(win).alias("lang_pct"),
-    )
+    ranked = unigram_scores(t(spark, sf_dir, "documents"))
     return ranked.withColumn(
         "kept",
         (F.col("lang_pct") >= KEEP_LO) & (F.col("lang_pct") <= KEEP_HI),
+    )
+
+
+def chunk_rewrite_frame(docs: DataFrame) -> DataFrame:
+    """Composable core of ``dedup_chunk_rewrite``: first-occurrence
+    chunk dedup over the GIVEN corpus slice. Returns doc_id, n_chunks,
+    n_kept, n_dropped, new_text."""
+    w = words_col()
+    n_chunks = F.expr(f"(size(split(text, ' ')) + {CHUNK - 1}) div {CHUNK}")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda j: F.struct(
+            j.alias("j"),
+            F.concat_ws(" ", F.slice(w, j * CHUNK + 1, CHUNK)).alias("chunk"),
+        ),
+    )
+    c = (
+        docs.select("doc_id", F.explode(chunk_structs).alias("s"))
+        .select("doc_id", F.col("s.j").alias("j"), F.col("s.chunk").alias("chunk"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(h28(F.col("chunk"))).orderBy("doc_id", "j")
+    )
+    flagged = c.withColumn("rn", rn)
+    totals = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = (
+        flagged.where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j"), F.col("chunk")))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_dropped"
+        ),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
     )
 
 
@@ -186,50 +240,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = words_col()
-    n_chunks = F.expr(f"(size(split(text, ' ')) + {CHUNK - 1}) div {CHUNK}")
-    chunk_structs = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda j: F.struct(
-            j.alias("j"),
-            F.concat_ws(" ", F.slice(w, j * CHUNK + 1, CHUNK)).alias("chunk"),
-        ),
-    )
-    c = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(chunk_structs).alias("s"))
-        .select("doc_id", F.col("s.j").alias("j"), F.col("s.chunk").alias("chunk"))
-    )
-    rn = F.row_number().over(
-        Window.partitionBy(h28(F.col("chunk"))).orderBy("doc_id", "j")
-    )
-    flagged = c.withColumn("rn", rn)
-    totals = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    rebuilt = (
-        flagged.where(F.col("rn") == 1)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("j"), F.col("chunk")))
-                    ),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("new_text"),
-        )
-    )
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_dropped"
-        ),
-        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
-    )
+    return chunk_rewrite_frame(t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -403,3 +403,217 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_flagged"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Full pretraining-corpus recipe: quality band -> chunk dedup -> decontaminate
+# --------------------------------------------------------------------------
+def _pretrain_pipeline_sql() -> str:
+    from barco_spark.operators.corpus_lm import KEEP_HI, KEEP_LO
+    from barco_spark.operators.quality import CHUNK
+    from barco_spark.operators.text import h28_sql
+
+    return f"""
+    WITH train AS (
+      SELECT * FROM documents WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+    ),
+    tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM train
+    ),
+    cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    scored AS (
+      SELECT doc_id, lang, COUNT(*) AS n_tokens,
+             CAST(SUM(CAST(FLOOR(LOG2(c)) AS BIGINT)) AS BIGINT) AS sum_log2
+      FROM tok JOIN cnt USING (w) GROUP BY doc_id, lang
+    ),
+    ranked AS (
+      SELECT doc_id,
+             PERCENT_RANK() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(sum_log2 AS DOUBLE) / n_tokens, doc_id
+             ) AS pct
+      FROM scored
+    ),
+    kept AS (
+      SELECT t.* FROM train t JOIN ranked r USING (doc_id)
+      WHERE r.pct >= {KEEP_LO} AND r.pct <= {KEEP_HI}
+    ),
+    w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM kept),
+    c2 AS (
+      SELECT doc_id, j,
+             array_to_string(
+               list_slice(words, j*{CHUNK}+1, j*{CHUNK}+{CHUNK}), ' ') AS chunk
+      FROM w2, unnest(range(0, (len(words) + {CHUNK - 1}) // {CHUNK})) AS u(j)
+    ),
+    flagged AS (
+      SELECT doc_id, j, chunk,
+             ROW_NUMBER() OVER (
+               PARTITION BY {h28_sql('chunk')} ORDER BY doc_id, j
+             ) AS rn
+      FROM c2
+    ),
+    totals2 AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c2 GROUP BY doc_id),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             array_to_string(list(chunk ORDER BY j), ' ') AS new_text
+      FROM flagged WHERE rn = 1 GROUP BY doc_id
+    ),
+    rw AS (
+      SELECT t.doc_id,
+             t.n_chunks - COALESCE(r.n_kept, 0) AS n_dropped,
+             COALESCE(r.new_text, '') AS new_text
+      FROM totals2 t LEFT JOIN rebuilt r USING (doc_id)
+    ),
+    eval_w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id % {_DECON_EVAL_MOD} = 0
+    ),
+    eval_h AS (
+      SELECT DISTINCT {h28_sql('s')} AS h
+      FROM (SELECT unnest({_decon_shingles_sql()}) AS s FROM eval_w)
+    ),
+    rw_w AS (
+      SELECT doc_id, string_split(new_text, ' ') AS words FROM rw
+      WHERE new_text <> ''
+    ),
+    rw_h AS (
+      SELECT doc_id, unnest(list_transform({_decon_shingles_sql()},
+                                           s -> {h28_sql('s')})) AS h
+      FROM rw_w
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id FROM rw_h t JOIN eval_h e ON t.h = e.h
+    ),
+    per_doc AS (
+      SELECT rw.doc_id, k.source, rw.n_dropped, rw.new_text,
+             CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contam
+      FROM rw
+      JOIN kept k ON rw.doc_id = k.doc_id
+      LEFT JOIN contaminated c ON rw.doc_id = c.doc_id
+    ),
+    agg1 AS (
+      SELECT source,
+             COUNT(*) AS n_kept_docs,
+             CAST(SUM(n_dropped) AS BIGINT) AS n_chunks_dropped,
+             CAST(SUM(contam) AS BIGINT) AS n_contaminated,
+             CAST(SUM(CASE WHEN contam = 0 AND new_text <> ''
+                           THEN len(string_split(new_text, ' '))
+                           ELSE 0 END) AS BIGINT) AS final_tokens
+      FROM per_doc GROUP BY source
+    ),
+    base AS (SELECT source, COUNT(*) AS n_input FROM train GROUP BY source)
+    SELECT b.source, b.n_input,
+           b.n_input - COALESCE(a.n_kept_docs, 0) AS n_quality_dropped,
+           COALESCE(a.n_chunks_dropped, 0) AS n_chunks_dropped,
+           COALESCE(a.n_contaminated, 0) AS n_contaminated,
+           COALESCE(a.n_kept_docs, 0) - COALESCE(a.n_contaminated, 0) AS n_final,
+           COALESCE(a.final_tokens, 0) AS final_tokens
+    FROM base b LEFT JOIN agg1 a USING (source)
+    """
+
+
+@register(
+    "pretrain_corpus_pipeline",
+    _pretrain_pipeline_sql(),
+    "pipeline",
+    doc=(
+        "The full pretraining-corpus recipe as ONE oracle-paired query: "
+        "(1) CCNet-style unigram-LM percent_rank band filter per "
+        "language, (2) C4 chunk-dedup REWRITE over the survivors "
+        "(first occurrence wins, documents reassembled), (3) benchmark "
+        "decontamination of the REWRITTEN text against the eval "
+        "split's 4-gram shingles (broadcast semi-join), (4) per-source "
+        "funnel: input / quality-dropped / chunks-dropped / "
+        "contaminated / final docs+tokens. Every stage is the verified "
+        "composable core of its standalone operator; integers "
+        "throughout, so the whole funnel hash-matches."
+    ),
+)
+def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.operators.corpus_lm import (
+        KEEP_HI,
+        KEEP_LO,
+        chunk_rewrite_frame,
+        unigram_scores,
+    )
+    from barco_spark.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
+    train = docs.filter(~is_eval)
+
+    kept_ids = (
+        unigram_scores(train)
+        .filter(
+            (F.col("lang_pct") >= KEEP_LO) & (F.col("lang_pct") <= KEEP_HI)
+        )
+        .select("doc_id")
+    )
+    kept = train.join(kept_ids, "doc_id")
+
+    rw = chunk_rewrite_frame(kept).select("doc_id", "n_dropped", "new_text")
+
+    from barco_spark.operators.text import h28
+
+    eval_h = (
+        _decon_shingles(docs.filter(is_eval))
+        .select(h28(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    rw_docs = rw.filter(F.col("new_text") != "").select(
+        "doc_id", F.lit("x").alias("source"), F.col("new_text").alias("text")
+    )
+    contaminated = (
+        _decon_shingles(rw_docs)
+        .select("doc_id", h28(F.col("shingle")).alias("h"))
+        .join(F.broadcast(eval_h), "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+
+    per_doc = (
+        rw.join(kept.select("doc_id", "source"), "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "source",
+            "n_dropped",
+            "new_text",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("contam"),
+        )
+    )
+    agg1 = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept_docs"),
+        F.sum("n_dropped").cast("bigint").alias("n_chunks_dropped"),
+        F.sum("contam").cast("bigint").alias("n_contaminated"),
+        F.sum(
+            F.when(
+                (F.col("contam") == 0) & (F.col("new_text") != ""),
+                F.size(F.split(F.col("new_text"), " ")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("final_tokens"),
+    )
+    base = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_input"))
+    z = F.lit(0)
+    return base.join(agg1, "source", "left").select(
+        "source",
+        "n_input",
+        (F.col("n_input") - F.coalesce(F.col("n_kept_docs"), z)).alias(
+            "n_quality_dropped"
+        ),
+        F.coalesce(F.col("n_chunks_dropped"), z).cast("bigint").alias(
+            "n_chunks_dropped"
+        ),
+        F.coalesce(F.col("n_contaminated"), z).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        (
+            F.coalesce(F.col("n_kept_docs"), z)
+            - F.coalesce(F.col("n_contaminated"), z)
+        ).alias("n_final"),
+        F.coalesce(F.col("final_tokens"), z).cast("bigint").alias(
+            "final_tokens"
+        ),
+    )

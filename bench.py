@@ -69,6 +69,7 @@ HEADLINE = [
     "ann_pq_search",
     "cms_heavy_hitters",
     "rollup_reuse_hourly",
+    "pretrain_corpus_pipeline",
 ]
 
 

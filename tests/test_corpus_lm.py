@@ -162,3 +162,25 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
     assert bad == 0
     # every doc chunked
     assert j.count() == docs.count()
+
+
+def test_pretrain_pipeline_funnel_conservation(spark, sf_dir):
+    from barco_spark.operators.pipeline import (
+        _DECON_EVAL_MOD,
+        pretrain_corpus_pipeline,
+    )
+
+    rows = pretrain_corpus_pipeline(spark, sf_dir).collect()
+    assert rows
+    docs = t(spark, sf_dir, "documents")
+    n_train = docs.where(F.col("doc_id") % _DECON_EVAL_MOD != 0).count()
+    assert sum(r.n_input for r in rows) == n_train
+    for r in rows:
+        assert r.n_final == r.n_input - r.n_quality_dropped - r.n_contaminated
+        assert 0 <= r.n_quality_dropped <= r.n_input
+        assert 0 <= r.n_contaminated <= r.n_input - r.n_quality_dropped
+        assert r.n_chunks_dropped >= 0
+        assert r.final_tokens >= 0
+        # a source with zero final docs must report zero final tokens
+        if r.n_final == 0:
+            assert r.final_tokens == 0
