@@ -69,17 +69,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shingles + hashed shingles + MinHash signatures
 # --------------------------------------------------------------------------
 def _shingles_col() -> Column:
-    """Distinct 3-word shingles of `words` (docs with <3 words -> whole text)."""
-    w = F.col("words")
-    return F.array_distinct(
-        F.when(
-            F.size(w) >= 3,
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - 3),
-                lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2]),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", w)))
-    )
+    """Distinct 3-word shingles of `words` (docs with <3 words -> whole
+    text). Built with the zip-slice kgrams helper — linear per doc, see
+    text.kgrams."""
+    from barco_spark.operators.text import kgrams
+
+    return F.array_distinct(kgrams(F.col("words"), 3))
 
 
 # sh: doc_id, shingles (distinct), hs (28-bit hash per shingle, hashed once)

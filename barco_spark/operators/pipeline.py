@@ -177,19 +177,10 @@ def _decon_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, source, shingle) — each document's distinct word
     ``_DECON_N``-shingles, exploded. Shared by the exact (hash
     semi-join) and Bloom decontamination variants."""
+    from barco_spark.operators.text import kgrams
+
     w = docs.select("doc_id", "source", F.split("text", " ").alias("words"))
-    words = F.col("words")
-    shingles = F.array_distinct(
-        F.when(
-            F.size(words) >= _DECON_N,
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - _DECON_N),
-                lambda i: F.concat_ws(
-                    " ", *[words[i + j] for j in range(_DECON_N)]
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
-    )
+    shingles = F.array_distinct(kgrams(F.col("words"), _DECON_N))
     return w.select("doc_id", "source", F.explode(shingles).alias("shingle"))
 
 

@@ -57,19 +57,30 @@ def words_col() -> Column:
     return F.split(F.col("text"), " ")
 
 
+def kgrams(words: Column, k: int) -> Column:
+    """Overlapping k-word shingles via ZIPPED SLICES, the linear plan.
+
+    NOT ``transform(sequence, i -> words[i] ...)``: indexed array access
+    (GetArrayItem or element_at) with a computed index has no random
+    access in codegen, so that shape walks the array per element —
+    O(len^2) per document (measured 16x slower than this plan at
+    ~90-word docs, SCALING.md round-4b; at 10k-token documents it is
+    catastrophic). Docs with < k words yield the whole text, matching
+    every oracle's CASE fallback."""
+    n = F.size(words)
+    m = n - (k - 1)  # number of k-grams
+    z = F.arrays_zip(*[F.slice(words, i + 1, m) for i in range(k)])
+    grams = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+    )
+    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", words)))
+
+
 def shingles5(words: Column) -> Column:
     """Distinct-free 5-word shingles (docs with <5 words -> whole text).
     The ONE blocking key shared by doc_fingerprint and dedup_keep_best —
     change it here and both stay in sync."""
-    return F.when(
-        F.size(words) >= 5,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 5),
-            lambda i: F.concat_ws(
-                " ", words[i], words[i + 1], words[i + 2], words[i + 3], words[i + 4]
-            ),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return kgrams(words, 5)
 
 
 def fingerprint5(words: Column) -> Column:
@@ -415,13 +426,7 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.col("words")
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(" ", w[i], w[i + 1]),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", w)))
+    bigrams = kgrams(w, 2)
     # max run length over the SORTED bigram array == max bigram count;
     # one parsed-SQL fold (single py4j call, JVM-evaluated) per row.
     max_run = F.expr(
