@@ -184,3 +184,34 @@ def test_pretrain_pipeline_funnel_conservation(spark, sf_dir):
         # a source with zero final docs must report zero final tokens
         if r.n_final == 0:
             assert r.final_tokens == 0
+
+
+def test_kgrams_matches_naive_on_edges(spark):
+    """kgrams (zip-slice) must equal the naive definition on edge
+    shapes: len < k (whole-text fallback), len == k (one gram),
+    len == k+1 (two grams), repeated tokens, empty-string tokens."""
+    from barco_spark.operators.text import kgrams
+
+    rows = [
+        ("a",),                     # 1 word, k>len
+        ("a b",),                   # len < 3
+        ("a b c",),                 # len == 3 -> one 3-gram
+        ("a b c d",),               # two 3-grams
+        ("x x x x x",),             # repeats
+        ("a  b",),                  # split on ' ' yields empty token
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    out = df.select(
+        F.col("text"),
+        kgrams(F.split("text", " "), 3).alias("grams"),
+    ).collect()
+    got = {r.text: r.grams for r in out}
+
+    def naive(text, k=3):
+        ws = text.split(" ")
+        if len(ws) < k:
+            return [" ".join(ws)]
+        return [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+
+    for (text,) in rows:
+        assert got[text] == naive(text), (text, got[text], naive(text))
