@@ -255,3 +255,61 @@ def streaming_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .filter(F.col("event_type") != "__wm__")
     )
+
+
+@register(
+    "streaming_dedup_snapshot",
+    """
+    SELECT DISTINCT md5(text) AS fp FROM documents
+    """,
+    "streaming",
+    doc=(
+        "Streaming exact dedup run as a REAL streaming query (file "
+        "source -> dropDuplicates on the content digest -> parquet "
+        "sink, Trigger.AvailableNow) and hash-matched against the "
+        "batch DISTINCT oracle: cross-micro-batch dedup state proven "
+        "equivalent to the declarative set semantics. Only the digest "
+        "column is emitted (which duplicate survives is "
+        "arrival-order-dependent; the SET of digests is not). "
+        "Production streams bound the state with "
+        "dropDuplicatesWithinWatermark / streaming_dedup_ttl "
+        "(streaming/stateful.py); the unbounded variant here is what "
+        "an exact snapshot check can verify."
+    ),
+)
+def streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from barco_spark.tables import t
+
+    tmp = tempfile.mkdtemp(prefix="dedup-snap-")
+    src = tmp + "/src"
+    out = tmp + "/out"
+    t(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("fp")
+    ).write.json(src)
+
+    stream = spark.readStream.schema("fp string").json(src)
+    q = (
+        stream.dropDuplicates(["fp"])
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_snapshot: query did not drain in 300s"
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(src, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return spark.read.schema("fp string").parquet(out)

@@ -70,6 +70,9 @@ HEADLINE = [
     "cms_heavy_hitters",
     "rollup_reuse_hourly",
     "pretrain_corpus_pipeline",
+    "dsir_importance_weights",
+    "weighted_sample_priority",
+    "bpe_merge_pairs",
 ]
 
 

@@ -237,3 +237,51 @@ def test_pii_pseudonymize_masks_all_digits(spark, sf_dir):
         .n
     )
     assert total_masked == raw > 0
+
+
+def test_priority_sample_deterministic_and_weight_biased(spark, sf_dir):
+    """Priority sampling: exactly k rows, identical across runs, and
+    weight-biased — the kept docs' mean n_chars exceeds the corpus mean
+    (w/u priorities favor heavy docs; Duffield-Lund-Thorup)."""
+    from barco_spark.registry import load_all
+
+    q = load_all()["weighted_sample_priority"]
+    a = [tuple(r) for r in q.build(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q.build(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) == 100
+    from barco_spark.tables import t
+
+    corpus_mean = t(spark, sf_dir, "documents").agg({"n_chars": "avg"}).first()[0]
+    kept_mean = sum(r[2] for r in a) / len(a)
+    assert kept_mean > corpus_mean
+
+
+def test_dsir_band_and_target_bias(spark, sf_dir):
+    """DSIR importance band keeps ~top-20% and is biased toward the
+    target language: en docs are over-represented among kept docs
+    relative to the corpus (their features score log(ct/cr) ~ 0;
+    non-target features go negative)."""
+    from barco_spark.operators.dsir import KEEP_TOP
+    from barco_spark.registry import load_all
+
+    rows = load_all()["dsir_importance_weights"].build(spark, sf_dir).collect()
+    n = len(rows)
+    kept = [r for r in rows if r["kept"]]
+    assert abs(len(kept) / n - KEEP_TOP) < 0.05
+    en_share_all = sum(1 for r in rows if r["lang"] == "en") / n
+    en_share_kept = sum(1 for r in kept if r["lang"] == "en") / len(kept)
+    assert en_share_kept > en_share_all
+
+
+def test_bpe_pairs_shape(spark, sf_dir):
+    """Every BPE merge candidate is exactly 2 chars and counts are
+    positive, descending."""
+    from barco_spark.registry import load_all
+
+    rows = load_all()["bpe_merge_pairs"].build(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(len(r["pair"]) == 2 for r in rows)
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
