@@ -846,3 +846,110 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(spark, sf_dir, metric="containment", threshold=0.6)
+
+
+# -- exact-substring dedup (Lee et al. 2022, stride-anchored) ------------
+
+_ESD_W = 50  # window width (Lee et al. use 50-token; chars here)
+_ESD_S = 10  # anchor stride
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH anchors AS (
+      SELECT doc_id, n_chars, CAST(i AS BIGINT) AS pos,
+             (('0x' || substr(md5(substr(text, CAST(i AS INT), {_ESD_W})), 1, 7))::BIGINT) AS h
+      FROM documents,
+           LATERAL unnest(generate_series(1, length(text) - {_ESD_W - 1}, {_ESD_S})) AS t(i)
+      WHERE length(text) >= {_ESD_W}
+    ),
+    dup AS (SELECT h FROM anchors GROUP BY h HAVING COUNT(*) > 1),
+    hits AS (SELECT doc_id, n_chars, pos FROM anchors JOIN dup USING (h)),
+    lagd AS (
+      SELECT doc_id, n_chars, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, n_chars, pos,
+             SUM(CASE WHEN ppos IS NULL OR pos > ppos + {_ESD_W} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM lagd
+    ),
+    spans AS (
+      SELECT doc_id, ANY_VALUE(n_chars) AS n_chars, island,
+             MIN(pos) AS s, MAX(pos) + {_ESD_W - 1} AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars,
+           CAST(SUM(e - s + 1) AS DOUBLE) / ANY_VALUE(n_chars) AS dup_ratio
+    FROM spans
+    GROUP BY doc_id
+    """,
+    "dedup",
+    doc=(
+        "Exact-substring duplicate spans (Lee et al. 2022's suffix-"
+        "array dedup, re-expressed for a shuffle engine): every "
+        f"{_ESD_W}-char window at stride {_ESD_S} is hash-anchored; "
+        "windows occurring 2+ times corpus-wide mark their anchors as "
+        "duplicated; per-document anchor runs merge into maximal spans "
+        "(gaps-and-islands over one doc_id window). All-integer span "
+        "arithmetic keeps the oracle exact. Position-strided anchors "
+        "catch equal-alignment duplicates (whole-document copies, "
+        "fixed-offset boilerplate); copies shifted by a non-multiple "
+        "of the stride need content-defined anchors — "
+        "doc_rolling_fingerprints' winnowing is that variant at word "
+        "level. Scale: anchor volume is chars/stride (the known cost "
+        "of substring dedup — Lee et al. materialize the full suffix "
+        "array instead); one shuffle on the window hash, one on "
+        "doc_id; the span merge is unchanged under any anchor rule."
+    ),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= _ESD_W)
+    anchors = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {_ESD_W - 1}, {_ESD_S})")
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.col("pos").cast("bigint").alias("pos"),
+        h28(F.expr(f"substr(text, pos, {_ESD_W})")).alias("h"),
+    )
+    dup = anchors.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    )
+    hits = anchors.join(dup.select("h"), "h").select("doc_id", "n_chars", "pos")
+    worder = Window.partitionBy("doc_id").orderBy("pos")
+    lagd = hits.withColumn("ppos", F.lag("pos").over(worder))
+    isl = lagd.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("ppos").isNull() | (F.col("pos") > F.col("ppos") + _ESD_W),
+                1,
+            ).otherwise(0)
+        ).over(worder),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.any_value("n_chars").alias("n_chars"),
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(_ESD_W - 1)).alias("e"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
+        (
+            F.sum(F.col("e") - F.col("s") + 1).cast("double")
+            / F.any_value("n_chars")
+        ).alias("dup_ratio"),
+    )

@@ -766,3 +766,42 @@ def interpolate_missing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
         .alias("v_filled"),
     )
+
+
+APPROX_PCT_ACCURACY = 10_000  # rank error <= n / accuracy (Spark contract)
+
+
+@register(
+    "approx_quantile_profile",
+    None,  # approx_percentile's picks are engine-specific: no SQL oracle.
+    # Property gate instead: tests/test_properties.py bounds the rank
+    # error of every estimate against the exact order statistics.
+    "aggregation",
+    doc=(
+        "The 100 TB percentile path value_percentiles_per_type points "
+        "at: per-group approx_percentile (Greenwald-Khanna summaries, "
+        "t-digest-class bounded memory, mergeable across partitions) "
+        "for P50/P90/P99. Estimates are real data elements with rank "
+        "error <= n/accuracy; the property test pins that bound "
+        "against the exact percentiles at three scales."
+    ),
+)
+def approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "approx_percentile(value, array(0.5, 0.9, 0.99), "
+                f"{APPROX_PCT_ACCURACY})"
+            ).alias("ps"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p90"),
+            F.col("ps")[2].alias("p99"),
+        )
+    )

@@ -73,6 +73,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "weighted_sample_priority",
     "bpe_merge_pairs",
+    "dedup_exact_substring",
 ]
 
 

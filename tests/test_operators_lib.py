@@ -285,3 +285,39 @@ def test_bpe_pairs_shape(spark, sf_dir):
     counts = [r["pair_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert counts[-1] > 0
+
+
+def test_exact_substring_spans_constructed(spark, tmp_path):
+    """Two docs sharing an identical 120-char prefix must each report
+    ONE duplicated span of exactly 120 chars (anchors 1..71 all match,
+    islands merge them, span = [1, 120]); a unique doc reports nothing."""
+    import pandas as pd
+
+    shared = "".join(chr(ord("a") + (i * 7) % 26) for i in range(120))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                shared + " tail one unique to doc1 xxxxxxxxxxxxxxxxx",
+                shared + " another completely different tail yyyyyy",
+                "entirely unique text with no repeats at all " * 3,
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    from barco_spark.registry import load_all
+
+    rows = {
+        r["doc_id"]: r
+        for r in load_all()["dedup_exact_substring"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(rows) == {1, 2}
+    for d in (1, 2):
+        assert rows[d]["n_spans"] == 1
+        assert rows[d]["dup_chars"] == 120

@@ -282,3 +282,60 @@ def test_bloom_decontamination_superset_and_fp_bound(spark, sf_dir):
     n_clean = docs.filter(~is_eval).count() - len(exact)
     false_pos = len(flagged - exact)
     assert false_pos <= max(3, 0.01 * n_clean), (false_pos, n_clean)
+
+
+@pytest.mark.parametrize("n_rows", [2_000, 20_000, 200_000])
+def test_approx_percentile_rank_bound_scales(spark, n_rows):
+    """approx_percentile(accuracy=A) guarantees every estimate is a
+    real data element whose rank is within n/A of the target rank.
+    Assert that bound directly against the sorted data at three scales
+    (the same claim approx_quantile_profile's doc makes)."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.operators.relational3 import APPROX_PCT_ACCURACY as A
+
+    # skewed, duplicated values so the summary sees repeats and ties
+    df = spark.range(n_rows).select(
+        ((F.col("id") * F.col("id")) % 7919).cast("double").alias("v")
+    )
+    qs = [0.5, 0.9, 0.99]
+    est = df.agg(
+        F.expr(f"approx_percentile(v, array(0.5, 0.9, 0.99), {A})").alias("ps")
+    ).collect()[0]["ps"]
+    vals = sorted(r["v"] for r in df.collect())
+    n = len(vals)
+    tol = n / A + 1
+    for q, e in zip(qs, est):
+        lo = sum(1 for v in vals if v < e)  # lowest rank e could hold
+        hi = sum(1 for v in vals if v <= e) - 1  # highest rank
+        target = q * (n - 1)
+        assert lo - tol <= target <= hi + tol, (n, q, e, lo, hi)
+
+
+def test_approx_quantile_profile_brackets_exact(spark, sf_dir):
+    """On the real events table the approximate P50/P90/P99 per group
+    must bracket the exact interpolated percentiles within one order
+    statistic on each side (n/accuracy < 1 at test scale, so the
+    estimate is at most one element away)."""
+    from barco_spark.registry import load_all
+    from barco_spark.tables import t
+
+    Q = load_all()
+    approx = {
+        r["event_type"]: r
+        for r in Q["approx_quantile_profile"].build(spark, sf_dir).collect()
+    }
+    exact_rows = t(spark, sf_dir, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in exact_rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        a = approx[et]
+        assert a["n"] == n
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            k = q * (n - 1)
+            lo_i = max(0, int(k) - 1)
+            hi_i = min(n - 1, int(k) + 2)
+            assert vals[lo_i] <= a[col] <= vals[hi_i], (et, col, a[col])
