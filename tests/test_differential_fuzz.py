@@ -214,3 +214,74 @@ def test_rollup_empty_relation_divergence(spark):
         con.close()
     assert s == []  # Spark: no groups -> no rows at all
     assert d == [(None, 0)]  # DuckDB: standard grand-total row
+
+
+@given(rows_a=ROWS, rows_b=ROWS)
+@FUZZ
+def test_fuzz_semi_anti_join(spark, rows_a, rows_b):
+    """SEMI/ANTI against a side that may be empty, may repeat keys, or
+    may cover every key — existence semantics must agree exactly
+    (multiplicity of the right side must never leak into the output)."""
+    con = _tables(spark, rows_a, rows_b)
+    try:
+        for op in ["SEMI", "ANTI"]:
+            _both(
+                spark,
+                con,
+                f"SELECT id, k, v FROM fz_a {op} JOIN fz_b USING (k)",
+                f"SELECT id, k, v FROM fz_a {op} JOIN fz_b USING (k)",
+            )
+    finally:
+        con.close()
+
+
+@given(rows=ROWS)
+@FUZZ
+def test_fuzz_running_and_lead_lag_windows(spark, rows):
+    """Running sums and lead/lag over a tie-free total order (id):
+    frame edges — single-row partitions, first/last row NULL handling —
+    must agree exactly."""
+    con = _tables(spark, rows, [])
+    try:
+        _both(
+            spark,
+            con,
+            """
+            SELECT id, k,
+                   SUM(v) OVER (PARTITION BY k ORDER BY id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS rsum,
+                   LAG(v, 1) OVER (PARTITION BY k ORDER BY id) AS pv,
+                   LEAD(v, 2) OVER (PARTITION BY k ORDER BY id) AS nv2,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY id) AS rn
+            FROM fz_a
+            """,
+        )
+    finally:
+        con.close()
+
+
+@given(rows=ROWS)
+@FUZZ
+def test_fuzz_range_frame_window(spark, rows):
+    """Value-based RANGE frame (v +/- 10) with duplicate order keys:
+    peers must enter the frame together on both engines (all-integer,
+    so equality is exact)."""
+    con = _tables(spark, rows, [])
+    try:
+        _both(
+            spark,
+            con,
+            """
+            SELECT id, k, v,
+                   SUM(v) OVER (PARTITION BY k ORDER BY v
+                                RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+                     AS nearby,
+                   COUNT(*) OVER (PARTITION BY k ORDER BY v
+                                  RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+                     AS n_nearby
+            FROM fz_a
+            """,
+        )
+    finally:
+        con.close()
