@@ -146,39 +146,70 @@ def _bigrams_sql(ws: str) -> str:
     ),
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One explode+hash pass, reduced to per-(doc, bucket) COUNTS and
-    # persisted: both the model (group by b) and the scoring join read
-    # this small frame instead of re-exploding the corpus (the explode
-    # + per-occurrence md5 dominates; measured 24 s -> 15 s at 50k
-    # synthetic docs). The persisted frame is |docs| x |distinct
-    # buckets per doc| rows — Zipf-compressed far below occurrence
-    # count; at 100 TB use MEMORY_AND_DISK or accept the recompute.
-    fbd = (
-        _feats(t(spark, sf_dir, "documents"))
-        .groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
-    )
+    # Adaptive plan, decided by one metadata-cheap count (the
+    # dedup_clusters pattern). Both shapes produce identical integers:
+    #
+    # - SMALL corpora: re-explode per pass with the raw+target counts
+    #   fused into one aggregation (count_if). Re-exploding twice is
+    #   cheaper than materializing anything at this size.
+    # - LARGE corpora: ONE explode+hash pass reduced to per-(doc,
+    #   bucket) counts and persisted; the model agg and the scoring
+    #   join both read the reduced frame, so the per-occurrence md5 —
+    #   the dominant cost — runs once (24 s -> 15 s at 50k synthetic
+    #   docs, 228 s -> 198 s at 500k; but 2x SLOWER under ~20k docs,
+    #   where the persist round-trip outweighs a second explode). The
+    #   persisted frame is |docs| x |distinct buckets per doc| rows,
+    #   Zipf-compressed far below occurrence count; at 100 TB use
+    #   MEMORY_AND_DISK or accept the recompute.
+    docs = t(spark, sf_dir, "documents")
     qlog = lambda c: F.floor(F.log2(c + F.lit(1))).cast("bigint")  # noqa: E731
-    sc = (
-        fbd.groupBy("b")
-        .agg(
-            F.sum("cnt").alias("c"),
-            F.sum(
-                F.when(F.col("lang") == TARGET_LANG, F.col("cnt")).otherwise(0)
-            ).alias("c_t"),
+    if docs.count() < 20_000:
+        fb = _feats(docs)
+        sc = (
+            fb.groupBy("b")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.count_if(F.col("lang") == TARGET_LANG).alias("c_t"),
+            )
+            .select("b", (qlog(F.col("c_t")) - qlog(F.col("c"))).alias("s"))
         )
-        .select("b", (qlog(F.col("c_t")) - qlog(F.col("c"))).alias("s"))
-    )
-    doc = (
-        fbd.join(F.broadcast(sc), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("lang").alias("lang"),
-            F.sum("cnt").alias("n_feats"),
-            F.sum(F.col("s") * F.col("cnt")).alias("weight_q"),
+        doc = (
+            fb.join(F.broadcast(sc), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.any_value("lang").alias("lang"),
+                F.count(F.lit(1)).alias("n_feats"),
+                F.sum("s").alias("weight_q"),
+            )
         )
-    )
+    else:
+        fbd = (
+            _feats(docs)
+            .groupBy("doc_id", "lang", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        sc = (
+            fbd.groupBy("b")
+            .agg(
+                F.sum("cnt").alias("c"),
+                F.sum(
+                    F.when(
+                        F.col("lang") == TARGET_LANG, F.col("cnt")
+                    ).otherwise(0)
+                ).alias("c_t"),
+            )
+            .select("b", (qlog(F.col("c_t")) - qlog(F.col("c"))).alias("s"))
+        )
+        doc = (
+            fbd.join(F.broadcast(sc), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.any_value("lang").alias("lang"),
+                F.sum("cnt").alias("n_feats"),
+                F.sum(F.col("s") * F.col("cnt")).alias("weight_q"),
+            )
+        )
     avg = F.col("weight_q").cast("double") / F.col("n_feats")
     win = Window.orderBy(avg, "doc_id")
     return doc.select(
