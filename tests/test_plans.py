@@ -347,3 +347,35 @@ def test_ivf_index_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_priority_sample_plan_is_takeordered_no_shuffle(spark, sf_dir):
+    """weighted_sample_priority must be one scan + TakeOrderedAndProject:
+    zero data shuffles, no global Sort node."""
+    df = QUERIES["weighted_sample_priority"].build(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert shuffle_count(df) == 0
+
+
+def test_exact_substring_plan_shape(spark, sf_dir):
+    """dedup_exact_substring: no cartesian/nested-loop anything, and no
+    shuffle may carry the text column (hashes are computed before the
+    anchor explode, so only narrow (doc_id, pos, h) rows move)."""
+    df = QUERIES["dedup_exact_substring"].build(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan, "anchor explode missing from plan"
+    exch = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exch and all("text#" not in l for l in exch), exch
+
+
+def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
+    """dsir_importance_weights: the per-bucket score table (bounded by
+    N_BUCKETS) must broadcast onto the corpus side — a shuffled
+    sort-merge join here would shuffle every feature occurrence."""
+    df = QUERIES["dsir_importance_weights"].build(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = explain_str(df, "formatted")
+    assert "SortMergeJoin" not in plan
