@@ -119,7 +119,7 @@ def _bigrams_sql(ws: str) -> str:
       SELECT fb.doc_id,
              any_value(fb.lang) AS lang,
              COUNT(*) AS n_feats,
-             SUM(sc.s) AS weight_q
+             CAST(SUM(sc.s) AS BIGINT) AS weight_q
       FROM fb JOIN sc ON fb.b = sc.b
       GROUP BY fb.doc_id
     ),

@@ -262,7 +262,7 @@ def streaming_rollup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT DISTINCT md5(text) AS fp FROM documents
     """,
-    "streaming",
+    "dedup",
     doc=(
         "Streaming exact dedup run as a REAL streaming query (file "
         "source -> dropDuplicates on the content digest -> parquet "
