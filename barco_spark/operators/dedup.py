@@ -962,3 +962,78 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.any_value("n_chars")
         ).alias("dup_ratio"),
     )
+
+
+# -- incremental dedup: today's batch vs the existing index ---------------
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5(text) AS fp,
+             list_min(list_transform(
+               {shingles5_sql('words')}, s -> {h28_sql('s')})) AS minfp
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS words
+            FROM documents)
+    ),
+    existing AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+    incoming AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+    SELECT i.doc_id,
+           EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp) AS exact_dup,
+           EXISTS (SELECT 1 FROM existing e WHERE e.minfp = i.minfp)
+             AS near_dup,
+           NOT (EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
+                OR EXISTS (SELECT 1 FROM existing e WHERE e.minfp = i.minfp))
+             AS kept
+    FROM incoming i
+    """,
+    "dedup",
+    doc=(
+        "Incremental dedup — the daily-crawl shape: flag each INCOMING "
+        "document (doc_id odd here; date-partitioned in production) "
+        "that exactly (content digest) or nearly (winnowing min-shingle "
+        "fingerprint, shared with doc_fingerprint) duplicates the "
+        "EXISTING index (doc_id even). The incoming batch is tiny "
+        "relative to the index, so its key set is BROADCAST into two "
+        "semi-join probes over the index scan — the index is scanned "
+        "once per key type and NEVER shuffled, which is the only "
+        "posture that survives a petabyte index with a daily batch."
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.operators.text import fingerprint5
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        fingerprint5(F.split(F.col("text"), " ")).alias("minfp"),
+    )
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    # index-side scans joined against the BROADCAST incoming key sets;
+    # .distinct() keeps the matched sets bounded by the batch size
+    hit_exact = (
+        existing.join(F.broadcast(incoming.select("fp")), "fp")
+        .select(F.col("fp"))
+        .distinct()
+        .withColumn("x", F.lit(True))
+    )
+    hit_near = (
+        existing.join(F.broadcast(incoming.select("minfp")), "minfp")
+        .select(F.col("minfp"))
+        .distinct()
+        .withColumn("nx", F.lit(True))
+    )
+    out = (
+        incoming.join(F.broadcast(hit_exact), "fp", "left")
+        .join(F.broadcast(hit_near), "minfp", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("x"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("nx"), F.lit(False)).alias("near_dup"),
+        )
+    )
+    return out.withColumn(
+        "kept", ~(F.col("exact_dup") | F.col("near_dup"))
+    )

@@ -74,6 +74,7 @@ HEADLINE = [
     "weighted_sample_priority",
     "bpe_merge_pairs",
     "dedup_exact_substring",
+    "dedup_incremental",
 ]
 
 

@@ -379,3 +379,16 @@ def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
     assert has_broadcast_join(df)
     plan = explain_str(df, "formatted")
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_index_never_shuffles(spark, sf_dir):
+    """dedup_incremental: every join against the existing index must
+    build a BROADCAST side (the incoming batch / its matched key sets);
+    the only hash exchanges allowed are the batch-bounded distincts —
+    nothing the size of the index may move."""
+    df = QUERIES["dedup_incremental"].build(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert shuffle_count(df) <= 2
