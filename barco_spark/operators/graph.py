@@ -1,0 +1,135 @@
+"""Graph analytics over the document-similarity graph.
+
+``pagerank_similarity_graph``: PageRank (Page et al. 1999) over the
+near-duplicate pair graph that ``dedup_minhash_lsh`` produces — the
+centrality signal curation pipelines use to pick the canonical copy
+inside a duplicate neighborhood (the most-connected variant wins,
+rather than min-id).
+
+The whole computation is INTEGER fixed-point (rank scaled by 1e9,
+damping 0.85 as 85/100, every division an integer ``div``), so an
+inherently iterative algorithm is still bit-exactly oracle-checkable:
+the Spark side loops ``N_ITER`` times; the DuckDB oracle unrolls the
+same update as ``N_ITER`` nested CTEs.  Float PageRank would diverge
+across engines in summation order — fixed-point cannot.
+
+Update rule per iteration (simplified PageRank, dangling mass dropped,
+the standard formulation for similarity neighborhoods):
+
+    p[v] = (15 * SCALE / 100) / N  +  85 * sum_{u->v} (p[u] / deg[u]) / 100
+
+Scale notes (100 TB posture): the edge list is the LSH pair graph —
+candidates after banding, ORDERS of magnitude smaller than the corpus
+(SCALING.md LSH rows).  Each iteration is one hash-aggregate on dst +
+one broadcast-joinable rank table; the corpus itself is never touched
+after pair generation.  Same loop posture as dedup_clusters' label
+propagation: lineage capped per round by the localCheckpoint helper if
+rounds grow (3 here).
+
+No reference analogue (the broker has no graph surface; SURVEY.md §2.7
+marks the analytics categories ABSENT); PageRank per the public paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from barco_spark.operators.dedup import _LSH_PAIRS_CTES, _lsh_pairs
+from barco_spark.registry import register
+
+SCALE = 1_000_000_000  # fixed-point: 1.0 == 1e9
+N_ITER = 3
+DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping as an exact ratio
+
+
+def _one_iter_sql(prev: str, out: str) -> str:
+    """One unrolled fixed-point PageRank update in DuckDB SQL."""
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             CAST((15::BIGINT * {SCALE} // 100) // (SELECT cnt FROM nn)
+                  + {DAMP_NUM}::BIGINT * COALESCE(c.contrib, 0)
+                    // {DAMP_DEN} AS BIGINT) AS p
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(pp.p // d.deg) AS contrib
+        FROM edges e
+        JOIN {prev} pp ON pp.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+
+
+_PR_ITERS = ",".join(
+    _one_iter_sql(f"p{i}", f"p{i + 1}") for i in range(N_ITER)
+)
+
+
+@register(
+    "pagerank_similarity_graph",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    p0 AS (SELECT node, {SCALE}::BIGINT // (SELECT cnt FROM nn) AS p
+           FROM nodes),
+    {_PR_ITERS}
+    SELECT node AS doc_id, p AS rank_fp
+    FROM p{N_ITER}
+    """,
+    "similarity",
+    doc=(
+        "Integer fixed-point PageRank over the LSH near-duplicate "
+        "graph (canonical-copy centrality): rank scaled by 1e9, "
+        "damping 85/100, every step an integer div — so the iterative "
+        "loop is bit-exactly oracle-paired (the DuckDB oracle unrolls "
+        "the same 3 updates as nested CTEs). Each iteration is one "
+        "dst-keyed hash aggregate over the pair graph, which is "
+        "banding-bounded and far smaller than the corpus."
+    ),
+)
+def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    # the pair graph is tiny relative to the corpus; persist it so the
+    # per-iteration joins do not re-run the LSH pipeline
+    edges = edges.persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n_nodes = nodes.count()  # scalar: node count of the PAIR graph
+    base = (15 * SCALE // 100) // n_nodes
+    p = nodes.select("node", F.lit(SCALE // n_nodes).alias("p"))
+    src_deg = edges.join(deg, edges.src == deg.node).select(
+        "src", "dst", "deg"
+    )
+    for _ in range(N_ITER):
+        contrib = (
+            src_deg.join(p, src_deg.src == p.node)
+            .select(
+                "dst", F.expr("p div deg").cast("bigint").alias("share")
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        p = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"{DAMP_NUM} * coalesce(contrib, 0) div {DAMP_DEN}"
+                ).cast("bigint")
+            ).alias("p"),
+        )
+    return p.select(F.col("node").alias("doc_id"), F.col("p").alias("rank_fp"))

@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
     import barco_spark.operators.quality  # noqa: F401
     import barco_spark.operators.corpus_lm  # noqa: F401
     import barco_spark.operators.dsir  # noqa: F401
+    import barco_spark.operators.graph  # noqa: F401
     import barco_spark.functions.udfs  # noqa: F401
     import barco_spark.operators.pipeline  # noqa: F401
     import barco_spark.operators.sampling  # noqa: F401

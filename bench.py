@@ -75,6 +75,7 @@ HEADLINE = [
     "bpe_merge_pairs",
     "dedup_exact_substring",
     "dedup_incremental",
+    "pagerank_similarity_graph",
 ]
 
 

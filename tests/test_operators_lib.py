@@ -321,3 +321,22 @@ def test_exact_substring_spans_constructed(spark, tmp_path):
     for d in (1, 2):
         assert rows[d]["n_spans"] == 1
         assert rows[d]["dup_chars"] == 120
+
+
+def test_pagerank_floor_and_centrality(spark, sf_dir):
+    """Fixed-point PageRank invariants: every node holds at least the
+    teleport base; some connected node exceeds it; ranks are
+    deterministic across runs (integer arithmetic, no float folds)."""
+    from barco_spark.operators.graph import N_ITER, SCALE
+    from barco_spark.registry import load_all
+
+    q = load_all()["pagerank_similarity_graph"]
+    a = sorted(tuple(r) for r in q.build(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in q.build(spark, sf_dir).collect())
+    assert a == b
+    assert len(a) > 0
+    n = len(a)
+    base = (15 * SCALE // 100) // n
+    ranks = [r for _, r in a]
+    assert all(r >= base for r in ranks)
+    assert max(ranks) > base
