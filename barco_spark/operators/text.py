@@ -460,3 +460,65 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("max_bigram_cnt").cast("double") / F.sum("n_bigrams")
         ).alias("pooled_rep_share"),
     )
+
+
+# -- sentiment-lexicon scoring (SURVEY §7 step 6) -------------------------
+
+# Demo lexicon over the synthetic vocabulary; production swaps in a real
+# lexicon table (AFINN/VADER-style) broadcast the same way.
+SENT_POS = ["fast", "big"]
+SENT_NEG = ["slow", "small"]
+
+
+@register(
+    "sentiment_lexicon_score",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({SENT_POS!r}, w))) AS n_pos,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({SENT_NEG!r}, w))) AS n_neg
+      FROM documents
+    )
+    SELECT doc_id, n_pos, n_neg,
+           CAST(n_pos - n_neg AS BIGINT) AS polarity,
+           CASE WHEN n_pos + n_neg > 0
+                THEN CAST(n_pos - n_neg AS DOUBLE) / (n_pos + n_neg)
+                ELSE 0.0 END AS sentiment
+    FROM s
+    """,
+    "text",
+    doc=(
+        "Lexicon-based sentiment scoring: positive/negative word "
+        "counts against a broadcast lexicon (array literals compiled "
+        "into codegen — no join, no UDF), integer polarity and one "
+        "final ratio. The classic curation signal for tone filtering; "
+        "per-row map work only, so at 100 TB it rides the same scan "
+        "as the other text metrics."
+    ),
+)
+def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.split(F.col("text"), " ")
+    pos_arr = F.array(*[F.lit(s) for s in SENT_POS])
+    neg_arr = F.array(*[F.lit(s) for s in SENT_NEG])
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: F.array_contains(pos_arr, x))).alias(
+            "n_pos"
+        ),
+        F.size(F.filter(w, lambda x: F.array_contains(neg_arr, x))).alias(
+            "n_neg"
+        ),
+    )
+    pol = (F.col("n_pos") - F.col("n_neg")).cast("bigint")
+    denom = F.col("n_pos") + F.col("n_neg")
+    return d.select(
+        "doc_id",
+        "n_pos",
+        "n_neg",
+        pol.alias("polarity"),
+        F.when(denom > 0, pol.cast("double") / denom)
+        .otherwise(F.lit(0.0))
+        .alias("sentiment"),
+    )
