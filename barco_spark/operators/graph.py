@@ -104,19 +104,30 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair graph is tiny relative to the corpus; persist it so the
     # per-iteration joins do not re-run the LSH pipeline
     edges = edges.persist()
+    n_edges = edges.count()  # scalar; also materializes the persist
+    if n_edges < 1_000_000:
+        # small graph: 32-partition shuffles per round are pure task
+        # overhead — re-persist the cached edges into a handful of
+        # partitions (reads from cache, no recompute; measured 4.4 s
+        # -> 3.9 s at sf0.1 together with the rank broadcast below)
+        edges = edges.coalesce(8).persist()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
     n_nodes = nodes.count()  # scalar: node count of the PAIR graph
+    # rank table is one row per NODE: broadcast it only when measurably
+    # small — at petabyte pair graphs it stays a shuffled hash join
+    bcast_rank = n_nodes < 500_000
     base = (15 * SCALE // 100) // n_nodes
     p = nodes.select("node", F.lit(SCALE // n_nodes).alias("p"))
     src_deg = edges.join(deg, edges.src == deg.node).select(
         "src", "dst", "deg"
     )
     for _ in range(N_ITER):
+        pj = F.broadcast(p) if bcast_rank else p
         contrib = (
-            src_deg.join(p, src_deg.src == p.node)
+            src_deg.join(pj, src_deg.src == pj.node)
             .select(
                 "dst", F.expr("p div deg").cast("bigint").alias("share")
             )
