@@ -313,3 +313,109 @@ def streaming_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     return spark.read.schema("fp string").parquet(out)
+
+
+@register(
+    "streaming_sessionize_snapshot",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS last_event_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    "window",
+    doc=(
+        "Gap-based sessionization run as a REAL streaming query "
+        "(file source -> F.session_window(30 min) state -> parquet "
+        "sink, Trigger.AvailableNow) and hash-matched against the "
+        "batch gaps-and-islands oracle. session_window merges on the "
+        "half-open [start, last+gap) rule, so the oracle flags a new "
+        "session at gap >= 30 min (events_sessionize's strict-> "
+        "variant mirrors its own batch twin; both conventions are "
+        "exact, they just must not be mixed). Same watermark-sentinel "
+        "finalization trick as streaming_rollup_snapshot; the "
+        "sentinel's own session (user_id -1) can never finalize."
+    ),
+)
+def streaming_sessionize_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from barco_spark.tables import t
+
+    tmp = tempfile.mkdtemp(prefix="sess-snap-")
+    src = tmp + "/src"
+    out = tmp + "/out"
+    ev = t(spark, sf_dir, "events").selectExpr(
+        "user_id", "unix_micros(ts) AS ts_us"
+    )
+    max_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_us + 7_200_000_000)], "user_id long, ts_us long"
+    )
+    ev.unionByName(sentinel).write.json(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .json(src)
+        .selectExpr("user_id", "timestamp_micros(ts_us) AS ts")
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            # session end = last event + gap (half-open window)
+            (
+                F.unix_micros(F.col("session_window.end"))
+                - F.lit(30 * 60 * 1_000_000)
+            ).alias("last_event_us"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_sessionize_snapshot: query did not drain in 300s"
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(src, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return (
+        spark.read.schema(
+            "user_id long, session_start_us long, last_event_us long,"
+            " n_events long"
+        )
+        .parquet(out)
+        .filter(F.col("user_id") >= 0)
+    )
