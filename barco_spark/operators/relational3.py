@@ -805,3 +805,89 @@ def approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ps")[2].alias("p99"),
         )
     )
+
+
+_NIN_SQL = """
+    SELECT
+      (SELECT COUNT(*) FROM {c}
+       WHERE c_nationkey NOT IN (
+         SELECT n_nationkey FROM {n} WHERE n_regionkey <= 1))
+        AS n_clean_not_in,
+      (SELECT COUNT(*) FROM {c}
+       WHERE c_nationkey NOT IN (
+         SELECT CASE WHEN n_nationkey % 7 = 3 THEN NULL ELSE n_nationkey END
+         FROM {n} WHERE n_regionkey <= 1))
+        AS n_null_poisoned_not_in
+"""
+
+
+@register(
+    "subquery_not_in_nulls",
+    _NIN_SQL.format(c="customer", n="nation"),
+    "subquery",
+    doc=(
+        "Three-valued-logic NOT IN, both faces in one row: against a "
+        "null-free list NOT IN behaves like an anti join (first "
+        "count, nonzero); once the list contains a single NULL, every "
+        "candidate compares UNKNOWN and the second count MUST be 0 — "
+        "the classic NOT-IN-vs-anti-join trap. Spark plans the "
+        "poisoned branch as a null-aware anti join; a plain LeftAnti "
+        "would report the first count twice. Oracle-paired so both "
+        "engines' 3VL agrees exactly."
+    ),
+)
+def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_nin_customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("_nin_nation")
+    return spark.sql(_NIN_SQL.format(c="_nin_customer", n="_nin_nation"))
+
+
+@register(
+    "division_all_parts_suppliers",
+    """
+    WITH target AS (
+      SELECT p_partkey FROM part WHERE p_size = 1
+    ),
+    sp AS (
+      SELECT DISTINCT l_suppkey AS s_suppkey, l_partkey AS p_partkey
+      FROM lineitem
+    ),
+    cover AS (
+      SELECT s_suppkey, COUNT(DISTINCT p_partkey) AS n_cov
+      FROM sp JOIN target USING (p_partkey)
+      GROUP BY s_suppkey
+    )
+    SELECT s_suppkey, n_cov
+    FROM cover
+    WHERE n_cov = (SELECT COUNT(*) FROM target)
+    ORDER BY s_suppkey
+    """,
+    "subquery",
+    doc=(
+        "Relational division (suppliers covering EVERY size-1 part): "
+        "the double-NOT-EXISTS classic, planned the scalable way — "
+        "count distinct covered targets per supplier and compare to "
+        "the target cardinality (one scalar). One hash aggregation on "
+        "supplier instead of nested correlated anti joins; the target "
+        "set is a broadcast dimension."
+    ),
+)
+def division_all_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = (
+        t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("l_partkey").alias("p_partkey"),
+    ).distinct()
+    n_target = target.count()  # scalar: target-set cardinality
+    cover = (
+        li.join(F.broadcast(target), "p_partkey")
+        .groupBy("s_suppkey")
+        .agg(F.count_distinct("p_partkey").alias("n_cov"))
+    )
+    return (
+        cover.filter(F.col("n_cov") == n_target)
+        .select("s_suppkey", "n_cov")
+        .orderBy("s_suppkey")
+    )
