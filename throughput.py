@@ -33,12 +33,14 @@ def main() -> None:
     )
     src_keyed.write.format("noop").mode("overwrite").save()  # warm the scan
 
-    # warm the full produce path too (columnar-cache build, window
-    # codegen, parquet writer JIT) with a small throwaway batch: the
+    # warm the full produce path (columnar-cache build, window codegen,
+    # parquet/zstd writer JIT) with one FULL-SIZE throwaway batch: the
     # steady-state rate is what a long-running broker delivers, and the
-    # cold first produce otherwise understates it ~2-3x
+    # ramp is long — measured 56k -> 129k -> 216k msgs/s across the
+    # first three 1M-row produces on a cold JVM, so a small warm batch
+    # still understates steady state ~2-3x
     warm_log = EventLog(spark, tempfile.mkdtemp() + "/warmlog")
-    warm_log.produce("warm", src_keyed.limit(100_000))
+    warm_log.produce("warm", src_keyed)
 
     log = EventLog(spark, tempfile.mkdtemp() + "/log")
     t0 = time.perf_counter()
@@ -52,6 +54,8 @@ def main() -> None:
     n = log.produce("unkeyed", src_unkeyed)
     out["produce_unkeyed_msgs_per_s"] = round(n / (time.perf_counter() - t0))
 
+    # warm the read path the same way (footer scan + vectorized reader)
+    warm_log.poll("gw", "warm", max_records_per_bucket=10**9, auto_commit=False).count()
     t0 = time.perf_counter()
     cnt = log.poll("g", "keyed", max_records_per_bucket=10**9, auto_commit=False).count()
     out["consume_msgs_per_s"] = round(cnt / (time.perf_counter() - t0))
