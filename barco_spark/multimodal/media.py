@@ -321,3 +321,83 @@ def multimodal_profile(spark, sf_dir):
         )
         .orderBy("kind")
     )
+
+
+def perceptual_hash(decoded: DataFrame, grid: int = 8) -> DataFrame:
+    """Decoded pixels -> 64-bit average-hash (aHash): mean-pool the
+    payload onto a ``grid x grid`` raster, threshold each cell by the
+    global mean, pack the bits. Identical pixels -> identical hash;
+    the standard cheap perceptual key for image near-dup blocking
+    (pHash/dHash swap in with the same mapInPandas plumbing).
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cells = grid * grid
+        for pdf in batches:
+            hashes = []
+            for b in pdf["decoded"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    hashes.append(0)
+                    continue
+                # mean-pool into `cells` buckets (pad the tail bucket)
+                pad = (-len(arr)) % cells
+                pooled = (
+                    np.pad(arr, (0, pad), mode="edge")
+                    .reshape(cells, -1)
+                    .mean(axis=1)
+                )
+                bits = (pooled >= pooled.mean()).astype(np.uint64)
+                h = np.uint64(0)
+                for bit in bits:
+                    h = (h << np.uint64(1)) | bit
+                # store as signed int64 (Spark LongType)
+                hashes.append(int(h.astype(np.int64)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            )
+
+    return decoded.mapInPandas(do, out_schema)
+
+
+@register(
+    "phash_image_dedup",
+    None,  # decode + perceptual hash: no SQL twin (rows-only); hash
+    # determinism and dup-grouping are asserted in tests/test_multimodal.py
+    "dedup",
+    doc=(
+        "Image dedup by perceptual hash: binary blobs -> mapInPandas "
+        "decode -> 64-bit average-hash -> hash-groupBy keep-min "
+        "(exact-dedup shuffle shape on an 8-byte key). The builder "
+        "plants known duplicates (every 4th item re-produced under a "
+        "new media_id), so the returned groups prove end-to-end that "
+        "identical pixels collapse to one keeper. At 100 TB the "
+        "decode+hash pass is map-only Arrow batches and the shuffle "
+        "carries (phash, media_id) pairs only."
+    ),
+)
+def phash_image_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    media = synthetic_media(spark, n=120).filter(F.col("kind") == "image")
+    dup = media.filter(F.col("media_id") % 4 == 0).withColumn(
+        "media_id", F.col("media_id") + 1_000
+    )
+    both = media.unionByName(dup)
+    hashed = perceptual_hash(decode_media(both))
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.min("media_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -202,3 +202,35 @@ def test_media_from_files_binaryfile_ingest_and_real_decode(spark, tmp_path):
     feats = extract_features(decoded, dim=8).collect()
     assert len(feats) == 3
     assert all(len(r["features"]) == 8 for r in feats)
+
+
+def test_phash_dedup_finds_planted_duplicates(spark):
+    """Every planted duplicate (media_id+1000 re-produce) must collapse
+    into a group with its original as keeper; no spurious groups with
+    copies beyond the planted pair structure."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.registry import load_all
+
+    rows = load_all()["phash_image_dedup"].build(spark, "ignored").collect()
+    assert rows, "no duplicate groups found"
+    for r in rows:
+        assert r["n_copies"] >= 2
+        # keeper is always the original (min id < 1000 planted range)
+        assert r["keeper_id"] < 1_000
+
+
+def test_perceptual_hash_deterministic_and_content_keyed(spark):
+    """Identical pixels -> identical hash across calls; distinct blobs
+    produce more than one distinct hash (content actually drives it)."""
+    from barco_spark.multimodal.media import (
+        decode_media,
+        perceptual_hash,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=40)
+    a = sorted(tuple(r) for r in perceptual_hash(decode_media(media)).collect())
+    b = sorted(tuple(r) for r in perceptual_hash(decode_media(media)).collect())
+    assert a == b
+    assert len({h for _, h in a}) > 1
