@@ -76,6 +76,7 @@ HEADLINE = [
     "dedup_exact_substring",
     "dedup_incremental",
     "pagerank_similarity_graph",
+    "phash_image_dedup",
 ]
 
 
