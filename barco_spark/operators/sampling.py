@@ -628,3 +628,54 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_selected"),
     )
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             {_h28_sql("source")} % 100 AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY 1, 2
+    ORDER BY source
+    """,
+    "sampling",
+    doc=(
+        "Leakage-safe GROUPED split: the hash bucket is computed on "
+        "the GROUP key (source), not the document, so every document "
+        "of a source lands in the same split — near-duplicates and "
+        "templated variants inside one provenance can never straddle "
+        "train/test (the contamination mode a per-doc split like "
+        "train_split_assign cannot prevent). Per-row map + one hash "
+        "aggregation; each source appears in exactly ONE split, "
+        "asserted in tests."
+    ),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        (_h28(F.col("source")) % 100).alias("bucket"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    split = (
+        F.when(F.col("bucket") < 80, F.lit("train"))
+        .when(F.col("bucket") < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"), "n_tokens")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

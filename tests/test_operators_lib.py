@@ -340,3 +340,18 @@ def test_pagerank_floor_and_centrality(spark, sf_dir):
     ranks = [r for _, r in a]
     assert all(r >= base for r in ranks)
     assert max(ranks) > base
+
+
+def test_leakage_safe_split_one_split_per_source(spark, sf_dir):
+    """The grouped split's whole point: every source maps to exactly
+    one split, and the doc totals cover the corpus."""
+    from barco_spark.registry import load_all
+    from barco_spark.tables import t
+
+    rows = load_all()["leakage_safe_split"].build(spark, sf_dir).collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_source.values()), per_source
+    total = sum(r["n_docs"] for r in rows)
+    assert total == t(spark, sf_dir, "documents").count()
