@@ -424,3 +424,78 @@ def oov_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("bigint").alias("n_oov"),
         (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+_NOV_K = 8  # novelty n-gram width
+
+
+def _nov_grams_sql() -> str:
+    """DuckDB rendering of the distinct 8-gram list per document."""
+    joined = " || ' ' || ".join(f"words[i+{j}]" for j in range(_NOV_K))
+    return (
+        f"list_distinct(CASE WHEN len(words) >= {_NOV_K}"
+        f" THEN list_transform(range(1, len(words) - {_NOV_K - 2}),"
+        f" i -> {joined})"
+        f" ELSE [array_to_string(words, ' ')] END)"
+    )
+
+
+@register(
+    "doc_novelty_score",
+    f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_nov_grams_sql()}) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ),
+    gh AS (SELECT doc_id, {h28_sql('gram')} AS h FROM g),
+    cnt AS (SELECT h, COUNT(*) AS n_docs FROM gh GROUP BY h)
+    SELECT gh.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN cnt.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           1.0 - CAST(SUM(CASE WHEN cnt.n_docs > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) AS novelty
+    FROM gh JOIN cnt USING (h)
+    GROUP BY gh.doc_id
+    """,
+    "text",
+    doc=(
+        "Per-document novelty: the share of a doc's DISTINCT 8-gram "
+        "shingles that appear in no other document (each doc "
+        "contributes a gram once, so the corpus-wide count equals "
+        "containing-doc count). Low novelty flags boilerplate and "
+        "memorization-risk content — the doc-granular twin of "
+        "dedup_chunk_share's per-source diagnostic. One explode, one "
+        "hash agg (map-side combined), then the count table joins "
+        "back on the SAME hash key (no broadcast hint: the gram-count "
+        "table is corpus-sized, so it must stay a partitioned hash "
+        "join — AQE may still broadcast at small SF). The shuffles "
+        "carry (gram-hash, count) pairs only, never text."
+    ),
+)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.operators.text import kgrams
+
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", words_col().alias("words")
+    )
+    gh = w.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(kgrams(F.col("words"), _NOV_K))
+        ).alias("gram"),
+    ).select("doc_id", h28(F.col("gram")).alias("h"))
+    cnt = gh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("bigint")
+    return (
+        gh.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.alias("n_shared"),
+            (
+                F.lit(1.0)
+                - shared.cast("double") / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )
