@@ -499,3 +499,54 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "char_diversity_stats",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+      FROM documents
+    ),
+    cc AS (SELECT doc_id, c, COUNT(*) AS n_c FROM ch GROUP BY doc_id, c)
+    SELECT doc_id,
+           CAST(SUM(n_c) AS BIGINT) AS n_chars_counted,
+           COUNT(*) AS n_distinct_chars,
+           CAST(SUM(n_c * CAST(FLOOR(LOG2(n_c)) AS BIGINT)) AS BIGINT)
+             AS repeat_mass_q,
+           CAST(SUM(n_c * CAST(FLOOR(LOG2(n_c)) AS BIGINT)) AS DOUBLE)
+             / SUM(n_c) AS repeat_mass_per_char
+    FROM cc GROUP BY doc_id
+    """,
+    "text",
+    doc=(
+        "Character-diversity profile — the gibberish/low-entropy "
+        "detector: per-doc character counts reduced to an integer-"
+        "quantized repeated-mass sum (n_c * floor(log2 n_c); the "
+        "entropy complement, exact cross-engine unlike float Shannon "
+        "entropy) plus distinct-char count. Degenerate docs (one char "
+        "repeated, tiny alphabets) score high repeat mass / low "
+        "distinct count. Per-row split + two hash aggs that share the "
+        "doc_id key; no text ever shuffles (chars reduce to counts "
+        "map-side)."
+    ),
+)
+def char_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # '(?!^)' zero-width split -> per-char array; Java split keeps a
+    # trailing zero-width match as '', dropped below (DuckDB's RE2
+    # split produces no empties)
+    ch = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), "(?!^)")).alias("c"))
+        .filter(F.col("c") != "")
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n_c"))
+    mass = F.sum(
+        F.col("n_c") * F.floor(F.log2("n_c")).cast("bigint")
+    ).cast("bigint")
+    return cc.groupBy("doc_id").agg(
+        F.sum("n_c").cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        mass.alias("repeat_mass_q"),
+        (mass.cast("double") / F.sum("n_c")).alias("repeat_mass_per_char"),
+    )
