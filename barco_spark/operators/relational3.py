@@ -891,3 +891,76 @@ def division_all_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_cov")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "rolling_anomaly_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             SUM(n)     OVER win AS s,
+             SUM(n * n) OVER win AS sq,
+             COUNT(*)   OVER win AS k
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n, k AS window_days,
+           CASE WHEN k > 0 THEN CAST(s AS DOUBLE) / k END AS mean_prior,
+           CASE WHEN k > 1 AND (CAST(sq AS DOUBLE) / k
+                  - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)) > 0
+                THEN (n - CAST(s AS DOUBLE) / k)
+                     / SQRT(CAST(sq AS DOUBLE) / k
+                            - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k))
+           END AS zscore
+    FROM w
+    ORDER BY event_type, day
+    """,
+    "window",
+    doc=(
+        "Rolling time-series anomaly detection: each day's event count "
+        "z-scored against the PRIOR week's rolling mean/std per type. "
+        "Variance is derived manually from integer SUM and SUM(n*n) "
+        "window frames with one fixed expression order — NOT the "
+        "engine's stddev aggregate, whose Welford fold is "
+        "accumulation-order-dependent and diverges across engines; "
+        "this shape is IEEE-deterministic (each divide/multiply/sqrt "
+        "correctly rounded on identical inputs). One shuffle on "
+        "event_type shared by all three frames."
+    ),
+)
+def rolling_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(win).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(win).alias("sq"),
+        F.count(F.lit(1)).over(win).alias("k"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    var = F.col("sq").cast("double") / F.col("k") - mean * mean
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        F.col("k").alias("window_days"),
+        F.when(F.col("k") > 0, mean).alias("mean_prior"),
+        F.when((F.col("k") > 1) & (var > 0), (F.col("n") - mean) / F.sqrt(var))
+        .alias("zscore"),
+    ).orderBy("event_type", "day")

@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_incremental",
     "pagerank_similarity_graph",
     "phash_image_dedup",
+    "rolling_anomaly_daily",
 ]
 
 
