@@ -964,3 +964,65 @@ def rolling_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("k") > 1) & (var > 0), (F.col("n") - mean) / F.sqrt(var))
         .alias("zscore"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH c AS (
+      SELECT o_custkey AS key, COUNT(*) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c),
+    top AS (
+      SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
+      FROM c
+    )
+    SELECT top.key, top.n, top.rk,
+           CAST(top.n AS DOUBLE) / tot.total AS share,
+           CAST(tot.total AS BIGINT) AS total_rows,
+           CAST(tot.n_keys AS BIGINT) AS n_keys,
+           CAST(tot.total AS DOUBLE) / tot.n_keys AS mean_per_key
+    FROM top CROSS JOIN tot
+    WHERE top.rk <= 20
+    ORDER BY top.rk
+    """,
+    "aggregation",
+    doc=(
+        "Join-key skew diagnostic — the measurement that justifies "
+        "salting (functions/skew.py) or AQE skew-join before a big "
+        "join: top-20 heaviest keys with their share of total rows "
+        "and the corpus mean per key. One hash aggregation; the "
+        "totals are a broadcast single-row table; top-k is "
+        "rank-limited (WindowGroupLimit pushes the cutoff), never a "
+        "full sort. At 100 TB this runs as a cheap pre-flight on the "
+        "join column and its output is human-sized."
+    ),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n").desc(), "key")
+    top = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            "rk",
+            (F.col("n").cast("double") / F.col("total_rows")).alias("share"),
+            "total_rows",
+            "n_keys",
+            (F.col("total_rows").cast("double") / F.col("n_keys")).alias(
+                "mean_per_key"
+            ),
+        )
+        .orderBy("rk")
+    )
