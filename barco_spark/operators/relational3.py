@@ -1026,3 +1026,145 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@register(
+    "data_freshness_report",
+    """
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events),
+    per AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             MIN(ts) AS first_ts,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY event_type
+    )
+    SELECT per.event_type, per.n_events, per.first_ts, per.last_ts,
+           CAST(epoch_us(g.global_max) - epoch_us(per.last_ts) AS BIGINT)
+             AS staleness_us,
+           epoch_us(g.global_max) - epoch_us(per.last_ts)
+             <= 86400000000 AS fresh_24h
+    FROM per CROSS JOIN g
+    ORDER BY per.event_type
+    """,
+    "aggregation",
+    doc=(
+        "Per-stream freshness/staleness report — the monitoring query "
+        "every ingest pipeline runs: last event time per type vs the "
+        "global high-water mark, integer-microsecond staleness, and a "
+        "24h freshness flag. One aggregation; the global max is a "
+        "broadcast single-row table. Exact timestamp math only."
+    ),
+)
+def data_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("global_max"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    stale = F.unix_micros(F.col("global_max")) - F.unix_micros(F.col("last_ts"))
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            "first_ts",
+            "last_ts",
+            stale.cast("bigint").alias("staleness_us"),
+            (stale <= 86_400_000_000).alias("fresh_24h"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "funnel_conversion_rates",
+    """
+    WITH e3 AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_view
+      FROM e3),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM s1),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_purchase
+      FROM s2),
+    u AS (
+      SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+             MAX(t_purchase) AS t_purchase
+      FROM s3 GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(t_click) AS BIGINT) AS n_clicked,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchased,
+           CAST(COUNT(t_click) AS DOUBLE) / COUNT(t_view) AS view_to_click,
+           CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click)
+             AS click_to_purchase
+    FROM u
+    """,
+    "window",
+    doc=(
+        "Funnel conversion rates — the business rollup of "
+        "events_funnel's per-user stage machine: users reaching each "
+        "ordered stage (view -> click after view -> purchase after "
+        "click) and the stage-to-stage conversion ratios. Shares "
+        "events_funnel's cascaded conditional-min windows (one "
+        "user_id shuffle, one scan); the final rollup is a "
+        "single-row aggregate of integer counts."
+    ),
+)
+def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = Window.partitionBy("user_id")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(per_user),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(per_user),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(per_user),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").cast("bigint").alias("n_viewed"),
+        F.count("t_click").cast("bigint").alias("n_clicked"),
+        F.count("t_purchase").cast("bigint").alias("n_purchased"),
+        (F.count("t_click").cast("double") / F.count("t_view")).alias(
+            "view_to_click"
+        ),
+        (F.count("t_purchase").cast("double") / F.count("t_click")).alias(
+            "click_to_purchase"
+        ),
+    )
