@@ -1168,3 +1168,113 @@ def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_to_purchase"
         ),
     )
+
+
+@register(
+    "numeric_profile_lineitem",
+    """
+    WITH m AS (
+      SELECT 'l_quantity' AS measure,
+             CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2))
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+    )
+    SELECT measure,
+           COUNT(*) AS n,
+           CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+           CAST(MIN(v) AS DOUBLE) AS min_v,
+           CAST(MAX(v) AS DOUBLE) AS max_v,
+           CAST(ROUND(SUM(v), 2) AS DOUBLE) / COUNT(v) AS mean_v
+    FROM m GROUP BY measure
+    ORDER BY measure
+    """,
+    "aggregation",
+    doc=(
+        "Numeric data-profiling over the wide fact table: per-measure "
+        "count/nulls/min/max/mean in one pass. The Spark side unpivots "
+        "with df.unpivot (ONE pruned scan + Expand, not 4 unioned "
+        "scans — lineitem_unpivot_stats' plan shape); means are exact "
+        "DECIMAL sums divided once. The profiling primitive every "
+        "ingest QA step runs before accepting a drop."
+    ),
+)
+def numeric_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    m = (
+        t(spark, sf_dir, "lineitem")
+        .select([F.col(c).cast("decimal(18,2)").alias(c) for c in cols])
+        .unpivot([], cols, "measure", "v")
+    )
+    return (
+        m.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count("v")).cast("bigint").alias("n_null"),
+            F.min("v").cast("double").alias("min_v"),
+            F.max("v").cast("double").alias("max_v"),
+            (F.round(F.sum("v"), 2).cast("double") / F.count("v")).alias(
+                "mean_v"
+            ),
+        )
+        .orderBy("measure")
+    )
+
+
+@register(
+    "revenue_pareto_deciles",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, r, NTILE(10) OVER (ORDER BY r DESC, o_custkey) AS decile
+      FROM rev
+    ),
+    tot AS (SELECT SUM(r) AS total FROM rev)
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(r) AS DOUBLE) AS revenue,
+           CAST(SUM(r) AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
+    FROM ranked CROSS JOIN tot
+    GROUP BY decile, tot.total
+    ORDER BY decile
+    """,
+    "window",
+    doc=(
+        "Pareto/concentration analysis: customers ranked by exact-"
+        "decimal revenue, NTILE(10) deciles (ties broken by custkey so "
+        "the bucketing is engine-deterministic), revenue share per "
+        "decile against a broadcast scalar total. The '20% of keys "
+        "carry 80% of load' readout that guides partitioning and "
+        "salting decisions at scale."
+    ),
+)
+def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    ranked = rev.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.col("r").desc(), "o_custkey"))
+    )
+    tot = rev.agg(F.sum("r").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("r").cast("double").alias("revenue"),
+            (
+                F.sum("r").cast("double") / F.col("total").cast("double")
+            ).alias("share"),
+        )
+        .drop("total")
+        .orderBy("decile")
+    )
