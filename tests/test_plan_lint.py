@@ -44,6 +44,10 @@ BNLJ_OK = {
     # calendar-spine build: distinct types crossed with the broadcast
     # day list (derived from a one-row min/max aggregate)
     "interpolate_missing_daily",
+    # one-row global-max / totals tables crossed into small aggregates
+    "data_freshness_report",
+    "key_skew_report",
+    "revenue_pareto_deciles",
 }
 
 
