@@ -1278,3 +1278,96 @@ def revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("total")
         .orderBy("decile")
     )
+
+
+@register(
+    "order_backlog_aging",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS asof FROM orders),
+    open_orders AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice, mx.asof,
+             date_diff('day', o_orderdate, mx.asof) AS age_days
+      FROM orders CROSS JOIN mx
+      WHERE o_orderstatus <> 'F'
+    )
+    SELECT CASE WHEN age_days < 365 THEN '0-1y'
+                WHEN age_days < 730 THEN '1-2y'
+                WHEN age_days < 1460 THEN '2-4y'
+                ELSE '4y+' END AS age_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS open_value
+    FROM open_orders
+    GROUP BY 1
+    ORDER BY age_bucket
+    """,
+    "aggregation",
+    doc=(
+        "Backlog aging report: non-finalized orders bucketed by age "
+        "against the dataset's own as-of date (broadcast one-row max), "
+        "with exact-decimal open value per bucket. All-integer date "
+        "math; the classic operational aging readout."
+    ),
+)
+def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("asof"))
+    aged = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(mx))
+        .withColumn("age_days", F.datediff(F.col("asof"), F.col("o_orderdate")))
+    )
+    bucket = (
+        F.when(F.col("age_days") < 365, "0-1y")
+        .when(F.col("age_days") < 730, "1-2y")
+        .when(F.col("age_days") < 1460, "2-4y")
+        .otherwise("4y+")
+    )
+    return (
+        aged.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("open_value"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+@register(
+    "events_hourly_heatmap",
+    """
+    SELECT CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS weekday,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY weekday, hour
+    """,
+    "aggregation",
+    doc=(
+        "Activity heatmap: ISO-weekday x hour-of-day event counts and "
+        "exact-decimal value totals — the usage-seasonality profile "
+        "behind capacity planning and trigger-interval tuning. One "
+        "hash aggregation over <=168 groups, map-side combined."
+    ),
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr("extract(dayofweek_iso from ts)").cast("bigint").alias(
+                "weekday"
+            ),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("weekday", "hour")
+    )

@@ -536,3 +536,20 @@ def test_commit_is_monotonic_by_default(spark, tmp_path):
     assert log.committed("g", "t")[0] == 50
     log.commit("g", "t", {0: 5}, monotonic=False)  # explicit rewind
     assert log.committed("g", "t")[0] == 5
+
+
+def test_consumer_lag_report_query(spark, tmp_path):
+    """The registry's lag-report op: committed reflects the acked slice
+    and lag = high_watermark - committed on every bucket."""
+    from barco_spark.registry import load_all
+
+    rows = (
+        load_all()["consumer_lag_report"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["lag"] == r["high_watermark"] - r["committed"]
+        if r["high_watermark"] > 0:
+            assert r["committed"] == min(10, r["high_watermark"])

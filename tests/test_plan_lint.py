@@ -48,6 +48,7 @@ BNLJ_OK = {
     "data_freshness_report",
     "key_skew_report",
     "revenue_pareto_deciles",
+    "order_backlog_aging",
 }
 
 
