@@ -285,3 +285,94 @@ def test_fuzz_range_frame_window(spark, rows):
         )
     finally:
         con.close()
+
+
+TS_US = st.integers(  # 2000-01-01 .. 2030-01-01, microsecond precision
+    min_value=946_684_800_000_000, max_value=1_893_456_000_000_000
+)
+CENTS = st.integers(min_value=-10**7, max_value=10**7)
+
+
+@given(rows=st.lists(st.tuples(TS_US, CENTS), min_size=0, max_size=60))
+@FUZZ
+def test_fuzz_timestamp_truncation_and_extraction(spark, rows):
+    """date_trunc / extract over arbitrary microsecond timestamps: hour
+    truncation, ISO weekday, hour-of-day, and epoch round-trips must
+    agree exactly (timestamps are where engines classically diverge)."""
+    import duckdb
+
+    pdf = pd.DataFrame(
+        [(i, ts) for i, (ts, _) in enumerate(rows)], columns=["id", "ts_us"]
+    )
+    spark.createDataFrame(pdf, schema="id long, ts_us long").createOrReplaceTempView(
+        "fz_ts"
+    )
+    con = duckdb.connect()
+    con.register("fz_ts", pdf)
+    try:
+        _both(
+            spark,
+            con,
+            """
+            SELECT id,
+                   unix_micros(date_trunc('HOUR', timestamp_micros(ts_us)))
+                     AS hour_start_us,
+                   CAST(extract(hour FROM timestamp_micros(ts_us)) AS BIGINT)
+                     AS hr,
+                   CAST(extract(dayofweek_iso FROM timestamp_micros(ts_us))
+                        AS BIGINT) AS wd
+            FROM fz_ts
+            """,
+            """
+            SELECT id,
+                   epoch_us(date_trunc('hour', make_timestamp(ts_us)))
+                     AS hour_start_us,
+                   CAST(extract(hour FROM make_timestamp(ts_us)) AS BIGINT)
+                     AS hr,
+                   CAST(extract(isodow FROM make_timestamp(ts_us)) AS BIGINT)
+                     AS wd
+            FROM fz_ts
+            """,
+        )
+    finally:
+        con.close()
+
+
+@given(rows=st.lists(st.tuples(KEYS, CENTS), min_size=0, max_size=60))
+@FUZZ
+def test_fuzz_decimal_aggregation(spark, rows):
+    """The registry's money-math convention, fuzzed: sum exact DECIMAL
+    cents FIRST, divide the sum ONCE, ROUND(2) before the DOUBLE cast.
+    This property originally asserted the naive divide-then-sum shape
+    (SUM(cents::DECIMAL / 100)) and hypothesis immediately found a
+    1-ulp divergence at rows=[(0,1),(0,-3)] — decimal division widens
+    the scale and the engines round the widened sum differently on the
+    double cast. That finding IS the reason the convention exists
+    (registry docstring; /verify gotchas); the safe shape below must
+    agree to the bit on any input."""
+    import duckdb
+
+    pdf = pd.DataFrame(
+        [(i, k, c) for i, (k, c) in enumerate(rows)],
+        columns=["id", "k", "cents"],
+    )
+    spark.createDataFrame(
+        pdf, schema="id long, k long, cents long"
+    ).createOrReplaceTempView("fz_dec")
+    con = duckdb.connect()
+    con.register("fz_dec", pdf)
+    try:
+        _both(
+            spark,
+            con,
+            """
+            SELECT k,
+                   CAST(ROUND(SUM(CAST(cents AS DECIMAL(18,2))) / 100, 2)
+                        AS DOUBLE) AS total,
+                   CAST(MIN(CAST(cents AS DECIMAL(18,2))) AS DOUBLE) AS mn,
+                   CAST(MAX(CAST(cents AS DECIMAL(18,2))) AS DOUBLE) AS mx
+            FROM fz_dec GROUP BY k
+            """,
+        )
+    finally:
+        con.close()
