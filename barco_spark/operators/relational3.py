@@ -1371,3 +1371,131 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday", "hour")
     )
+
+
+@register(
+    "events_value_outliers_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(ANY_VALUE(m.med) AS DOUBLE) AS median_v,
+           CAST(ANY_VALUE(d.mad) AS DOUBLE) AS mad_v,
+           CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    "aggregation",
+    doc=(
+        "Robust outlier detection via median absolute deviation: "
+        "per-type exact median, median of absolute deviations, and "
+        "the |x - med| > 3*MAD outlier count — the heavy-tail-safe "
+        "alternative to z-scores (rolling_anomaly_daily). Exact "
+        "interpolated medians are sort-based (engine-deterministic, "
+        "value_percentiles_per_type's contract); the per-type "
+        "median/MAD tables are group-cardinality-sized broadcasts. "
+        "Two passes over events sharing one event_type shuffle key."
+    ),
+)
+def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    joined = ev.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    out = F.when(
+        F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+    ).otherwise(0)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("med").cast("double").alias("median_v"),
+            F.any_value("mad").cast("double").alias("mad_v"),
+            F.sum(out).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_interarrival_stats",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS prev_date
+      FROM orders
+    ),
+    gaps AS (
+      SELECT o_custkey,
+             date_diff('day', prev_date, o_orderdate) AS gap_days
+      FROM seq WHERE prev_date IS NOT NULL
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+           CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS mean_gap
+    FROM gaps
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    ORDER BY o_custkey
+    """,
+    "window",
+    doc=(
+        "Inter-arrival analysis: per-customer gaps between consecutive "
+        "orders (lag over one custkey shuffle), all-integer day math, "
+        "min/max/mean gap for active customers — the purchase-cadence "
+        "signal behind churn and replenishment models. The window and "
+        "the final aggregation share the o_custkey partitioning."
+    ),
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    gaps = seq.filter(F.col("prev_date").isNotNull()).select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.col("prev_date")).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").cast("bigint").alias("min_gap"),
+            F.max("gap_days").cast("bigint").alias("max_gap"),
+            (F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias(
+                "mean_gap"
+            ),
+        )
+        .filter(F.col("n_gaps") >= 5)
+        .orderBy("o_custkey")
+    )
