@@ -1499,3 +1499,58 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") >= 5)
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS row_total FROM tr GROUP BY prev_type)
+    SELECT tr.prev_type, tr.next_type, tr.n,
+           CAST(tr.n AS DOUBLE) / tot.row_total AS p
+    FROM tr JOIN tot USING (prev_type)
+    ORDER BY tr.prev_type, tr.next_type
+    """,
+    "window",
+    doc=(
+        "First-order Markov transition matrix over per-user event "
+        "sequences: lag pairs -> transition counts -> row-normalized "
+        "probabilities (one integer division each). The next-event "
+        "model behind session simulation and anomaly scoring. One "
+        "user_id window shuffle; the transition table is "
+        "event-type-squared-sized and its row totals broadcast back."
+    ),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    tr = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        tr.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
