@@ -1037,3 +1037,53 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "kept", ~(F.col("exact_dup") | F.col("near_dup"))
     )
+
+
+@register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(a.source, b.source) AS source_x,
+           GREATEST(a.source, b.source) AS source_y,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within
+    FROM pairs p
+    JOIN src a ON p.doc_a = a.doc_id
+    JOIN src b ON p.doc_b = b.doc_id
+    GROUP BY 1, 2
+    ORDER BY source_x, source_y
+    """,
+    "dedup",
+    doc=(
+        "Cross-source duplication matrix: the verified near-duplicate "
+        "pairs (dedup_minhash_lsh's shared LSH pipeline) attributed to "
+        "unordered provenance pairs — which sources copy from which, "
+        "the readout that drives source-level dedup policy and "
+        "licensing review. The doc->source lookup is two broadcast "
+        "joins of a 2-column table onto the (tiny) pair graph; the "
+        "matrix is |sources|^2-bounded."
+    ),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.selectExpr("doc_id AS doc_a", "source AS source_a")
+    b = src.selectExpr("doc_id AS doc_b", "source AS source_b")
+    joined = pairs.join(F.broadcast(a), "doc_a").join(F.broadcast(b), "doc_b")
+    return (
+        joined.groupBy(
+            F.least("source_a", "source_b").alias("source_x"),
+            F.greatest("source_a", "source_b").alias("source_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("source_a") == F.col("source_b"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_within"),
+        )
+        .orderBy("source_x", "source_y")
+    )
