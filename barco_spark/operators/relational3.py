@@ -1554,3 +1554,101 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "supplier_otif_rate",
+    """
+    SELECT l_suppkey AS s_suppkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS on_time_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+    HAVING COUNT(*) >= 20
+    ORDER BY s_suppkey
+    """,
+    "aggregation",
+    doc=(
+        "Supplier on-time ship rate (shipped within 30 days of order "
+        "date; the testdata lineitem carries no receipt/commit dates) "
+        "for suppliers with enough volume to judge — the SLA "
+        "scorecard. One orderkey join + one hash aggregation of "
+        "integer flags, map-side combined; HAVING keeps the output "
+        "supplier-sized."
+    ),
+)
+def supplier_otif_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    on_time = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, 1
+    ).otherwise(0)
+    return (
+        joined
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(on_time).cast("bigint").alias("n_on_time"),
+            (F.sum(on_time).cast("double") / F.count(F.lit(1))).alias(
+                "on_time_rate"
+            ),
+        )
+        .filter(F.col("n_lines") >= 20)
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "discount_band_effect",
+    """
+    SELECT CAST(ROUND(CAST(l_discount AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+             AS discount_pct,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS net_revenue
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY discount_pct
+    """,
+    "aggregation",
+    doc=(
+        "Discount-band effectiveness: quantity and net revenue per "
+        "integer discount percent — the pricing-elasticity readout. "
+        "Exact-decimal products summed before the one ROUND+cast "
+        "(the registry's money-math convention); <=11 groups, "
+        "map-side combined."
+    ),
+)
+def discount_band_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    band = (
+        F.round(F.col("l_discount").cast("decimal(18,2)") * 100, 0)
+        .cast("bigint")
+        .alias("discount_pct")
+    )
+    net = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    return (
+        li.groupBy(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.round(net, 2).cast("double").alias("net_revenue"),
+        )
+        .orderBy("discount_pct")
+    )
