@@ -542,7 +542,16 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = train.join(kept_ids, "doc_id")
 
-    rw = chunk_rewrite_frame(kept).select("doc_id", "n_dropped", "new_text")
+    # the rewrite frame feeds BOTH the decontamination shingles and the
+    # per-doc funnel join; persist it so the chunk-dedup pass (the
+    # pipeline's widest stage) runs once (3.6 s -> 3.2 s at sf0.1).
+    # At 100 TB this is rewritten-corpus-sized: MEMORY_AND_DISK, or a
+    # materialized intermediate table between pipeline stages.
+    rw = (
+        chunk_rewrite_frame(kept)
+        .select("doc_id", "n_dropped", "new_text")
+        .persist()
+    )
 
     from barco_spark.operators.text import h28
 
