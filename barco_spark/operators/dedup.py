@@ -1111,3 +1111,73 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_x", "source_y")
     )
+
+
+@register(
+    "minhash_estimator_calibration",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    est AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             ({" + ".join(f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END" for i in range(8))})
+               AS n_agree
+      FROM pairs p
+      JOIN sig x ON p.doc_a = x.doc_id
+      JOIN sig y ON p.doc_b = y.doc_id
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(n_agree) AS BIGINT) AS total_agreements,
+           CAST(SUM(n_agree) AS DOUBLE) / (8 * COUNT(*)) AS mean_est_jaccard,
+           CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_exact_jaccard
+    FROM est
+    """,
+    "dedup",
+    doc=(
+        "MinHash estimator calibration: per verified pair, the "
+        "signature-agreement estimate of Jaccard (matching components "
+        "/ k=8) pooled against the exact shingle Jaccard — the "
+        "diagnostic that tells you whether k is large enough before "
+        "trusting LSH candidate thresholds at scale. Both estimator "
+        "and truth are deterministic, so even the estimator's error "
+        "is oracle-exact. Signature lookups are two joins of the "
+        "(tiny) pair graph against the signature table."
+    ),
+)
+def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = (
+        _hashed_shingles(spark, sf_dir)
+        .select("doc_id", "shingles", *_minhash_cols())
+        .persist()
+    )
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"xa{i}") for i in range(8)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"yb{i}") for i in range(8)],
+    )
+    agree = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    # broadcast the PAIR side (banding-bounded), stream the signature
+    # table both times — the opposite direction would broadcast a
+    # corpus-sized frame
+    j1 = x.join(F.broadcast(pairs), "doc_a")
+    est = y.join(F.broadcast(j1), "doc_b").select(
+        "jaccard", agree.alias("n_agree")
+    )
+    return est.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n_agree").cast("bigint").alias("total_agreements"),
+        (F.sum("n_agree").cast("double") / (8 * F.count(F.lit(1)))).alias(
+            "mean_est_jaccard"
+        ),
+        (
+            F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_exact_jaccard"),
+    )
