@@ -444,15 +444,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # N-gram Jaccard with prefix blocking
 # --------------------------------------------------------------------------
+_NGRAM_BLOCK_CAP = 64  # drop boilerplate-prefix hot blocks before the self-join
+
+
 @register(
     "dedup_ngram_jaccard",
-    """
-    WITH d AS (
+    f"""
+    WITH d0 AS (
       SELECT doc_id,
              list_distinct(string_split(text, ' ')) AS wset,
              string_split(text, ' ')[1] || ' ' || string_split(text, ' ')[2] AS block
       FROM documents
-      WHERE len(string_split(text, ' ')) >= 2)
+      WHERE len(string_split(text, ' ')) >= 2),
+    d AS (
+      SELECT doc_id, wset, block
+      FROM (SELECT *, COUNT(*) OVER (PARTITION BY block) AS bsz FROM d0)
+      WHERE bsz <= {_NGRAM_BLOCK_CAP})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
              / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) AS jaccard
@@ -461,10 +468,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) >= 0.5
     """,
     "dedup",
-    doc="Word-set Jaccard with 2-word-prefix blocking (no cross join).",
+    doc=(
+        "Word-set Jaccard with 2-word-prefix blocking (no cross join). "
+        "Blocks larger than the cap are dropped before the self-join — "
+        "real corpora concentrate on boilerplate prefixes and an "
+        "uncapped block is a quadratic hot spot at scale; the window "
+        "count co-partitions with the join so the cap costs no extra "
+        "shuffle (same pattern as dedup_lsh_capped)."
+    ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     w = F.split(F.col("text"), " ")
+    wb = Window.partitionBy("block")
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.size(w) >= 2)
@@ -473,6 +490,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(w).alias("wset"),
             F.concat_ws(" ", w[0], w[1]).alias("block"),
         )
+        .withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bsz") <= _NGRAM_BLOCK_CAP)
+        .drop("bsz")
     )
     a = d.select(
         F.col("doc_id").alias("doc_a"),
