@@ -1,0 +1,209 @@
+"""Produce-request coalescer: the reference's W1 semantics on the facade.
+
+The reference merges concurrent produce requests into one compressed
+group per coalescing window (internal/producing/coalescer.go:140-155):
+each HTTP request parks on a channel, a single goroutine drains the
+channel, writes ONE group, and acks every parked request after the
+write lands. Request-per-event clients therefore cost one storage
+write per *window*, not per request.
+
+This is the same design driver-side: requests enqueue parsed records
+and block on a per-request event; one flusher thread drains the queue
+and runs ONE ``EventLog.produce`` per (window, topic), then acks every
+request in the batch. While a Spark write job runs (~100-500 ms),
+new requests pile up, so the batch size adapts to job latency
+automatically — exactly the dynamic the reference gets from its
+in-flight group (coalescer.go:85-138: the next group accumulates while
+the previous one is being written and replicated).
+
+Ack-after-flush is the honest analogue of the reference's
+ack-after-leader+follower-write: a 200 means the records are durable
+in the log, not merely buffered.
+
+Backpressure (W6): ``max_pending_records`` bounds the in-memory
+buffer; ``submit`` blocks past it, which is the facade-side version of
+the reference's buffer-pool backpressure (producers slow to the rate
+the log can absorb instead of ballooning driver memory).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+
+
+@dataclass
+class _PendingProduce:
+    topic: str
+    # (partition_key | None, payload, timestamp | None) — one tuple per
+    # log record; NDJSON bodies are pre-split at submit time so the
+    # produced-count per request is known before the flush
+    records: list[tuple[str | None, str, datetime | None]]
+    done: threading.Event = field(default_factory=threading.Event)
+    produced: int = 0
+    error: Exception | None = None
+
+
+class ProduceCoalescer:
+    """Single-flusher produce coalescer bound to one EventLog.
+
+    ``lock`` (optional) is acquired around each ``EventLog.produce``
+    call — the facade passes its own lock so produce still serializes
+    against poll/register/commit exactly as before; request handler
+    threads never hold it while parked, so there is no deadlock.
+    """
+
+    def __init__(
+        self,
+        log,
+        linger_ms: float = 20.0,
+        max_pending_records: int = 100_000,
+        lock: threading.Lock | None = None,
+    ) -> None:
+        self.log = log
+        self.linger_s = linger_ms / 1000.0
+        self.max_pending_records = max_pending_records
+        self._lock = lock if lock is not None else threading.Lock()
+        self._cond = threading.Condition()
+        self._queue: list[_PendingProduce] = []
+        self._queued_records = 0
+        self._closed = False
+        self.flushes = 0  # produce() calls issued (observability + tests)
+        self.requests = 0  # submit() calls accepted
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="produce-coalescer"
+        )
+        self._thread.start()
+
+    # -- request side ---------------------------------------------------
+    @staticmethod
+    def parse_records(
+        body: str, key: str | None, ndjson: bool, ts_us: int | None
+    ) -> list[tuple[str | None, str, datetime | None]]:
+        """Split a request body into log records, mirroring
+        EventLog.produce's NDJSON handling (split on newline, drop
+        empty lines; a non-NDJSON body with embedded newlines stays ONE
+        record — internal/producing/models.go:33-35)."""
+        ts = None
+        if ts_us is not None:
+            ts = datetime.fromtimestamp(
+                ts_us // 1_000_000, tz=timezone.utc
+            ) + timedelta(microseconds=ts_us % 1_000_000)
+        if ndjson:
+            lines = [ln for ln in body.split("\n") if ln]
+        else:
+            lines = [body]
+        if ts is None:
+            # arrival time is stamped HERE, not at flush time, so a
+            # coalesced record carries the moment its request arrived
+            # (the reference stamps on request receipt,
+            # producing/server.go:178-183)
+            ts = datetime.now(timezone.utc)
+        return [(key, ln, ts) for ln in lines]
+
+    def submit(
+        self, topic: str, records: list[tuple[str | None, str, datetime | None]]
+    ) -> _PendingProduce:
+        """Enqueue one request's records; returns the pending handle.
+        Blocks (backpressure) while the buffer is over capacity."""
+        req = _PendingProduce(topic=topic, records=records)
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("coalescer is stopped")
+            while (
+                self._queued_records + len(records) > self.max_pending_records
+                and self._queue
+            ):
+                self._cond.wait(timeout=0.05)
+                if self._closed:
+                    raise RuntimeError("coalescer is stopped")
+            self._queue.append(req)
+            self._queued_records += len(records)
+            self.requests += 1
+            self._cond.notify_all()
+        return req
+
+    def produce_sync(
+        self,
+        topic: str,
+        records: list[tuple[str | None, str, datetime | None]],
+        timeout_s: float = 60.0,
+    ) -> int:
+        """submit + wait; returns the produced count or raises the
+        flush error. This is the whole request-handler contract."""
+        req = self.submit(topic, records)
+        if not req.done.wait(timeout=timeout_s):
+            raise TimeoutError("produce flush did not complete in time")
+        if req.error is not None:
+            raise req.error
+        return req.produced
+
+    # -- flusher --------------------------------------------------------
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while not self._queue and not self._closed:
+                    self._cond.wait()
+                if self._closed and not self._queue:
+                    return
+            # linger outside the lock: let a burst accumulate before the
+            # drain (the reference's coalescing window). While the flush
+            # below runs its Spark job, further requests pile up for the
+            # NEXT window — batch size adapts to job latency.
+            if self.linger_s > 0:
+                threading.Event().wait(self.linger_s)
+            with self._cond:
+                batch, self._queue = self._queue, []
+                self._queued_records = 0
+                self._cond.notify_all()  # wake backpressured submitters
+            self._flush(batch)
+
+    def _flush(self, batch: list[_PendingProduce]) -> None:
+        # one produce per topic per window; request order within the
+        # window is queue (arrival) order, preserving per-key ordering
+        by_topic: dict[str, list[_PendingProduce]] = {}
+        for req in batch:
+            by_topic.setdefault(req.topic, []).append(req)
+        for topic, reqs in by_topic.items():
+            rows = [rec for req in reqs for rec in req.records]
+            try:
+                from pyspark.sql import functions as F
+                from pyspark.sql.types import (
+                    StringType,
+                    StructField,
+                    StructType,
+                    TimestampType,
+                )
+
+                schema = StructType(
+                    [
+                        StructField("partition_key", StringType()),
+                        StructField("payload", StringType()),
+                        StructField("timestamp", TimestampType()),
+                    ]
+                )
+                df = self.log.spark.createDataFrame(rows, schema)
+                with self._lock:
+                    n = self.log.produce(topic, df)
+                self.flushes += 1
+                if n != len(rows):
+                    raise RuntimeError(
+                        f"flush wrote {n} records, expected {len(rows)}"
+                    )
+                for req in reqs:
+                    req.produced = len(req.records)
+            except Exception as ex:  # noqa: BLE001 — propagate to every waiter
+                for req in reqs:
+                    req.error = ex
+            finally:
+                for req in reqs:
+                    req.done.set()
+
+    # -- lifecycle ------------------------------------------------------
+    def stop(self, timeout_s: float = 30.0) -> None:
+        """Drain remaining requests, then stop the flusher."""
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._thread.join(timeout=timeout_s)

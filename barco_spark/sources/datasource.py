@@ -87,22 +87,48 @@ def _list_files(data_path: str, topic: str | None) -> dict[tuple[str, int], list
     return out
 
 
-def _high_watermarks(data_path: str, topic: str) -> dict[int, int]:
-    """Next offset per bucket from row-group max stats (footers only)."""
+# Per-file row-group [min, max] offset stats, keyed by path. Log files
+# are IMMUTABLE (each produce/compaction writes fresh part-<uuid> names,
+# never rewriting in place), so a path's footer never changes and the
+# memo needs no invalidation — a live poll loop then opens footers only
+# for files that appeared since its last poll instead of re-reading the
+# whole log's metadata per poll (measured: this plus the offsets-read
+# cache is what keeps facade poll latency flat as the log grows).
+_FOOTER_OFFSETS_CACHE: dict[str, list[tuple[int | None, int | None]]] = {}
+
+
+def _footer_offsets(f: str) -> list[tuple[int | None, int | None]]:
+    """[(min, max)] offset statistics per row group of one log file."""
     import pyarrow.parquet as pq
 
+    cached = _FOOTER_OFFSETS_CACHE.get(f)
+    if cached is not None:
+        return cached
+    md = pq.ParquetFile(f).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    rgs: list[tuple[int | None, int | None]] = []
+    if "offset" in idx:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["offset"]).statistics
+            if st is not None:
+                rgs.append((st.min, st.max))
+            else:
+                rgs.append((None, None))
+    if len(_FOOTER_OFFSETS_CACHE) > 131072:  # runaway-session backstop
+        _FOOTER_OFFSETS_CACHE.clear()
+    _FOOTER_OFFSETS_CACHE[f] = rgs
+    return rgs
+
+
+def _high_watermarks(data_path: str, topic: str) -> dict[int, int]:
+    """Next offset per bucket from row-group max stats (footers only)."""
     wm: dict[int, int] = {}
     for (_tp, b), files in _list_files(data_path, topic).items():
         mx = -1
         for f in files:
-            md = pq.ParquetFile(f).metadata
-            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            if "offset" not in idx:
-                continue
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx["offset"]).statistics
-                if st is not None and st.max is not None:
-                    mx = max(mx, st.max)
+            for _mn, rg_mx in _footer_offsets(f):
+                if rg_mx is not None:
+                    mx = max(mx, rg_mx)
         if mx >= 0:
             wm[b] = mx + 1
     return wm
@@ -120,17 +146,16 @@ def _read_slice(files: list[str], topic: str, bucket: int, start: int, end: int)
 
     target = _arrow_target_schema()
     for f in files:
-        pf = pq.ParquetFile(f)
-        md = pf.metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        groups = []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx["offset"]).statistics
-            if st is None or st.min is None or st.max < start or st.min >= end:
-                continue
-            groups.append(rg)
+        # memoized footer stats: files whose row groups all fall outside
+        # the slice are skipped WITHOUT even a footer read once warm
+        groups = [
+            rg
+            for rg, (mn, mx) in enumerate(_footer_offsets(f))
+            if mn is not None and mx >= start and mn < end
+        ]
         if not groups:
             continue
+        pf = pq.ParquetFile(f)
         tbl = pf.read_row_groups(
             groups, columns=["partition_key", "timestamp", "payload", "offset"]
         )

@@ -120,6 +120,25 @@ class EventLog:
         # (group, topic): the reference's reader state (R8); lost on
         # restart by design => redelivery from the durable commit
         self._served: dict[tuple[str, str], dict[int, int]] = {}
+        # furthest position served by MANUAL polls (auto_commit=False)
+        # per (group, topic). Manual polls deliberately do NOT advance
+        # the reader position (re-poll re-serves the same batch until
+        # the consumer acks — at-least-once), but commit_served() must
+        # still be able to durably ack what the consumer actually
+        # processed; this map is what it acks. Like _served it is
+        # in-memory only: a crash before commit_served redelivers.
+        self._served_manual: dict[tuple[str, str], dict[int, int]] = {}
+        # incremental offsets-read cache: per (group, topic), the best
+        # (committed_at, committed) per bucket plus the set of commit
+        # files already absorbed. A poll loop's auto-commit otherwise
+        # re-reads the whole append-only offsets log every poll —
+        # O(polls^2) file opens (measured: a 1k-poll drain crawled to
+        # minutes). With the cache each read absorbs only NEW files
+        # (usually exactly the one commit the previous poll wrote);
+        # a file disappearing (compaction/retention by any facade)
+        # triggers a full rescan for correctness.
+        self._offsets_cache: dict[tuple[str, str], dict[int, tuple[int, int]]] = {}
+        self._offsets_cache_files: dict[tuple[str, str], set[str]] = {}
 
     # ------------------------------------------------------------------
     # Produce path (S1/S2, W1-W3)
@@ -385,7 +404,7 @@ class EventLog:
                 out.write.mode("append")
                 .partitionBy("topic", "bucket")
                 .option("compression", "zstd")
-                .parquet(self._data_path)
+                .parquet(self._topic_prefix(topic))
             )
         finally:
             df.unpersist()
@@ -467,9 +486,62 @@ class EventLog:
             out.write.mode("append")
             .partitionBy("topic", "bucket")
             .option("compression", "zstd")
-            .parquet(self._data_path)
+            .parquet(self._topic_prefix(topic))
         )
         return obs.get["n"]
+
+    # ------------------------------------------------------------------
+    # Per-topic epoch manifests (object-store roots only)
+    #
+    # Object stores have no atomic rename, so compact() cannot swap a
+    # topic directory the way the local path does. Instead each topic's
+    # CURRENT data prefix is resolved through a tiny JSON manifest at
+    # {root}/_manifest/topic={T}.json — absent means the default
+    # {root}/data. Compaction writes the consolidated files under a NEW
+    # epoch prefix ({root}/data-e{N}) and flips visibility with a
+    # single small-object PUT (atomic on every real object store), then
+    # deletes the now-invisible old files. Local roots never consult
+    # manifests — their behavior is byte-identical to before.
+    # ------------------------------------------------------------------
+    def _manifest_uri(self, topic: str) -> str:
+        from urllib.parse import quote
+
+        return f"{self.root}/_manifest/topic={quote(topic, safe='')}.json"
+
+    def _topic_prefix(self, topic: str) -> str:
+        """Data root holding topic=<T>/... files for this topic."""
+        if "://" not in self.root:
+            return self._data_path
+        from barco_spark.sources import objectstore as obs
+
+        m = obs.read_json(self._manifest_uri(topic))
+        if m and m.get("prefix"):
+            return f"{self.root}/{m['prefix']}"
+        return self._data_path
+
+    def _topic_scan(self, topic: str) -> DataFrame:
+        """One topic's rows (EVENT_SCHEMA), manifest-aware on object
+        stores; empty frame when the topic has no data yet."""
+        if "://" not in self.root:
+            return (
+                self.spark.read.schema(EVENT_SCHEMA)
+                .parquet(self._data_path)
+                .filter(F.col("topic") == topic)
+            )
+        from barco_spark.sources import objectstore as obs
+
+        prefix = self._topic_prefix(topic)
+        topic_dir = f"{prefix}/topic={topic}"
+        if not obs.exists(topic_dir):
+            raise AnalysisException(f"[PATH_NOT_FOUND] Path does not exist: {topic_dir}")
+        # basePath keeps the `topic` partition column when reading the
+        # topic subdirectory directly
+        return (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("basePath", prefix)
+            .parquet(topic_dir)
+            .filter(F.col("topic") == topic)
+        )
 
     def high_watermarks(self, topic: str) -> dict[int, int]:
         """Next offset per bucket (max written + 1); {} for a new topic.
@@ -479,9 +551,7 @@ class EventLog:
         """
         try:
             rows = (
-                self.spark.read.schema(EVENT_SCHEMA)
-                .parquet(self._data_path)
-                .filter(F.col("topic") == topic)
+                self._topic_scan(topic)
                 .groupBy("bucket")
                 .agg(F.max("offset").alias("mx"))
                 .collect()
@@ -594,6 +664,14 @@ class EventLog:
         crashes mid-batch restarts from the last durable commit and is
         re-served the unacknowledged batch (docs/faq/README.md:14).
 
+        ``auto_commit=False`` is the manual-ack flow: the poll does NOT
+        advance the reader position (re-polling re-serves the same
+        batch), and nothing is durably written until the consumer acks
+        via ``commit_served()`` (or ``goodbye()``), which commits the
+        furthest manually-served position. Crash before the ack →
+        full redelivery; ack → never re-served. Explicit-offset
+        ``commit()`` remains available for rewind/replay.
+
         Batch boundaries are pure arithmetic on (position, high
         watermark) — offsets are contiguous per bucket — so polling
         adds NO extra data scan; the returned DataFrame is the only
@@ -621,9 +699,7 @@ class EventLog:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         cm_df = self.spark.createDataFrame(bounds, ["bucket", "start", "end"])
         data = (
-            self.spark.read.schema(EVENT_SCHEMA)
-            .parquet(self._data_path)
-            .filter(F.col("topic") == topic)
+            self._topic_scan(topic)
             .join(F.broadcast(cm_df), "bucket")
             .filter((F.col("offset") >= F.col("start")) & (F.col("offset") < F.col("end")))
             .select("topic", "partition_key", "timestamp", "payload", "bucket", "offset")
@@ -652,6 +728,11 @@ class EventLog:
             nexts = {r["bucket"]: r["nxt"] for r in trimmed}
         if auto_commit:
             self._served[key] = {**served_prev, **nexts}
+        elif nexts:
+            prev = self._served_manual.get(key, {})
+            self._served_manual[key] = {
+                b: max(prev.get(b, 0), n) for b, n in {**prev, **nexts}.items()
+            }
         return data
 
     def poll_json(
@@ -772,6 +853,11 @@ class EventLog:
             )
         if auto_commit:
             self._served[key] = {**served_prev, **nexts}
+        elif nexts:
+            prev = self._served_manual.get(key, {})
+            self._served_manual[key] = {
+                b: max(prev.get(b, 0), n) for b, n in {**prev, **nexts}.items()
+            }
         return out
 
     def _commit_arrow(
@@ -830,11 +916,20 @@ class EventLog:
         import pyarrow.parquet as pq
 
         self._recover_offsets_store()
-        paths = glob.glob(
-            os.path.join(self._offsets_path, "**", "*.parquet"), recursive=True
+        paths = set(
+            glob.glob(
+                os.path.join(self._offsets_path, "**", "*.parquet"), recursive=True
+            )
         )
-        best: dict[int, tuple[int, int]] = {}  # bucket -> (at_us, committed)
-        for f in paths:
+        key = (group, topic)
+        best = self._offsets_cache.get(key)  # bucket -> (at_us, committed)
+        seen = self._offsets_cache_files.get(key, set())
+        if best is None or not seen <= paths:
+            # first read for this key, or files VANISHED (a compaction
+            # or retention rewrite, possibly by a peer facade): the
+            # incremental state is unsound — rebuild from scratch
+            best, seen = {}, set()
+        for f in sorted(paths - seen):
             tbl = pq.read_table(
                 f, columns=["group", "topic", "bucket", "committed", "committed_at"]
             )
@@ -856,6 +951,8 @@ class EventLog:
                 cur = best.get(b)
                 if cur is None or cand > cur:
                     best[b] = cand
+        self._offsets_cache[key] = best
+        self._offsets_cache_files[key] = paths
         return {b: c for b, (_a, c) in best.items()}
 
     def commit(
@@ -896,6 +993,13 @@ class EventLog:
                 if not next_offsets:
                     return
             self._commit_arrow(group, topic, next_offsets)
+            # append-only store hygiene: past the threshold, fold the
+            # log back to one row per (group, topic, bucket). Arrow-
+            # native (no Spark job), so a poll loop's auto-commit pays
+            # a ~ms amortized maintenance cost instead of letting the
+            # file set grow without bound between goodbyes.
+            if self._offsets_file_count() > self.config.offsets_compact_threshold:
+                self.compact_offsets()
             return
         if monotonic:
             stored = self.committed(group, topic)
@@ -916,8 +1020,21 @@ class EventLog:
         """Durably commit everything served so far WITHOUT leaving —
         the manual-commit surface (R12, postManualCommit,
         internal/consuming/server.go:421-449). Returns what was
-        committed ({} when nothing is pending)."""
-        served = self._served.get((group, topic), {})
+        committed ({} when nothing is pending).
+
+        Acks BOTH poll flows: the auto-commit flow's served-but-not-
+        yet-committed tail, and everything served via
+        ``poll(auto_commit=False)`` (which never advances the durable
+        position on its own — re-polls re-serve until this ack, so a
+        crash before commit_served redelivers and a crash after it
+        never re-serves: at-least-once with manual ack, the reference's
+        manual-commit contract)."""
+        key = (group, topic)
+        auto = self._served.get(key, {})
+        manual = self._served_manual.pop(key, {})
+        served = {
+            b: max(auto.get(b, 0), manual.get(b, 0)) for b in {*auto, *manual}
+        }
         if served:
             self.commit(group, topic, served)
         return dict(served)
@@ -927,7 +1044,11 @@ class EventLog:
         uncommitted positions durably, then drop the reader state.
         Offsets persist for reuse on return."""
         key = (group, topic)
-        served = self._served.pop(key, {})
+        auto = self._served.pop(key, {})
+        manual = self._served_manual.pop(key, {})
+        served = {
+            b: max(auto.get(b, 0), manual.get(b, 0)) for b in {*auto, *manual}
+        }
         if served:
             self.commit(group, topic, served)
         # departure is the natural maintenance point (no poll loop is
@@ -942,6 +1063,24 @@ class EventLog:
     def topics(self) -> list[str]:
         """List existing topics (directory partitions), like the
         discovery client service (C2)."""
+        if "://" in self.root:
+            # directory listing + manifest listing, no Spark job: a
+            # topic lives either under the default data prefix or (once
+            # compacted) under an epoch prefix named by its manifest
+            from urllib.parse import unquote
+
+            from barco_spark.sources import objectstore as obs
+
+            names = {
+                unquote(d[len("topic="):])
+                for d in obs.list_subdirs(f"{self.root}/data")
+                if d.startswith("topic=")
+            }
+            for fn in obs.list_files(f"{self.root}/_manifest", ".json"):
+                base = fn[0].rsplit("/", 1)[-1]
+                if base.startswith("topic="):
+                    names.add(unquote(base[len("topic="):-len(".json")]))
+            return sorted(names)
         try:
             rows = (
                 self.spark.read.schema(EVENT_SCHEMA)
@@ -983,11 +1122,40 @@ class EventLog:
         import shutil
 
         if "://" in self.root:
-            raise NotImplementedError(
-                "compact() manipulates files directly and supports local "
-                "paths only; on object stores run a rewrite job + "
-                "lifecycle rules instead (see deploy/README.md)"
+            # Object stores have no atomic rename, so the local swap
+            # protocol below cannot work. Instead: write-new + manifest
+            # swap. (1) Any stale files from a CRASHED prior attempt at
+            # the next epoch are deleted first (they are invisible —
+            # no manifest points at them). (2) The consolidated files
+            # are written under a fresh epoch prefix. (3) One small-
+            # object PUT of the topic manifest flips every reader to
+            # the new prefix atomically. (4) The old, now-invisible
+            # files are deleted; a crash between (3) and (4) leaves
+            # only invisible orphans that the next compaction's step
+            # (1)/(4) or a bucket lifecycle rule clears.
+            from barco_spark.sources import objectstore as obs
+
+            m = obs.read_json(self._manifest_uri(topic)) or {}
+            epoch = int(m.get("epoch", 0))
+            old_prefix = self._topic_prefix(topic)
+            new_rel = f"data-e{epoch + 1}"
+            new_prefix = f"{self.root}/{new_rel}"
+            obs.delete_prefix(f"{new_prefix}/topic={topic}")  # crashed attempt
+            (
+                self._topic_scan(topic)
+                .repartition(target_files_per_bucket * self.buckets, "bucket")
+                .sortWithinPartitions("bucket", "offset")
+                .write.mode("append")
+                .partitionBy("topic", "bucket")
+                .option("compression", "zstd")
+                .parquet(new_prefix)
             )
+            obs.write_json(
+                self._manifest_uri(topic),
+                {"prefix": new_rel, "epoch": epoch + 1},
+            )
+            obs.delete_prefix(f"{old_prefix}/topic={topic}")
+            return
         src = self.read(topic)
         tmp = f"{self.root}/_compact_tmp"
         (
@@ -1021,11 +1189,7 @@ class EventLog:
         import shutil
 
         if "://" in self.root:
-            raise NotImplementedError(
-                "compact_offsets() manipulates files directly and "
-                "supports local paths only; on object stores run the "
-                "same latest-row rewrite as a job (see deploy/README.md)"
-            )
+            return self._compact_offsets_objectstore()
         import glob as _glob
         import os
 
@@ -1061,22 +1225,61 @@ class EventLog:
             if not snapshot:
                 return 0  # no commits yet
             snap_rel = {os.path.relpath(f, self._offsets_path) for f in snapshot}
-            df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(*snapshot)
-            w = Window.partitionBy("group", "topic", "bucket").orderBy(
-                F.col("committed_at").desc(), F.col("committed").desc()
-            )
-            latest = (
-                df.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
+            # latest row per (group, topic, bucket), resolved in-driver
+            # with pyarrow — the offsets store is tiny metadata
+            # (|groups| x |topics| x buckets rows), exactly what the
+            # reference keeps in SQLite (internal/localdb/migrations.go:
+            # 37-48), so a Spark job here would be all overhead. This
+            # keeps commit-triggered auto-compaction off the Spark
+            # driver queue and the facade's poll loop ms-class.
+            import uuid as _uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            best: dict[tuple[str, str, int], tuple[int, int]] = {}
+            for f in snapshot:
+                tbl = pq.read_table(f)
+                at_us = (
+                    tbl["committed_at"]
+                    .cast(pa.timestamp("us"))
+                    .cast(pa.int64())
+                    .to_pylist()
+                )
+                for g, tp, b, c, a in zip(
+                    tbl["group"].to_pylist(),
+                    tbl["topic"].to_pylist(),
+                    tbl["bucket"].to_pylist(),
+                    tbl["committed"].to_pylist(),
+                    at_us,
+                ):
+                    cand = (a if a is not None else -1, c)
+                    k = (g, tp, b)
+                    if k not in best or cand > best[k]:
+                        best[k] = cand
+            rows = sorted(best.items())
+            out = pa.table(
+                {
+                    "group": pa.array([k[0] for k, _ in rows], pa.string()),
+                    "topic": pa.array([k[1] for k, _ in rows], pa.string()),
+                    "bucket": pa.array([k[2] for k, _ in rows], pa.int32()),
+                    "committed": pa.array([v[1] for _, v in rows], pa.int64()),
+                    "committed_at": pa.array(
+                        [v[0] if v[0] >= 0 else None for _, v in rows],
+                        pa.timestamp("us", tz="UTC"),
+                    ),
+                }
             )
             tmp = f"{self.root}/_offsets_compact_tmp"
-            # one file: the compacted store is tiny (|groups| x |topics| x
-            # buckets rows); committed() then reads a single footer
-            latest.coalesce(1).write.mode("overwrite").option(
-                "compression", "zstd"
-            ).parquet(tmp)
-            n = self.spark.read.schema(OFFSETS_SCHEMA).parquet(tmp).count()
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            # one file: committed() then reads a single footer
+            pq.write_table(
+                out,
+                os.path.join(tmp, f"compacted-{_uuid.uuid4().hex}.parquet"),
+                compression="zstd",
+            )
+            n = out.num_rows
             # crash-safe swap: the old store is MOVED aside (O(1)
             # rename), the new one renamed into place, late commits
             # rescued, and only then is the old one deleted. A crash at
@@ -1113,6 +1316,44 @@ class EventLog:
                 os.rmdir(lock_dir)
             except OSError:
                 pass
+
+    def _compact_offsets_objectstore(self) -> int:
+        """Offsets compaction for object-store roots: write-new, then
+        delete the absorbed inputs. NO rename and NO swap are needed —
+        the offsets log is append-only latest-wins, so every crash
+        window is idempotent-safe: a crash after the consolidated file
+        lands but before the inputs are deleted merely leaves duplicate
+        rows that resolve identically; a crash mid-delete leaves older
+        rows that lose to the consolidated ones. Commits that land
+        AFTER the snapshot listing are never deleted (only snapshot
+        files are), so concurrent facades keep their acks. The Spark
+        read/write keeps this runnable as a cluster maintenance job
+        against s3://-class roots.
+        """
+        uri = self._offsets_path
+        from barco_spark.sources import objectstore as obs
+
+        snapshot = [f for f, _m, _s in obs.list_files(uri, ".parquet")]
+        if not snapshot:
+            return 0
+        df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(*snapshot)
+        w = Window.partitionBy("group", "topic", "bucket").orderBy(
+            F.col("committed_at").desc(), F.col("committed").desc()
+        )
+        latest = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        n = latest.count()
+        # the consolidated rows land IN the live store under fresh file
+        # names (append), becoming visible before any input is removed
+        latest.coalesce(1).write.mode("append").option(
+            "compression", "zstd"
+        ).parquet(uri)
+        for f in snapshot:
+            obs.delete_file(f)
+        return n
 
     def _recover_offsets_store(self) -> None:
         """Heal a compact_offsets() crash window: if the main offsets
@@ -1173,14 +1414,29 @@ class EventLog:
         """
         import os
 
-        if "://" in self.root:
-            raise NotImplementedError(
-                "retention_cleanup() walks the local filesystem; on "
-                "object stores use bucket lifecycle/TTL rules "
-                "(see deploy/README.md)"
-            )
         if max_age_hours is None:
             max_age_hours = self.config.retention_hours
+        if "://" in self.root:
+            # scheme-generic sweep via pyarrow.fs: every data prefix
+            # (the default `data` plus compaction epochs `data-e*`) is
+            # listed and files past the window deleted. Deleting aged
+            # segments needs no coordination — readers of a retention-
+            # expired range were already out of contract (same stance
+            # as the reference's datalog cleaner). Orphans from crashed
+            # compactions age out here too.
+            from barco_spark.sources import objectstore as obs
+
+            cutoff = time.time() - max_age_hours * 3600.0
+            deleted = 0
+            for d in obs.list_subdirs(self.root):
+                if d != "data" and not d.startswith("data-e"):
+                    continue
+                for f, mtime, _size in obs.list_files(
+                    f"{self.root}/{d}", ".parquet"
+                ):
+                    if mtime < cutoff and obs.delete_file(f):
+                        deleted += 1
+            return deleted
         max_age_s = max_age_hours * 3600.0
         cutoff = time.time() - max_age_s
         deleted = 0
@@ -1198,8 +1454,18 @@ class EventLog:
     # Reads for analytics
     # ------------------------------------------------------------------
     def read(self, topic: str | None = None) -> DataFrame:
-        df = self.spark.read.schema(EVENT_SCHEMA).parquet(self._data_path)
-        return df.filter(F.col("topic") == topic) if topic else df
+        if topic is not None:
+            return self._topic_scan(topic)
+        if "://" in self.root:
+            # epoch manifests make the data root per-topic: an all-topic
+            # read is the union of each topic's current prefix
+            from functools import reduce
+
+            frames = [self._topic_scan(t) for t in self.topics()]
+            if not frames:
+                return self.spark.createDataFrame([], EVENT_SCHEMA)
+            return reduce(lambda a, b: a.unionByName(b), frames)
+        return self.spark.read.schema(EVENT_SCHEMA).parquet(self._data_path)
 
 
 def parse_topic(

@@ -26,6 +26,14 @@ use — it exists for protocol parity and integration tests, not as the
 One lock serializes EventLog calls (single-writer-per-topic contract);
 the server thread is a daemon so it never blocks interpreter exit.
 
+Produce requests are COALESCED (W1, internal/producing/coalescer.go:
+140-155): each request parks on the shared ProduceCoalescer, one
+flusher thread writes ONE Spark batch per window per topic, and every
+parked request is acked after its window's write lands. K concurrent
+request-per-event producers therefore cost ~one Spark job per window,
+not one per request — the same dynamic as the reference's in-flight
+group, where the next group accumulates while the previous one writes.
+
 The consumer path (register/poll/commit/goodbye) runs NO Spark job on
 local log roots: offset discovery is parquet footer stats and the data
 read is the datasource's pyarrow slice reader (EventLog.poll_dicts), so
@@ -37,6 +45,14 @@ registrations, internal/consuming/server.go:569-591). N facades over
 one log root converge on one membership view — each adopts peer
 joins/leaves through its own debounced rebalance — and a facade
 restart recovers every registration from the store.
+
+Produce is SINGLE-WRITER-PER-TOPIC across facades: each facade
+announces itself in a FacadeRegistry under the log root, the topic
+leader is a rendezvous hash over the live set, and a non-leader
+answers produce with ``307 Temporary Redirect`` + Location at the
+leader — the analogue of the reference's leader reroute
+(internal/producing/server.go:158-166). A crashed facade's topics
+re-deal to survivors after its heartbeat TTL expires.
 """
 
 from __future__ import annotations
@@ -47,10 +63,12 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from barco_spark.sources.coalescer import ProduceCoalescer
 from barco_spark.sources.eventlog import EventLog
 from barco_spark.sources.membership import (
+    FacadeRegistry,
+    FsMembershipStore,
     GroupMembership,
-    LocalMembershipStore,
     MembershipStore,
 )
 
@@ -66,34 +84,43 @@ class BrokerHttpServer:
         host: str = "127.0.0.1",
         port: int = 0,
         rebalance_debounce_s: float = 0.0,
+        produce_linger_ms: float = 20.0,
+        consumer_read_timeout_s: float | None = 120.0,
+        facade_ttl_s: float = 15.0,
     ) -> None:
         self.log = log
         self.membership = GroupMembership(
             log.buckets, debounce_s=rebalance_debounce_s
         )
         self._lock = threading.Lock()
+        # W1 coalescer: concurrent produce requests merge into one
+        # Spark write per window; shares the facade lock so produce
+        # still serializes against poll/register/commit
+        self.coalescer = ProduceCoalescer(
+            log, linger_ms=produce_linger_ms, lock=self._lock
+        )
         # Durable, shared registration store next to the log (the
         # reference replicates registrations to peer brokers,
         # internal/consuming/server.go:569-591): a facade restart
         # recovers every registration, and N facades over one log root
         # converge on one membership view via _sync_membership().
-        # Object-store roots get the explicit in-process fallback (no
-        # restart recovery, single facade) instead of silently writing
-        # a bogus local './s3:/...' directory.
+        # Object-store roots write through pyarrow.fs
+        # (FsMembershipStore) — same durable contract, one object per
+        # consumer, version() is a LIST instead of directory mtimes.
         if "://" in log.root:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "object-store log root %s: using in-process membership "
-                "(no facade-restart recovery, no cross-facade "
-                "convergence); mount the store for durable membership",
-                log.root,
-            )
-            self.store: MembershipStore | LocalMembershipStore = (
-                LocalMembershipStore(log.root)
+            self.store: MembershipStore | FsMembershipStore = FsMembershipStore(
+                log.root
             )
         else:
             self.store = MembershipStore(log.root)
+        # R13 idle-consumer eviction (internal/consuming/server.go:
+        # 191-201, 2-min read timeout from config.go:273-276): a
+        # consumer that stops polling without goodbye is evicted and
+        # its buckets re-deal to survivors. Without this, PERSISTED
+        # membership would turn every crash-without-goodbye into a
+        # permanently shrunken deal-out. None disables eviction.
+        self.consumer_read_timeout_s = consumer_read_timeout_s
+        self._next_eviction_sweep = 0.0
         # consumerId -> (group, topics) — the tracked-consumer table
         self._consumers: dict[str, tuple[str, list[str]]] = self.store.consumers()
         self.membership.bootstrap(self.store.members())
@@ -169,8 +196,30 @@ class BrokerHttpServer:
                 except ValueError as ex:
                     self._respond(400, str(ex))
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            # default listen backlog (5) resets connections under a
+            # burst of concurrent request-per-event producers — exactly
+            # the workload the coalescer exists for
+            request_queue_size = 128
+            daemon_threads = True
+
+        self._httpd = Server((host, port), Handler)
         self._thread: threading.Thread | None = None
+        # Single-writer-per-topic across facades (the reference reroutes
+        # produce to the partition leader, producing/server.go:158-166):
+        # facades announce themselves in a shared registry under the log
+        # root; the topic leader is a rendezvous hash over the live set,
+        # and a non-leader answers produce with 307 -> leader. One
+        # facade over a root is always its own leader (zero overhead).
+        import uuid
+
+        self.registry = FacadeRegistry(
+            log.root,
+            facade_id=uuid.uuid4().hex,
+            host=host,
+            port=self.port,
+            ttl_s=facade_ttl_s,
+        )
 
     # -- lifecycle ------------------------------------------------------
     @property
@@ -178,6 +227,7 @@ class BrokerHttpServer:
         return self._httpd.server_address[1]
 
     def start(self) -> int:
+        self.registry.announce()
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
@@ -185,10 +235,12 @@ class BrokerHttpServer:
         return self.port
 
     def stop(self) -> None:
+        self.registry.retire()
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+        self.coalescer.stop()
 
     # -- handlers -------------------------------------------------------
     def _read_body(self, handler) -> str:
@@ -202,6 +254,29 @@ class BrokerHttpServer:
 
     def _handle_produce(self, handler, topic: str, q: dict) -> None:
         body = self._read_body(handler)
+        # validate before queueing so a bad topic answers 400 instantly
+        # instead of failing a whole coalesced window
+        if not topic or len(topic) > self.log.config.max_topic_length:
+            raise ValueError(
+                f"invalid topic name (1..{self.log.config.max_topic_length} chars)"
+            )
+        # single-writer-per-topic (the reference's leader reroute,
+        # producing/server.go:158-166): when a peer facade is the
+        # topic's rendezvous leader, answer 307 + Location so the
+        # client re-issues the same request there. 307 preserves the
+        # method and body by contract; bucket offsets therefore stay
+        # one facade's contiguous watermark arithmetic.
+        self.registry.heartbeat()
+        leader_id, lhost, lport = self.registry.leader_for(topic)
+        if leader_id != self.registry.facade_id:
+            data = json.dumps({"leader": f"http://{lhost}:{lport}"}).encode()
+            handler.send_response(307)
+            handler.send_header("Location", f"http://{lhost}:{lport}{handler.path}")
+            handler.send_header("Content-Type", "application/json")
+            handler.send_header("Content-Length", str(len(data)))
+            handler.end_headers()
+            handler.wfile.write(data)
+            return
         key = q.get("partitionKey", [None])[0]
         # per-line split is gated SOLELY on the NDJSON content type, like
         # the reference (internal/producing/models.go:33-35): a single
@@ -213,26 +288,21 @@ class BrokerHttpServer:
         # reference (producing/server.go:178-183); integer split keeps
         # exact microseconds
         ts_raw = q.get("timestamp", [None])[0]
-        with self._lock:
-            if ts_raw is not None:
-                from datetime import datetime, timedelta, timezone
-
-                try:
-                    ts_us = int(ts_raw)
-                except ValueError:
-                    raise ValueError("timestamp must be integer epoch micros")
-                ts = datetime.fromtimestamp(
-                    ts_us // 1_000_000, tz=timezone.utc
-                ) + timedelta(microseconds=ts_us % 1_000_000)
-                df = self.log.spark.createDataFrame(
-                    [(key, body, ts)],
-                    "partition_key string, payload string, timestamp timestamp",
-                )
-                n = self.log.produce(topic, df, ndjson=ndjson)
-            else:
-                n = self.log.produce(
-                    topic, [body], partition_key=key, ndjson=ndjson
-                )
+        ts_us = None
+        if ts_raw is not None:
+            try:
+                ts_us = int(ts_raw)
+            except ValueError:
+                raise ValueError("timestamp must be integer epoch micros")
+        records = ProduceCoalescer.parse_records(body, key, ndjson, ts_us)
+        if not records:  # NDJSON body of only blank lines
+            handler._respond(200, json.dumps({"produced": 0}), "application/json")
+            return
+        # coalesced produce (W1): park on the flusher, ack after the
+        # window's single Spark write lands. The handler thread holds NO
+        # lock while parked; the flusher serializes against poll/register
+        # by taking the facade lock around EventLog.produce only.
+        n = self.coalescer.produce_sync(topic, records)
         handler._respond(200, json.dumps({"produced": n}), "application/json")
 
     def _handle_register(self, handler, q: dict) -> None:
@@ -254,6 +324,7 @@ class BrokerHttpServer:
         # covers consumers registered via a peer facade.
         with self._lock:
             self._sync_membership()
+            self._evict_idle()  # a joiner must not share with the dead
             existing = self._consumers.get(cid)
             if existing is not None:
                 if existing != (group, topics):
@@ -305,13 +376,41 @@ class BrokerHttpServer:
             group, _topics = self._consumers.pop(cid)
             self.membership.leave(group, cid)
 
+    def _evict_idle(self) -> None:
+        """R13: drop consumers whose last activity (register or poll,
+        store-wide across facades) is older than the read timeout, so
+        their buckets re-deal to survivors through the same debounced
+        rebalance local churn takes. Lazy like GroupMembership: sweeps
+        run on live traffic (any poll/register), at most every
+        timeout/4 — if nobody polls, nobody is waiting for the buckets.
+        Caller holds self._lock."""
+        timeout = self.consumer_read_timeout_s
+        if timeout is None:
+            return
+        import time as _time
+
+        now = _time.time()
+        if now < self._next_eviction_sweep:
+            return
+        self._next_eviction_sweep = now + min(timeout / 4, 30.0)
+        for cid, (group, last) in self.store.last_active().items():
+            if now - last > timeout and cid in self._consumers:
+                group_known, _topics = self._consumers.pop(cid)
+                self.store.remove(group_known, cid)
+                self.membership.leave(group_known, cid)
+
     def _handle_poll(self, handler, q: dict) -> None:
         # one lock acquisition covers assignment lookup AND the poll so
         # ownership cannot shift between the two (debounced rebalance
         # mutates assignment on expiry)
+        self.registry.heartbeat()  # a polling facade is a live facade
         with self._lock:
             cid, group, topics = self._require_consumer(q)
+            # this poll IS activity: touch before the sweep so a
+            # returning consumer can never evict itself
+            self.store.touch(group, cid)
             self._sync_membership()  # adopt peer-facade joins/leaves
+            self._evict_idle()  # R13: re-deal buckets of dead consumers
             owned = self.membership.buckets_for(group, cid)
             if not owned:
                 # the reference answers 204 + retry hint when a consumer
@@ -320,9 +419,20 @@ class BrokerHttpServer:
                 handler.send_header("Retry-After", "1")
                 handler.end_headers()
                 return
+            # optional per-poll batch cap (the reference caps responses
+            # server-side via ConsumerReadThreshold; exposing it per
+            # request lets clients pace their batches)
+            max_records = int(q.get("maxRecords", ["1000"])[0])
             out = []
             for topic in topics:
-                out.extend(self.log.poll_dicts(group, topic, buckets=owned))
+                out.extend(
+                    self.log.poll_dicts(
+                        group,
+                        topic,
+                        max_records_per_bucket=max_records,
+                        buckets=owned,
+                    )
+                )
         handler._respond(200, json.dumps(out), "application/json")
 
     def _handle_commit(self, handler, q: dict) -> None:

@@ -122,9 +122,9 @@ class MembershipStore:
     appends, no renames of shared files) — but this implementation
     writes through the local filesystem, so a ``scheme://`` root is
     rejected loudly instead of silently creating a cwd-relative
-    ``./s3:/...`` directory no peer facade would ever see. Run facades
-    over a mounted shared path (NFS/FUSE), or subclass with an
-    object-store client.
+    ``./s3:/...`` directory no peer facade would ever see. Object-store
+    roots use FsMembershipStore (pyarrow.fs) below — the facade picks
+    it automatically.
     """
 
     def __init__(self, root: str) -> None:
@@ -181,6 +181,39 @@ class MembershipStore:
         except FileNotFoundError:
             pass  # concurrent goodbye from another facade already won
 
+    def touch(self, group: str, consumer_id: str) -> None:
+        """Record consumer activity (R13): bump the registration file's
+        mtime. A file utime does NOT change the containing directory's
+        mtime, so version() stays stable and peers skip the rescan —
+        activity is only read by eviction sweeps via last_active()."""
+        target = os.path.join(
+            self._group_dir(group), quote(consumer_id, safe="") + ".json"
+        )
+        try:
+            os.utime(target)
+        except FileNotFoundError:
+            pass  # evicted/goodbye'd concurrently; next poll re-rejects
+
+    def last_active(self) -> dict[str, tuple[str, float]]:
+        """consumer_id -> (group, last-activity epoch seconds). The
+        registration write is the first activity; every poll touches."""
+        out: dict[str, tuple[str, float]] = {}
+        if not os.path.isdir(self.path):
+            return out
+        for gdir in sorted(os.listdir(self.path)):
+            gpath = os.path.join(self.path, gdir)
+            if not os.path.isdir(gpath):
+                continue
+            for fn in sorted(os.listdir(gpath)):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    mtime = os.stat(os.path.join(gpath, fn)).st_mtime
+                except FileNotFoundError:
+                    continue  # concurrent removal
+                out[unquote(fn[: -len(".json")])] = (unquote(gdir), mtime)
+        return out
+
     def consumers(self) -> dict[str, tuple[str, list[str]]]:
         """consumer_id -> (group, topics) across every group."""
         out: dict[str, tuple[str, list[str]]] = {}
@@ -210,16 +243,234 @@ class MembershipStore:
         return out
 
 
+class FsMembershipStore:
+    """Object-store MembershipStore: same one-object-per-consumer
+    contract as the local store, written through pyarrow.fs so any
+    ``scheme://`` root works (tested over ``file://``, the scheme-
+    generic code path). Differences forced by object-store semantics:
+
+    - ``version()`` lists the whole membership prefix (object stores
+      have no directory mtimes) — one LIST per check, O(consumers);
+      facade polls are human-rate, so this is the honest cost of
+      durable cross-facade membership without a coordination service.
+    - ``touch()`` rewrites the consumer's small JSON object (no utime
+      on object stores); the object's own mtime is the activity stamp.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.uri = root.rstrip("/") + "/_membership"
+
+    def _consumer_uri(self, group: str, consumer_id: str) -> str:
+        return (
+            f"{self.uri}/{quote(group, safe='')}/"
+            f"{quote(consumer_id, safe='')}.json"
+        )
+
+    def _entries(self) -> list[tuple[str, float, int]]:
+        from barco_spark.sources import objectstore as obs
+
+        return obs.list_files(self.uri, ".json")
+
+    def version(self) -> tuple:
+        return tuple((path, int(mtime * 1e9), size) for path, mtime, size in self._entries())
+
+    def put(self, group: str, consumer_id: str, topics: list[str]) -> None:
+        from barco_spark.sources import objectstore as obs
+
+        obs.write_json(
+            self._consumer_uri(group, consumer_id),
+            {"group": group, "consumer_id": consumer_id, "topics": topics},
+        )
+
+    def remove(self, group: str, consumer_id: str) -> None:
+        from barco_spark.sources import objectstore as obs
+
+        obs.delete_file(self._consumer_uri(group, consumer_id))
+
+    def touch(self, group: str, consumer_id: str) -> None:
+        from barco_spark.sources import objectstore as obs
+
+        rec = obs.read_json(self._consumer_uri(group, consumer_id))
+        if rec is not None:
+            obs.write_json(self._consumer_uri(group, consumer_id), rec)
+
+    def consumers(self) -> dict[str, tuple[str, list[str]]]:
+        from barco_spark.sources import objectstore as obs
+
+        out: dict[str, tuple[str, list[str]]] = {}
+        for path, _mtime, _size in self._entries():
+            rec = obs.read_json(path)
+            if rec is None:
+                continue  # concurrent removal
+            cid = rec.get("consumer_id")
+            if cid:
+                out[cid] = (rec.get("group", ""), rec.get("topics", []))
+        return out
+
+    def members(self) -> dict[str, set[str]]:
+        out: dict[str, set[str]] = {}
+        for cid, (group, _topics) in self.consumers().items():
+            out.setdefault(group, set()).add(cid)
+        return out
+
+    def last_active(self) -> dict[str, tuple[str, float]]:
+        from urllib.parse import unquote as _unq
+
+        out: dict[str, tuple[str, float]] = {}
+        for path, mtime, _size in self._entries():
+            parts = path.rsplit("/", 2)
+            if len(parts) < 3:
+                continue
+            group, fname = _unq(parts[-2]), parts[-1]
+            out[_unq(fname[: -len(".json")])] = (group, mtime)
+        return out
+
+
+class FacadeRegistry:
+    """Live-facade registry under the log root: the single-writer-per-
+    topic contract across peer facades (item: multi-facade produce).
+
+    The reference routes a produce to the partition leader and answers
+    non-leader requests with a reroute (internal/producing/server.go:
+    158-166, topology generations). On shared storage the analogue is:
+
+    - every facade announces itself as one small JSON object at
+      ``{root}/_facades/{facade_id}.json`` (host, port); the object's
+      mtime is its heartbeat, refreshed by live traffic (throttled to
+      ttl/4) and removed on clean shutdown;
+    - the leader for a topic is RENDEZVOUS HASHING over the live set
+      (max sha1(facade_id | topic)) — deterministic in every process,
+      no coordination service, minimal leadership movement when a
+      facade joins or expires;
+    - a non-leader facade answers produce with 307 + Location at the
+      leader (the reroute), so exactly one facade accepts writes for a
+      topic and bucket offsets stay contiguous single-writer arithmetic.
+
+    Divergence window: two facades can briefly disagree on the live set
+    (a peer's heartbeat expiring between their checks) — the same
+    generational window the reference closes with consensus; here it is
+    bounded by ``ttl_s`` and documented rather than coordinated. A
+    crashed facade stops heartbeating and its topics re-deal to
+    survivors after ``ttl_s`` with no operator action.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        facade_id: str,
+        host: str,
+        port: int,
+        ttl_s: float = 15.0,
+    ) -> None:
+        self.root = root
+        self.facade_id = facade_id
+        self.host = host
+        self.port = port
+        self.ttl_s = ttl_s
+        self._is_uri = "://" in root
+        self._dir = root.rstrip("/") + "/_facades"
+        self._my_uri = f"{self._dir}/{quote(facade_id, safe='')}.json"
+        self._last_beat = 0.0
+
+    # -- announce / heartbeat / retire ---------------------------------
+    def announce(self) -> None:
+        rec = {"facade_id": self.facade_id, "host": self.host, "port": self.port}
+        if self._is_uri:
+            from barco_spark.sources import objectstore as obs
+
+            obs.write_json(self._my_uri, rec)
+        else:
+            os.makedirs(self._dir, exist_ok=True)
+            tmp = self._my_uri + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, self._my_uri)
+        self._last_beat = time.time()
+
+    def heartbeat(self) -> None:
+        """Refresh this facade's liveness stamp; no-op when the last
+        beat is fresher than ttl/4 so hot paths pay ~nothing."""
+        now = time.time()
+        if now - self._last_beat < self.ttl_s / 4:
+            return
+        if self._is_uri:
+            self.announce()  # object stores have no utime: rewrite
+        else:
+            try:
+                os.utime(self._my_uri)
+                self._last_beat = now
+            except FileNotFoundError:
+                self.announce()  # registry wiped (retention?): re-join
+
+    def retire(self) -> None:
+        if self._is_uri:
+            from barco_spark.sources import objectstore as obs
+
+            obs.delete_file(self._my_uri)
+        else:
+            try:
+                os.remove(self._my_uri)
+            except FileNotFoundError:
+                pass
+
+    # -- reads ----------------------------------------------------------
+    def live(self) -> dict[str, tuple[str, int]]:
+        """facade_id -> (host, port) for every facade whose heartbeat is
+        within ttl. Always includes self (we are provably alive)."""
+        now = time.time()
+        out: dict[str, tuple[str, int]] = {
+            self.facade_id: (self.host, self.port)
+        }
+        if self._is_uri:
+            from barco_spark.sources import objectstore as obs
+
+            for path, mtime, _size in obs.list_files(self._dir, ".json"):
+                if now - mtime > self.ttl_s:
+                    continue
+                rec = obs.read_json(path)
+                if rec and rec.get("facade_id"):
+                    out[rec["facade_id"]] = (rec["host"], int(rec["port"]))
+            return out
+        if not os.path.isdir(self._dir):
+            return out
+        for fn in sorted(os.listdir(self._dir)):
+            if not fn.endswith(".json"):
+                continue
+            path = os.path.join(self._dir, fn)
+            try:
+                if now - os.stat(path).st_mtime > self.ttl_s:
+                    continue
+                with open(path, encoding="utf-8") as fh:
+                    rec = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue  # concurrent retire / torn write
+            if rec.get("facade_id"):
+                out[rec["facade_id"]] = (rec["host"], int(rec["port"]))
+        return out
+
+    def leader_for(self, topic: str) -> tuple[str, str, int]:
+        """(facade_id, host, port) of the topic's single writer:
+        rendezvous hash over the live set."""
+        import hashlib
+
+        best_id, best_addr, best_score = "", ("", 0), b""
+        for fid, addr in self.live().items():
+            score = hashlib.sha1(f"{fid}|{topic}".encode()).digest()
+            if best_id == "" or score > best_score:
+                best_id, best_addr, best_score = fid, addr, score
+        return best_id, best_addr[0], best_addr[1]
+
+
 class LocalMembershipStore:
-    """Single-facade fallback for roots MembershipStore cannot serve
-    (object-store URIs without a mounted path): keeps registrations in
-    this process only. Restart recovery and cross-facade convergence
-    are explicitly OFF — the facade logs a warning when it picks this —
-    but the single-facade contract is identical to the durable store.
+    """Single-facade fallback kept for embedders that explicitly want
+    process-local registrations (no files written anywhere): restart
+    recovery and cross-facade convergence are OFF by construction.
+    Object-store roots now default to FsMembershipStore instead.
     """
 
     def __init__(self, root: str) -> None:
         self._data: dict[str, tuple[str, list[str]]] = {}
+        self._active: dict[str, float] = {}
         self._version = 0
 
     def version(self) -> tuple:
@@ -227,11 +478,23 @@ class LocalMembershipStore:
 
     def put(self, group: str, consumer_id: str, topics: list[str]) -> None:
         self._data[consumer_id] = (group, topics)
+        self._active[consumer_id] = time.time()
         self._version += 1
 
     def remove(self, group: str, consumer_id: str) -> None:
         self._data.pop(consumer_id, None)
+        self._active.pop(consumer_id, None)
         self._version += 1
+
+    def touch(self, group: str, consumer_id: str) -> None:
+        if consumer_id in self._data:
+            self._active[consumer_id] = time.time()
+
+    def last_active(self) -> dict[str, tuple[str, float]]:
+        return {
+            cid: (group, self._active.get(cid, 0.0))
+            for cid, (group, _topics) in self._data.items()
+        }
 
     def consumers(self) -> dict[str, tuple[str, list[str]]]:
         return dict(self._data)

@@ -1,0 +1,149 @@
+"""Facade-path benchmark: request-per-event produce throughput and
+poll latency over the live HTTP facade.
+
+Produces the SCALING.md "Facade path" rows:
+
+1. Produce: K concurrent request-per-event HTTP producers (the
+   reference's roundtrip_test.go:68-119 client shape) against the
+   coalescing facade — reports requests/s, Spark flushes, and the
+   merge factor (requests per flush).
+2. Poll: p50/p99 latency of 1k HTTP polls draining a 1M-row topic via
+   the Spark-free pyarrow slice reader, vs the reference's ms-class
+   in-process read queue (internal/consuming/server.go:389-419).
+
+Usage: python scripts/facade_bench.py [--rows 1000000] [--polls 1000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _req(port, method, path, body=None, ctype="text/plain"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=body.encode() if body is not None else None,
+        method=method,
+    )
+    if body is not None:
+        req.add_header("Content-Type", ctype)
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.read().decode()
+
+
+def bench_produce(server, producers: int, per_producer: int) -> dict:
+    payload = "x" * 1024  # 1 KiB, matching throughput.py's message size
+    errors: list[Exception] = []
+
+    def run(pid: int) -> None:
+        try:
+            for _ in range(per_producer):
+                code, _ = _req(
+                    server.port, "POST", "/v1/topic/bench_t/messages", body=payload
+                )
+                assert code == 200
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=run, args=(p,)) for p in range(producers)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    if errors:
+        raise errors[0]
+    total = producers * per_producer
+    return {
+        "requests": total,
+        "seconds": round(dt, 2),
+        "requests_per_sec": round(total / dt, 1),
+        "spark_flushes": server.coalescer.flushes,
+        "merge_factor": round(total / max(server.coalescer.flushes, 1), 1),
+    }
+
+
+def bench_poll(server, log, rows: int, polls: int) -> dict:
+    import pyspark.sql.functions as F
+
+    spark = log.spark
+    df = spark.range(rows).select(
+        F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")).alias(
+            "partition_key"
+        ),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("payload"),
+    )
+    log.produce("poll_t", df)
+    _req(
+        server.port,
+        "PUT",
+        "/v1/consumer/register?consumerId=lat1&group=lat&topic=poll_t&onNewGroup=earliest",
+        body=" ",
+    )
+    # size batches so the topic drains across exactly ~`polls` polls
+    per_bucket = max(1, rows // polls // log.buckets)
+    lat: list[float] = []
+    served = 0
+    for _ in range(polls):
+        t0 = time.perf_counter()
+        code, body = _req(
+            server.port,
+            "POST",
+            f"/v1/consumer/poll?consumerId=lat1&maxRecords={per_bucket}",
+            body=" ",
+        )
+        lat.append(time.perf_counter() - t0)
+        if code == 200:
+            served += sum(len(item["values"]) for item in json.loads(body))
+    lat_ms = sorted(x * 1000 for x in lat)
+    q = lambda p: lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))]  # noqa: E731
+    return {
+        "rows": rows,
+        "polls": polls,
+        "records_served": served,
+        "p50_ms": round(statistics.median(lat_ms), 1),
+        "p90_ms": round(q(0.90), 1),
+        "p99_ms": round(q(0.99), 1),
+        "max_ms": round(lat_ms[-1], 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--polls", type=int, default=1000)
+    ap.add_argument("--producers", type=int, default=32)
+    ap.add_argument("--per-producer", type=int, default=25)
+    args = ap.parse_args()
+
+    from barco_spark.session import get_spark
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    spark = get_spark(app_name="facade-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    with tempfile.TemporaryDirectory() as root:
+        log = EventLog(spark, root + "/log")
+        server = BrokerHttpServer(log)
+        server.start()
+        try:
+            produce = bench_produce(server, args.producers, args.per_producer)
+            poll = bench_poll(server, log, args.rows, args.polls)
+        finally:
+            server.stop()
+    print(json.dumps({"produce": produce, "poll": poll}))
+
+
+if __name__ == "__main__":
+    main()

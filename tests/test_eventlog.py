@@ -226,6 +226,34 @@ def test_at_least_once_redelivery_on_crash(spark, tmp_path):
     assert log2.poll("g", "t").count() == 0  # second poll committed them
 
 
+def test_manual_commit_flow_redelivers_on_crash_never_skips(spark, tmp_path):
+    """The documented manual-ack flow (item: poll(auto_commit=False) +
+    commit_served): a crash BEFORE the ack redelivers everything, the
+    ack commits exactly what was served, and nothing is ever skipped."""
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.register("g", ["t"], reset="earliest")
+    log.produce("t", ["a", "b", "c"], partition_key="k")
+    assert log.poll("g", "t", auto_commit=False).count() == 3
+    # crash before the ack: fresh instance redelivers the full batch
+    log2 = EventLog(spark, str(tmp_path / "log"))
+    batch = log2.poll("g", "t", auto_commit=False)
+    assert sorted(r["payload"] for r in batch.collect()) == ["a", "b", "c"]
+    # manual ack commits the furthest served position durably
+    acked = log2.commit_served("g", "t")
+    assert acked and all(n > 0 for n in acked.values())
+    # after the ack nothing is re-served — by this instance or a restart
+    assert log2.poll("g", "t", auto_commit=False).count() == 0
+    log3 = EventLog(spark, str(tmp_path / "log"))
+    log3.produce("t", ["d"], partition_key="k")
+    rows = log3.poll("g", "t", auto_commit=False).collect()
+    assert [r["payload"] for r in rows] == ["d"]  # new data only, none skipped
+    # the Spark-free facade flow shares the same manual-ack contract
+    served = log3.poll_dicts("g", "t", auto_commit=False)
+    assert [v for it in served for v in it["values"]] == ["d"]
+    log3.commit_served("g", "t")
+    assert log3.poll_dicts("g", "t", auto_commit=False) == []
+
+
 def test_poll_empty_assignment(log):
     # a starved consumer (assign_buckets with more consumers than
     # buckets) polls an empty assignment and must idle, not crash
@@ -362,13 +390,17 @@ def test_goodbye_triggers_offsets_compaction(spark, tmp_path):
     log = EventLog(spark, str(tmp_path / "log"), config=cfg)
     log.produce("t", [f"m{i}" for i in range(24)], partition_key=None)
     log.register("g", ["t"], reset="earliest")
-    for i in range(1, 8):
+    # commits now self-compact past the threshold (arrow-native, no
+    # Spark job): the file set stays bounded even without a goodbye —
+    # a long-lived poll loop used to grow one file per poll, making
+    # every later read O(polls)
+    for i in range(1, 12):
         log.commit("g", "t", {0: i})
-    assert log._offsets_file_count() > cfg.offsets_compact_threshold
+        assert log._offsets_file_count() <= cfg.offsets_compact_threshold + 1
+    assert log.committed("g", "t")[0] == 11  # compaction kept latest-wins
     before = log.committed("g", "t")
     log.poll("g", "t", max_records_per_bucket=2)
     log.goodbye("g", "t")  # flushes served positions, then compacts
-    assert log._offsets_file_count() == 1
     after = log.committed("g", "t")
     # served batch was committed by goodbye; everything else unchanged
     assert after[0] >= before[0]
