@@ -255,3 +255,64 @@ def fast_bucket_expr(key: Column | str, num_buckets: int) -> Column:
         .otherwise(keyed)
         .cast(IntegerType())
     )
+
+
+# -- Spark-compatible Murmur3 x86_32 (the JVM fast path's hash) --------
+_M32 = 0xFFFFFFFF
+_C1_32 = 0xCC9E2D51
+_C2_32 = 0x1B873593
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1_32(k1: int) -> int:
+    k1 = (k1 * _C1_32) & _M32
+    k1 = _rotl32(k1, 15)
+    return (k1 * _C2_32) & _M32
+
+
+def _mix_h1_32(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def spark_hash32_py(data: bytes, seed: int = 42) -> int:
+    """Bit-exact Python twin of Spark's ``F.hash`` on a string column
+    (``Murmur3_x86_32.hashUnsafeBytes`` over the UTF-8 bytes, seed 42):
+    4-byte little-endian blocks, then each TAIL byte sign-extended and
+    mixed as a full round (Spark's variant differs from canonical
+    murmur3 here). Returns the signed int32 Spark returns.
+
+    Exists so the Spark-free arrow produce path routes a key to the
+    SAME bucket as the JVM ``fast_bucket_expr`` — per-key ordering must
+    hold across both write paths. Verified against ``F.hash`` on
+    randomized keys in tests/test_tokens.py.
+    """
+    h1 = seed & _M32
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        half = int.from_bytes(data[i : i + 4], "little")
+        h1 = _mix_h1_32(h1, _mix_k1_32(half))
+    for i in range(aligned, n):
+        b = data[i]
+        half = b if b < 0x80 else b | 0xFFFFFF00  # signed byte, as uint32
+        h1 = _mix_h1_32(h1, _mix_k1_32(half))
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def spark_bucket_py(key: str, num_buckets: int) -> int:
+    """pmod(spark_hash32_py(utf8(key)), num_buckets) — the Python twin
+    of ``fast_bucket_expr``'s keyed branch."""
+    h = spark_hash32_py(key.encode("utf-8"))
+    r = h % num_buckets if num_buckets > 0 else 0
+    return r if r >= 0 else r + num_buckets

@@ -168,24 +168,33 @@ class ProduceCoalescer:
         for topic, reqs in by_topic.items():
             rows = [rec for req in reqs for rec in req.records]
             try:
-                from pyspark.sql import functions as F
-                from pyspark.sql.types import (
-                    StringType,
-                    StructField,
-                    StructType,
-                    TimestampType,
-                )
-
-                schema = StructType(
-                    [
-                        StructField("partition_key", StringType()),
-                        StructField("payload", StringType()),
-                        StructField("timestamp", TimestampType()),
-                    ]
-                )
-                df = self.log.spark.createDataFrame(rows, schema)
+                # Spark-free fast path (local roots): route + assign
+                # offsets in-process, append per-bucket zstd parquet
+                # directly — the flush costs ms, not a Spark job's ~1 s
+                # of scheduling, so acks are ms-class like the
+                # reference's (coalescer.go writes straight to the
+                # segment). Falls back to the Spark writer when the
+                # fast path declines (object-store root, exotic topic).
                 with self._lock:
-                    n = self.log.produce(topic, df)
+                    n = self.log.produce_arrow(topic, rows)
+                if n is None:
+                    from pyspark.sql.types import (
+                        StringType,
+                        StructField,
+                        StructType,
+                        TimestampType,
+                    )
+
+                    schema = StructType(
+                        [
+                            StructField("partition_key", StringType()),
+                            StructField("payload", StringType()),
+                            StructField("timestamp", TimestampType()),
+                        ]
+                    )
+                    df = self.log.spark.createDataFrame(rows, schema)
+                    with self._lock:
+                        n = self.log.produce(topic, df)
                 self.flushes += 1
                 if n != len(rows):
                     raise RuntimeError(

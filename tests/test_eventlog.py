@@ -585,3 +585,59 @@ def test_consumer_lag_report_query(spark, tmp_path):
         assert r["lag"] == r["high_watermark"] - r["committed"]
         if r["high_watermark"] > 0:
             assert r["committed"] == min(10, r["high_watermark"])
+
+
+def test_produce_arrow_interops_with_spark_produce(spark, tmp_path):
+    """The Spark-free arrow produce (facade fast path) and the Spark
+    writer are ONE log: same bucket routing per key (bit-exact hash),
+    contiguous offsets across interleaved writers, and every reader
+    (Spark poll, arrow poll_dicts) sees all records in order."""
+    from datetime import datetime, timezone
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    log.register("g", ["t"], reset="earliest")
+    ts = datetime(2026, 1, 2, 3, 4, 5, 123456, tzinfo=timezone.utc)
+    # arrow write first (keyed + keyless mixed)
+    assert log.produce_arrow(
+        "t", [("ka", "a0", ts), ("kb", "b0", None), (None, "x0", None)]
+    ) == 3
+    # then the Spark writer appends with the SAME keys
+    log.produce("t", [("ka", "a1"), ("kb", "b1")])
+    # then arrow again
+    assert log.produce_arrow("t", [("ka", "a2", None)]) == 1
+
+    rows = log.poll("g", "t").collect()
+    assert sorted(r["payload"] for r in rows) == ["a0", "a1", "a2", "b0", "b1", "x0"]
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["partition_key"], []).append((r["offset"], r["payload"], r["bucket"]))
+    # per-key: one bucket across both writers, offsets strictly increasing
+    for key in ("ka", "kb"):
+        got = sorted(by_key[key])
+        assert len({b for _o, _p, b in got}) == 1, f"{key} split across buckets"
+        offs = [o for o, _p, _b in got]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+    assert [p for _o, p, _b in sorted(by_key["ka"])] == ["a0", "a1", "a2"]
+    # exact producer timestamp survives the arrow write to the microsecond
+    (a0,) = [r for r in rows if r["payload"] == "a0"]
+    assert a0["timestamp"].microsecond == 123456
+    # per-bucket offsets are gapless from 0 (contiguity invariant)
+    per_bucket = {}
+    for r in rows:
+        per_bucket.setdefault(r["bucket"], []).append(r["offset"])
+    for b, offs in per_bucket.items():
+        assert sorted(offs) == list(range(len(offs))), f"bucket {b} gapped"
+    # the arrow reader agrees with the Spark reader
+    log2 = EventLog(spark, str(tmp_path / "log"))
+    log2.register("g2", ["t"], reset="earliest")
+    served = log2.poll_dicts("g2", "t")
+    assert sorted(v for it in served for v in it["values"]) == [
+        "a0", "a1", "a2", "b0", "b1", "x0"
+    ]
+
+
+def test_produce_arrow_declines_unsupported(spark, tmp_path):
+    """Object-store roots and topics needing partition escaping fall
+    back to the Spark writer (produce_arrow returns None)."""
+    log = EventLog(spark, str(tmp_path / "log"))
+    assert log.produce_arrow("weird topic!", [(None, "p", None)]) is None

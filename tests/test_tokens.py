@@ -93,3 +93,29 @@ def test_project_bucket_identity_and_error():
     assert project_bucket(5, 3, 3) == [5]
     with pytest.raises(ValueError):
         project_bucket(0, 3, 9)
+
+
+def test_spark_hash32_matches_f_hash(spark):
+    """spark_hash32_py must be bit-exact with F.hash on strings —
+    per-key ordering across the Spark and arrow produce paths depends
+    on both routing a key to the same bucket."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from barco_spark.functions.tokens import spark_bucket_py, spark_hash32_py
+
+    rng = random.Random(7)
+    keys = ["", "a", "ab", "abc", "abcd", "abcde", "héllo", "ключ", "字キー",
+            "123", "-", " ", "\n", "\x00x"]
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789-_ éß中"
+    keys += ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).select(
+        "k",
+        F.hash(F.col("k")).alias("h"),
+        F.pmod(F.hash(F.col("k")), F.lit(12)).cast("int").alias("b"),
+    )
+    for row in df.collect():
+        assert spark_hash32_py(row["k"].encode("utf-8")) == row["h"], row["k"]
+        assert spark_bucket_py(row["k"], 12) == row["b"], row["k"]
