@@ -679,3 +679,154 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "training_order_shard",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_h28_sql("'shuffle-42:' || CAST(doc_id AS VARCHAR)")} AS hk
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, source, hk,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS pos
+      FROM h)
+    SELECT CAST((pos - 1) % 8 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS order_checksum
+    FROM ordered
+    GROUP BY CAST((pos - 1) % 8 AS BIGINT)
+    ORDER BY shard
+    """,
+    "sampling",
+    doc=(
+        "Seeded deterministic global shuffle for training order: every "
+        "document gets a position from the md5-hash order (seed in the "
+        "hash preimage) and a round-robin shard, the step that writes "
+        "shuffled training shards. The order-SENSITIVE integer checksum "
+        "(sum of pos x doc_id-residue per shard) proves both engines "
+        "computed the same permutation, not just the same counts. At "
+        "scale the hash order is a range exchange (Spark's sort "
+        "machinery, no skew: hashes are uniform) and the shard writer "
+        "is partitionBy(shard) on the SAME pass; re-running with a new "
+        "seed is a new epoch permutation with zero state."
+    ),
+)
+def training_order_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        _h28(F.concat(F.lit("shuffle-42:"), F.col("doc_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    # Global positions WITHOUT a single-partition window (a bare
+    # Window.orderBy moves the whole corpus to one task): hk is a
+    # uniform 28-bit hash, so fixed-width value ranges of hk are
+    # balanced buckets — bucket = hk * nparts / 2^28 by integer
+    # arithmetic, fully deterministic (repartitionByRange would
+    # re-SAMPLE boundaries on every execution, desyncing any
+    # precomputed count matrix).  Per-bucket row_number gives local
+    # order; each bucket's global base is a running sum over the tiny
+    # (nparts-row) count table, broadcast-joined back.  Two shuffles
+    # total (tiny count agg + the bucket window), no persist, no
+    # collect — the same two-phase shape as EventLog's offset
+    # assignment but with arithmetic ranges instead of sampled ones.
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    bucketed = hashed.withColumn(
+        "_b", ((F.col("hk") * nparts) / F.lit(1 << 28)).cast("bigint")
+    )
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_base = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )  # single-partition window over <= nparts rows — bounded by design
+    bases = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(w_base), F.lit(0)).alias("_base")
+    )
+    w_local = Window.partitionBy("_b").orderBy("hk", "doc_id")
+    ordered = bucketed.join(F.broadcast(bases), "_b").withColumn(
+        "pos", F.col("_base") + F.row_number().over(w_local)
+    )
+    return (
+        ordered.groupBy(((F.col("pos") - 1) % 8).cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("pos").cast("bigint").alias("min_pos"),
+            F.max("pos").cast("bigint").alias("max_pos"),
+            F.sum(F.col("pos") * (F.col("doc_id") % 1000003))
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "packing_efficiency_report",
+    """
+    WITH toks AS (
+      SELECT source,
+             LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 256) AS tk
+      FROM documents),
+    per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(tk) AS BIGINT) AS sum_tokens,
+             CAST(SUM(256 - tk) AS BIGINT) AS pad_waste_naive
+      FROM toks GROUP BY source)
+    SELECT source, n_docs, sum_tokens, pad_waste_naive,
+           CAST((sum_tokens + 255) // 256 AS BIGINT) AS packed_bins,
+           CAST(((sum_tokens + 255) // 256) * 256 - sum_tokens AS BIGINT)
+             AS pad_waste_packed,
+           CAST(pad_waste_naive AS DOUBLE) / (n_docs * 256)
+             AS naive_waste_share,
+           CAST(((sum_tokens + 255) // 256) * 256 - sum_tokens AS DOUBLE)
+             / (((sum_tokens + 255) // 256) * 256) AS packed_waste_share
+    FROM per_source
+    ORDER BY source
+    """,
+    "sampling",
+    doc=(
+        "Batch-construction economics: per source, the padding waste of "
+        "naive one-doc-per-row batching at a 256-token context vs "
+        "concatenate-and-split packing (pack_sequences). All-integer "
+        "token accounting (whitespace tokens clipped at the context) "
+        "with two final exact divisions, so the waste shares are "
+        "cross-engine exact. The report is one narrow map + one "
+        "hash aggregation — at 100 TB it is the cheap pre-flight that "
+        "justifies running the packing transform at all (typical "
+        "corpora waste 30-60% of naive batch slots)."
+    ),
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = F.least(F.size(F.split(F.col("text"), " ")).cast("bigint"), F.lit(256))
+    per = (
+        docs.select("source", tk.alias("tk"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tk").cast("bigint").alias("sum_tokens"),
+            F.sum(F.lit(256) - F.col("tk")).cast("bigint").alias("pad_waste_naive"),
+        )
+    )
+    bins = F.expr("(sum_tokens + 255) div 256")
+    return per.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        "pad_waste_naive",
+        bins.cast("bigint").alias("packed_bins"),
+        (bins * 256 - F.col("sum_tokens")).cast("bigint").alias("pad_waste_packed"),
+        (
+            F.col("pad_waste_naive").cast("double")
+            / (F.col("n_docs") * 256)
+        ).alias("naive_waste_share"),
+        (
+            (bins * 256 - F.col("sum_tokens")).cast("double") / (bins * 256)
+        ).alias("packed_waste_share"),
+    ).orderBy("source")
