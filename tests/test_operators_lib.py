@@ -355,3 +355,39 @@ def test_leakage_safe_split_one_split_per_source(spark, sf_dir):
     assert all(len(s) == 1 for s in per_source.values()), per_source
     total = sum(r["n_docs"] for r in rows)
     assert total == t(spark, sf_dir, "documents").count()
+
+
+def test_cdc_chunks_resync_under_shift(spark, tmp_path):
+    """The CDC property: doc2 = one extra word prepended to doc1.
+    Fixed-width chunking shares (almost) nothing between the two, but
+    content-defined boundaries re-synchronize, so the CDC report must
+    see a large duplicated chunk mass; and a corpus of two identical
+    docs must report ~all mass duplicated."""
+    import pandas as pd
+
+    base = " ".join(f"w{(i * 13) % 97}tok" for i in range(400))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, "SHIFT " + base, "solo " * 50],
+            "lang": ["en"] * 3,
+            "source": ["a", "a", "b"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    from barco_spark.registry import load_all
+
+    rows = {
+        r["source"]: r
+        for r in load_all()["dedup_cdc_chunks"]
+        .build(spark, str(tmp_path))
+        .collect()
+    }
+    a = rows["a"]
+    # shifted copy: boundaries re-anchor after the first chunk, so the
+    # overwhelming majority of chunk mass must be flagged duplicated
+    assert a["dup_mass"] / a["total_mass"] > 0.9
+    # the unique doc reports zero duplication
+    assert rows["b"]["dup_chunks"] == 0
