@@ -830,3 +830,105 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (bins * 256 - F.col("sum_tokens")).cast("double") / (bins * 256)
         ).alias("packed_waste_share"),
     ).orderBy("source")
+
+
+@register(
+    "temporal_holdout_split",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1),
+    cum AS (
+      SELECT d,
+             SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS total
+      FROM daily),
+    cutoff AS (SELECT MIN(d) AS cd FROM cum WHERE cum * 5 >= total * 4),
+    f AS (
+      SELECT e.event_type, e.user_id,
+             MAX(CASE WHEN CAST(e.ts AS DATE) < c.cd THEN 1 ELSE 0 END)
+               AS has_train,
+             MAX(CASE WHEN CAST(e.ts AS DATE) > c.cd THEN 1 ELSE 0 END)
+               AS has_test,
+             SUM(CASE WHEN CAST(e.ts AS DATE) < c.cd THEN 1 ELSE 0 END)
+               AS train_events,
+             SUM(CASE WHEN CAST(e.ts AS DATE) > c.cd THEN 1 ELSE 0 END)
+               AS test_events,
+             SUM(CASE WHEN CAST(e.ts AS DATE) = c.cd THEN 1 ELSE 0 END)
+               AS embargo_events
+      FROM events e CROSS JOIN cutoff c
+      GROUP BY e.event_type, e.user_id)
+    SELECT event_type,
+           CAST(SUM(train_events) AS BIGINT) AS train_events,
+           CAST(SUM(test_events) AS BIGINT) AS test_events,
+           CAST(SUM(embargo_events) AS BIGINT) AS embargo_events,
+           CAST(SUM(has_train) AS BIGINT) AS train_users,
+           CAST(SUM(has_test) AS BIGINT) AS test_users,
+           CAST(SUM(CASE WHEN has_train + has_test = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS straddle_users
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+    "sampling",
+    doc=(
+        "Temporal holdout split with an embargo day: the cutoff is the "
+        "first CALENDAR DAY where the cumulative event count reaches "
+        "80% (training cutoffs are calendar-aligned in practice, and a "
+        "day-histogram cutoff needs only a tiny per-day aggregate — "
+        "never a global sort or exact-percentile pass over the raw "
+        "stream). Events strictly before the cutoff day train, strictly "
+        "after test, ON the day are embargoed (dropped from both — the "
+        "leakage buffer). Reports per event type: split sizes plus the "
+        "entity-leakage signal — users appearing on BOTH sides of the "
+        "cut (straddle_users), the count that tells you whether "
+        "user-level history features would leak future information. "
+        "Plan: day histogram (bounded by calendar days) -> one-row "
+        "cutoff broadcast -> per-(type,user) flag aggregate -> per-type "
+        "rollup; both aggregates map-side combine, nothing wider than "
+        "counters shuffles."
+    ),
+)
+def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # single-partition windows over <= #calendar-days rows — bounded
+    cum = daily.select(
+        "d",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+    cutoff = cum.where(F.col("cum") * 5 >= F.col("total") * 4).agg(
+        F.min("d").alias("cd")
+    )
+    e = ev.crossJoin(F.broadcast(cutoff))
+    tr = (F.col("d") < F.col("cd")).cast("long")
+    te = (F.col("d") > F.col("cd")).cast("long")
+    em = (F.col("d") == F.col("cd")).cast("long")
+    f = e.groupBy("event_type", "user_id").agg(
+        F.max(tr).alias("has_train"),
+        F.max(te).alias("has_test"),
+        F.sum(tr).alias("train_events"),
+        F.sum(te).alias("test_events"),
+        F.sum(em).alias("embargo_events"),
+    )
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.sum("train_events").cast("bigint").alias("train_events"),
+            F.sum("test_events").cast("bigint").alias("test_events"),
+            F.sum("embargo_events").cast("bigint").alias("embargo_events"),
+            F.sum("has_train").cast("bigint").alias("train_users"),
+            F.sum("has_test").cast("bigint").alias("test_users"),
+            F.sum(
+                (F.col("has_train") + F.col("has_test") == 2).cast("long")
+            )
+            .cast("bigint")
+            .alias("straddle_users"),
+        )
+        .orderBy("event_type")
+    )

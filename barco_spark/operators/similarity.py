@@ -1012,3 +1012,106 @@ def dedup_embedding_vectorized(
     return assigned.groupBy("cell").applyInPandas(
         score_cell, "vec_a long, vec_b long, cell long, cosine_sim double"
     )
+
+
+@register(
+    "label_centroid_cosine",
+    """
+    WITH q AS (
+      SELECT label, t.i AS dim,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    s AS (
+      SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
+      FROM q GROUP BY label, dim),
+    c AS (
+      SELECT label, dim,
+             CAST(floor(CAST(sq AS DOUBLE) / n) AS BIGINT) AS cq, n
+      FROM s),
+    pair AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(MAX(a.n) AS BIGINT) AS n_a,
+             CAST(MAX(b.n) AS BIGINT) AS n_b,
+             CAST(SUM(a.cq * b.cq) AS BIGINT) AS dot,
+             CAST(SUM(a.cq * a.cq) AS BIGINT) AS na,
+             CAST(SUM(b.cq * b.cq) AS BIGINT) AS nb
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT label_a, label_b, n_a, n_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+             AS centroid_cosine
+    FROM pair ORDER BY label_a, label_b
+    """,
+    "similarity",
+    doc=(
+        "Embedding drift / class-separation report: pairwise cosine "
+        "between per-label CENTROIDS — the cheap detector for "
+        "label-space collapse or domain shift between data slices. "
+        "Cross-row float sums are order-dependent, so exactness comes "
+        "from double-quantization: components are floor-quantized to "
+        "1e-6 integers per row (float->double cast is exact), summed as "
+        "integers (exact in any order), the centroid re-quantized after "
+        "ONE exact integer/count division, and the pairwise dot then "
+        "runs entirely in bigint arithmetic — both engines agree "
+        "bit-for-bit including the final sqrt-normalized division. "
+        "Plan: per-(label,dim) partial sums map-side combine (explode "
+        "fans out x64 but collapses immediately); the pair join runs on "
+        "a |labels| x dims table — at 100 TB the corpus is touched "
+        "exactly once, everything after is constant-size."
+    ),
+)
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias("qv"),
+    )
+    s = q.groupBy("label", "dim").agg(
+        F.sum("qv").cast("bigint").alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = s.select(
+        "label",
+        "dim",
+        F.floor(F.col("sq").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("cq"),
+        "n",
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pair = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.max("a.n").cast("bigint").alias("n_a"),
+            F.max("b.n").cast("bigint").alias("n_b"),
+            F.sum(F.col("a.cq") * F.col("b.cq")).cast("bigint").alias("dot"),
+            F.sum(F.col("a.cq") * F.col("a.cq")).cast("bigint").alias("na"),
+            F.sum(F.col("b.cq") * F.col("b.cq")).cast("bigint").alias("nb"),
+        )
+    )
+    return pair.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            )
+        ).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")

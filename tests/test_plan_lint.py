@@ -47,6 +47,8 @@ BNLJ_OK = {
     # one-row global-max / totals tables crossed into small aggregates
     "data_freshness_report",
     "key_skew_report",
+    # one-row cutoff-day aggregate broadcast into the event stream
+    "temporal_holdout_split",
     "revenue_pareto_deciles",
     "order_backlog_aging",
 }
