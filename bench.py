@@ -78,6 +78,11 @@ HEADLINE = [
     "pagerank_similarity_graph",
     "phash_image_dedup",
     "rolling_anomaly_daily",
+    "dedup_cdc_chunks",
+    "gopher_dup_ngram_chars",
+    "training_order_shard",
+    "temporal_holdout_split",
+    "label_centroid_cosine",
 ]
 
 
