@@ -144,3 +144,95 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     return p.select(F.col("node").alias("doc_id"), F.col("p").alias("rank_fp"))
+
+
+@register(
+    "graph_triangle_census",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tpn AS (
+      SELECT node, COUNT(*) AS tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT doc_a AS node FROM pairs
+        UNION ALL SELECT doc_b FROM pairs)
+      GROUP BY node)
+    SELECT d.node AS doc_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(t.tri, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.deg >= 2
+                THEN CAST(2 * COALESCE(t.tri, 0) AS DOUBLE)
+                     / (d.deg * (d.deg - 1))
+                ELSE CAST(0 AS DOUBLE) END AS local_clustering
+    FROM deg d LEFT JOIN tpn t USING (node)
+    ORDER BY triangles DESC, doc_id
+    LIMIT 10
+    """,
+    "similarity",
+    doc=(
+        "Triangle census of the near-duplicate graph: for each node its "
+        "degree, triangle count, and local clustering coefficient — the "
+        "signal that separates a TEMPLATE CLUSTER (boilerplate families "
+        "form near-cliques, clustering ~1) from chain-shaped drift "
+        "(successive edits, clustering ~0), which matters when deciding "
+        "whether to keep one canonical copy or one per chain endpoint. "
+        "Ordered-triple enumeration (a<b<c via two equi-joins on the "
+        "a<b edge list) counts each triangle exactly once; the final "
+        "coefficient is one double division of exact integers. All "
+        "joins run on the banding-bounded pair graph, never the corpus; "
+        "at 100 TB the standard node-degree-ordering optimization "
+        "(orient edges low-degree -> high-degree) bounds the join "
+        "fan-out by sqrt(|E|) per node."
+    ),
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    e1 = pairs.selectExpr("doc_a AS a", "doc_b AS b")
+    e2 = pairs.selectExpr("doc_a AS a2", "doc_b AS c")
+    e3 = pairs.selectExpr("doc_a AS a3", "doc_b AS c3")
+    tri = (
+        e1.join(e2, F.col("b") == F.col("a2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    tpn = (
+        tri.selectExpr("a AS node")
+        .unionByName(tri.selectExpr("b AS node"))
+        .unionByName(tri.selectExpr("c AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    deg = (
+        pairs.selectExpr("doc_a AS node")
+        .unionByName(pairs.selectExpr("doc_b AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    out = (
+        deg.join(tpn, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                (F.coalesce(F.col("tri"), F.lit(0)) * 2).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_clustering"),
+        )
+        .orderBy(F.col("triangles").desc(), "doc_id")
+        .limit(10)
+    )
+    return out

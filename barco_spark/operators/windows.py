@@ -665,3 +665,86 @@ def rollup_reuse_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("total_value"),
         )
     )
+
+
+_DEBOUNCE_US = 300_000_000  # 5 minutes
+
+
+@register(
+    "events_debounce",
+    f"""
+    WITH o AS (
+      SELECT event_type, user_id, event_id,
+             epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+      FROM events),
+    f AS (
+      SELECT event_type,
+             CASE WHEN prev_us IS NOT NULL
+                       AND ts_us - prev_us < {_DEBOUNCE_US}
+                  THEN 1 ELSE 0 END AS drop_flag,
+             ts_us - prev_us AS gap_us
+      FROM o)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(drop_flag) AS BIGINT) AS debounced,
+           CAST(COUNT(*) - SUM(drop_flag) AS BIGINT) AS kept,
+           CAST(SUM(drop_flag) AS DOUBLE) / COUNT(*) AS debounce_share,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+    "window",
+    doc=(
+        "Debounce suppression report: an event is dropped when the SAME "
+        "(user, type) stream produced an event less than 5 minutes "
+        "earlier — the duplicate-click / retry-storm cleaner that runs "
+        "before sessionization (debouncing against the previous RAW "
+        "event keeps the rule a pure LAG, where debouncing against the "
+        "previous KEPT event would chain iteratively). Integer-micro "
+        "timestamps make the threshold compare exact cross-engine. One "
+        "(user,type) window shuffle + one map-side-combinable rollup — "
+        "the same posture as every sessionize/gap operator here; at "
+        "100 TB the window key is (user,type), so skew only appears if "
+        "one user floods one type, exactly the case the debouncer "
+        "exists to flag."
+    ),
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    o = ev.withColumn("prev_us", F.lag("ts_us").over(w))
+    drop_flag = (
+        F.col("prev_us").isNotNull()
+        & (F.col("ts_us") - F.col("prev_us") < _DEBOUNCE_US)
+    ).cast("long")
+    f = o.select(
+        "event_type",
+        drop_flag.alias("drop_flag"),
+        (F.col("ts_us") - F.col("prev_us")).alias("gap_us"),
+    )
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("drop_flag").cast("bigint").alias("debounced"),
+            (F.count(F.lit(1)) - F.sum("drop_flag"))
+            .cast("bigint")
+            .alias("kept"),
+            (F.sum("drop_flag").cast("double") / F.count(F.lit(1))).alias(
+                "debounce_share"
+            ),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
