@@ -419,3 +419,103 @@ def streaming_sessionize_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(out)
         .filter(F.col("user_id") >= 0)
     )
+
+
+@register(
+    "streaming_debounce_snapshot",
+    """
+    WITH o AS (
+      SELECT event_type, user_id, event_id,
+             epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+      FROM events),
+    f AS (
+      SELECT event_type,
+             CASE WHEN prev_us IS NOT NULL
+                       AND ts_us - prev_us < 300000000
+                  THEN 1 ELSE 0 END AS drop_flag,
+             ts_us - prev_us AS gap_us
+      FROM o)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(drop_flag) AS BIGINT) AS debounced,
+           CAST(COUNT(*) - SUM(drop_flag) AS BIGINT) AS kept,
+           CAST(SUM(drop_flag) AS DOUBLE) / COUNT(*) AS debounce_share,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+    "window",
+    doc=(
+        "The stateful debouncer run as a REAL streaming query (file "
+        "source -> applyInPandasWithState carrying last-raw-timestamp "
+        "per (user,type) -> parquet sink, Trigger.AvailableNow) and "
+        "hash-matched against the batch LAG oracle — the fifth "
+        "streaming-vs-batch parity snapshot. The stream emits every "
+        "event with (gap_us, drop_flag); the final per-type rollup "
+        "runs in batch over the snapshot, so the stateful operator is "
+        "what's actually under test. State is one long per live "
+        "(user,type) key; at 100 TB the state store hash-partitions "
+        "those keys and the per-batch work is a vectorized shift."
+    ),
+)
+def streaming_debounce_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from barco_spark.streaming.stateful import streaming_debounce
+    from barco_spark.tables import t
+
+    tmp = tempfile.mkdtemp(prefix="debounce-snap-")
+    src = tmp + "/src"
+    out = tmp + "/out"
+    t(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", "event_id", "unix_micros(ts) AS ts_us"
+    ).coalesce(1).write.json(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, event_id long, ts_us long"
+    ).json(src)
+    q = (
+        streaming_debounce(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_debounce_snapshot: query did not drain in 300s"
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(src, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    flags = spark.read.schema(
+        "user_id long, event_type string, event_id long, ts_us long,"
+        " gap_us long, drop_flag long"
+    ).parquet(out)
+    return (
+        flags.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("drop_flag").cast("bigint").alias("debounced"),
+            (F.count(F.lit(1)) - F.sum("drop_flag"))
+            .cast("bigint")
+            .alias("kept"),
+            (F.sum("drop_flag").cast("double") / F.count(F.lit(1))).alias(
+                "debounce_share"
+            ),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )

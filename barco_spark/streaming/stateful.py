@@ -235,3 +235,81 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DEBOUNCE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("gap_us", LongType()),
+        StructField("drop_flag", LongType()),
+    ]
+)
+
+_DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_us", LongType())])
+
+DEBOUNCE_THRESHOLD_US = 300_000_000  # 5 minutes, = operators.windows
+
+
+def streaming_debounce(
+    events: DataFrame, threshold_us: int = DEBOUNCE_THRESHOLD_US
+) -> DataFrame:
+    """Streaming twin of `events_debounce`: flag events arriving less
+    than `threshold_us` after the previous RAW event of the same
+    (user, type) key, with the last-seen timestamp carried across
+    micro-batches in group state.
+
+    Emits EVERY event with its gap and drop flag (append mode) so the
+    caller can both filter the kept stream and audit suppression rates
+    — the same per-event columns the batch LAG produces, which is what
+    lets the snapshot query hash-match the batch oracle. Per key the
+    state is ONE long (the last raw timestamp); because the rule
+    debounces against the previous raw event (not the previous kept
+    one) the per-batch computation is a vectorized shift, never a
+    Python row loop.
+
+    Within a micro-batch rows are sorted by (ts_us, event_id); across
+    batches correctness requires the source to deliver a key's events
+    in non-decreasing event-time order (file/offset order in the barco
+    log), the standard contract for LAG-style streaming state.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+        ts = pdf["ts_us"].to_numpy()
+        prev = pd.array(
+            [state.get[0] if state.exists else None] + list(ts[:-1]),
+            dtype="Int64",
+        )
+        gap = pd.array(ts, dtype="Int64") - prev
+        drop = (gap.fillna(threshold_us) < threshold_us).astype("int64")
+        state.update((int(ts[-1]),))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_type": pdf["event_type"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ts_us": ts,
+                "gap_us": gap,
+                "drop_flag": drop,
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "event_id", "ts_us")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=DEBOUNCE_OUT_SCHEMA,
+            stateStructType=_DEBOUNCE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

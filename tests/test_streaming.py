@@ -656,3 +656,56 @@ def test_streaming_funnel_agrees_with_batch_query(spark, sf_dir, tmp_path):
         r.stage: r.n_users for r in events_funnel(spark, sf_dir).collect()
     }
     assert streamed == Counter(batch)
+
+
+def test_streaming_debounce_state_spans_batches(spark, tmp_path):
+    """An event in run 2 that lands < 5 min after the last RAW event of
+    run 1 for the same (user, type) must be dropped — the state carries
+    the last timestamp across checkpointed runs; an event past the
+    threshold and an event for a fresh key must be kept."""
+    from barco_spark.streaming.stateful import streaming_debounce
+
+    src = str(tmp_path / "src")
+    cols = ["user_id", "event_type", "event_id", "ts_us"]
+    base = 1_700_000_000_000_000
+    spark.createDataFrame(
+        [(1, "click", 1, base), (1, "click", 2, base + 400_000_000)],
+        cols,
+    ).coalesce(1).write.mode("append").json(src)
+    results: list = []
+
+    def run():
+        results.clear()
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, event_id long, ts_us long"
+        ).json(src)
+        q = (
+            streaming_debounce(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda d, _b: results.extend(d.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    flags = {r["event_id"]: r["drop_flag"] for r in results}
+    assert flags == {1: 0, 2: 0}  # 400s apart: both kept
+
+    # run 2: event 3 is 100s after event 2 (drop), event 4 is a new
+    # key (keep), event 5 is 400s after event 3 — kept, because the
+    # rule debounces against the previous RAW event even if dropped
+    spark.createDataFrame(
+        [
+            (1, "click", 3, base + 500_000_000),
+            (2, "click", 4, base + 500_000_000),
+            (1, "click", 5, base + 900_000_000),
+        ],
+        cols,
+    ).coalesce(1).write.mode("append").json(src)
+    run()
+    flags = {r["event_id"]: (r["drop_flag"], r["gap_us"]) for r in results}
+    assert flags[3] == (1, 100_000_000)
+    assert flags[4] == (0, None)
+    assert flags[5] == (0, 400_000_000)
