@@ -731,6 +731,52 @@ def gopher_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_DIV = 16  # boundary when h28(word) % 16 == 0 -> ~16-word expected chunks
 
 
+def cdc_chunk_array(text_col: str = "text") -> Column:
+    """Content-defined chunks of `text_col` as an array<string>: a word
+    CLOSES its chunk when h28(word) % _CDC_DIV == 0. Single in-row
+    aggregate() fold; shared by dedup_cdc_chunks and the differential
+    fuzz test so the Spark chunker and the DuckDB positional oracle
+    cannot drift apart silently."""
+    bnd = (
+        f"cast(conv(substring(md5(w), 1, 7), 16, 10) as bigint) "
+        f"% {_CDC_DIV} = 0"
+    )
+    step = "if(acc.cur is null, w, concat(acc.cur, ' ', w))"
+    return F.expr(
+        f"""
+        aggregate(
+          split({text_col}, ' '),
+          struct(cast(array() as array<string>) as done,
+                 cast(null as string) as cur),
+          (acc, w) -> struct(
+            if({bnd}, array_append(acc.done, {step}), acc.done) as done,
+            if({bnd}, cast(null as string), {step}) as cur),
+          acc -> if(acc.cur is null, acc.done,
+                    array_append(acc.done, acc.cur)))
+        """
+    )
+
+
+CDC_CHUNKS_SQL = f"""
+    pw AS (
+      SELECT doc_id, t.i, words[t.i] AS word,
+             CASE WHEN ('0x' || substr(md5(words[t.i]), 1, 7))::BIGINT
+                       % {_CDC_DIV} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM w, unnest(range(1, len(words) + 1)) AS t(i)),
+    cw AS (
+      SELECT doc_id, i, word,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cid
+      FROM pw),
+    c AS (
+      SELECT doc_id, cid, string_agg(word, ' ' ORDER BY i) AS chunk
+      FROM cw GROUP BY doc_id, cid)
+"""
+
+
+
 @register(
     "dedup_cdc_chunks",
     f"""
@@ -790,24 +836,7 @@ _CDC_DIV = 16  # boundary when h28(word) % 16 == 0 -> ~16-word expected chunks
     ),
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bnd = (
-        f"cast(conv(substring(md5(w), 1, 7), 16, 10) as bigint) "
-        f"% {_CDC_DIV} = 0"
-    )
-    step = "if(acc.cur is null, w, concat(acc.cur, ' ', w))"
-    chunks = F.expr(
-        f"""
-        aggregate(
-          split(text, ' '),
-          struct(cast(array() as array<string>) as done,
-                 cast(null as string) as cur),
-          (acc, w) -> struct(
-            if({bnd}, array_append(acc.done, {step}), acc.done) as done,
-            if({bnd}, cast(null as string), {step}) as cur),
-          acc -> if(acc.cur is null, acc.done,
-                    array_append(acc.done, acc.cur)))
-        """
-    )
+    chunks = cdc_chunk_array()
     c = (
         t(spark, sf_dir, "documents")
         .select("doc_id", "source", F.explode(chunks).alias("chunk"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -376,3 +377,50 @@ def test_fuzz_decimal_aggregation(spark, rows):
         )
     finally:
         con.close()
+
+
+WORDS = st.sampled_from(["a", "bb", "ccc", "the", "quick", "", "zz9", "x"])
+TEXTS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=40).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=TEXTS)
+@FUZZ
+def test_fuzz_cdc_chunker(spark, texts):
+    """The in-row aggregate() fold chunker and the DuckDB positional
+    chunker (cumulative boundary count + ordered string_agg) must cut
+    IDENTICAL chunks on arbitrary texts — including empty words from
+    repeated spaces, empty texts, and boundary words in first/last
+    position."""
+    import duckdb
+
+    from barco_spark.operators.quality import CDC_CHUNKS_SQL, cdc_chunk_array
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    s = sorted(
+        (r["doc_id"], r["chunk"])
+        for r in sdf.select(
+            "doc_id", F.explode(cdc_chunk_array()).alias("chunk")
+        ).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.register("fz_docs", pdf)
+        d = sorted(
+            con.execute(
+                f"""
+                WITH w AS (
+                  SELECT doc_id, string_split(text, ' ') AS words
+                  FROM fz_docs),
+                {CDC_CHUNKS_SQL}
+                SELECT doc_id, chunk FROM c
+                """
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert s == d
