@@ -6,7 +6,7 @@ Same determinism conventions as operators/relational.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from barco_spark.registry import register
@@ -706,6 +706,77 @@ def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(days)
         .join(daily, "day", "left")
         .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"))
+    )
+
+
+@register(
+    "interval_open_orders_daily",
+    """
+    WITH days AS (
+      SELECT CAST(unnest(generate_series(TIMESTAMP '1997-01-01',
+                                         TIMESTAMP '1997-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day)
+    SELECT d.day,
+           CAST((SELECT COUNT(*) FROM orders o
+                  WHERE CAST(o.o_orderdate AS DATE) <= d.day
+                    AND d.day < CAST(o.o_orderdate AS DATE) + 31)
+                AS BIGINT) AS open_orders
+    FROM days d ORDER BY day
+    """,
+    "aggregation",
+    doc=(
+        "Sweep-line interval coverage: how many orders are OPEN (within "
+        "31 days of placement) on each day of 1997 Q1. The naive form "
+        "is an interval join — every (day, order) pair tested against "
+        "containment, O(days x orders), and with no equi key Spark "
+        "would plan it as a nested-loop join. The sweep replaces it "
+        "with +count at each start day, -count at each end day, one "
+        "tiny cumulative sum over the ~thousands of distinct change "
+        "days — O(orders) scan work and a bounded window, the standard "
+        "way interval coverage scales to 100 TB. The DuckDB oracle IS "
+        "the naive containment count, so parity proves the sweep "
+        "equals the quadratic semantics, not merely itself."
+    ),
+)
+def interval_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("od")
+    )
+    starts = od.groupBy(F.col("od").alias("day")).agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    ends = (
+        od.select(F.date_add("od", 31).alias("day"))
+        .groupBy("day")
+        .agg((-F.count(F.lit(1))).alias("delta"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        F.lit(0).cast("long").alias("delta"),
+    )
+    deltas = (
+        starts.unionByName(ends)
+        .unionByName(spine)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    # single-partition window over the distinct CHANGE DAYS (calendar-
+    # bounded, ~2.5k rows for 7 years of data) — not the fact table
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = deltas.withColumn("open_orders", F.sum("delta").over(w))
+    return (
+        cum.where(
+            (F.col("day") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("day") <= F.lit("1997-03-31").cast("date"))
+        )
+        .select("day", F.col("open_orders").cast("bigint").alias("open_orders"))
+        .orderBy("day")
     )
 
 
