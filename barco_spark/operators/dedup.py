@@ -1201,3 +1201,56 @@ def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.count(F.lit(1))
         ).alias("mean_exact_jaccard"),
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+      WHERE e.d <> r.s),
+    cl AS (
+      SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+      FROM reach GROUP BY s),
+    sizes AS (SELECT cluster_id, COUNT(*) AS csize FROM cl GROUP BY cluster_id)
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY csize ORDER BY cluster_size
+    """,
+    "dedup",
+    doc=(
+        "Cluster-size distribution of the near-duplicate graph: how "
+        "many components of each size (docs with no near-dup pair are "
+        "not in the graph — singletons are the corpus minus these "
+        "rows). THE go/no-go readout before a dedup rewrite: a long "
+        "tail of 2-3-doc clusters means keep-one-per-cluster is cheap; "
+        "a few giant components mean a template family where "
+        "keep-best selection and the hot-bucket caps matter. Built on "
+        "dedup_clusters' adaptive closure (driver union-find under a "
+        "probe cap, distributed min-label propagation above it), then "
+        "two tiny hash aggregates over (doc, cluster) labels."
+    ),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = dedup_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        sizes.groupBy(F.col("csize").cast("bigint").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -1115,3 +1115,86 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("centroid_cosine"),
     ).orderBy("label_a", "label_b")
+
+
+@register(
+    "embedding_outlier_report",
+    """
+    WITH q AS (
+      SELECT vec_id, label, t.i AS dim,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+    s AS (
+      SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS sq, COUNT(*) AS n
+      FROM q GROUP BY label, dim),
+    c AS (
+      SELECT label, dim,
+             CAST(floor(CAST(sq AS DOUBLE) / n) AS BIGINT) AS cq
+      FROM s),
+    d AS (
+      SELECT q.vec_id, q.label,
+             CAST(SUM((q.qv - c.cq) * (q.qv - c.cq)) AS BIGINT) AS dist2
+      FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+      GROUP BY q.vec_id, q.label),
+    r AS (
+      SELECT label, vec_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rk
+      FROM d)
+    SELECT label, vec_id, dist2, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3 ORDER BY label, rk
+    """,
+    "similarity",
+    doc=(
+        "Per-label outlier detection: top-3 vectors FARTHEST from their "
+        "label centroid — the mislabeled-point / junk-embedding "
+        "detector run before using labels for stratified sampling or "
+        "eval splits. Same double-quantization discipline as "
+        "label_centroid_cosine (1e-6 integer components, integer "
+        "centroid after one exact division), so the squared distance "
+        "is pure bigint arithmetic and the ranking is bit-exact "
+        "cross-engine. Plan: per-(label,dim) sums map-side combine, "
+        "centroids broadcast back over the exploded stream, one "
+        "(vec,label) rollup, one tiny per-label ranking window — the "
+        "corpus is scanned twice and shuffled only as (label,dim) and "
+        "(vec,label) counter rows."
+    ),
+)
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias("qv"),
+    )
+    s = q.groupBy("label", "dim").agg(
+        F.sum("qv").cast("bigint").alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = s.select(
+        "label",
+        "dim",
+        F.floor(F.col("sq").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("cq"),
+    )
+    d = (
+        q.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("qv") - F.col("cq")) * (F.col("qv") - F.col("cq")))
+            .cast("bigint")
+            .alias("dist2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), "vec_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("label", "vec_id", "dist2", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("label", "rk")
+    )
