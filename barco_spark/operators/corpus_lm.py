@@ -278,12 +278,19 @@ def inverted_index_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(words_col()).alias("w")
     )
     tf = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # df = rows per token OF THE tf TABLE — a window over the same
+    # partitioning the rank window needs anyway, so it rides the one
+    # w-shuffle for free; the former tf-join-df plan re-executed the
+    # explode+first-aggregate subtree for the df side (measured 1.5x
+    # at sf0.1, same re-execution trap as the chunk-dedup family)
+    tfw = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("w"))
+    )
     rn = F.row_number().over(
         Window.partitionBy("w").orderBy(F.col("tf").desc(), "doc_id")
     )
     ranked = (
-        tf.join(F.broadcast(df.where(F.col("df") >= MIN_DF)), "w")
+        tfw.where(F.col("df") >= MIN_DF)
         .withColumn("rn", rn)
         .where(F.col("rn") <= TOP_DOCS)
     )
