@@ -424,3 +424,55 @@ def test_fuzz_cdc_chunker(spark, texts):
     finally:
         con.close()
     assert s == d
+
+
+EVT = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user_id
+        st.sampled_from(["click", "view"]),             # event_type
+        st.integers(min_value=0, max_value=1200),       # seconds offset
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(rows=EVT)
+@FUZZ
+def test_fuzz_debounce_tie_break(spark, rows, tmp_path_factory):
+    """events_debounce vs its LAG oracle on adversarial streams:
+    duplicate timestamps inside one (user, type) key (the tie the
+    event_id ordering must break identically in both engines), gaps
+    exactly AT the 300s threshold (strict-< boundary), and bursts."""
+    import duckdb
+
+    from barco_spark.registry import load_all
+
+    tmp = tmp_path_factory.mktemp("dbfz")
+    base = 1_700_000_000_000_000
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime(
+                [base + s * 1_000_000 for _u, _t, s in rows], unit="us"
+            ),
+            "user_id": [u for u, _t, _s in rows],
+            "event_type": [t for _u, t, _s in rows],
+            "value": [0.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(tmp / "events.parquet")
+    spec = load_all()["events_debounce"]
+    s = sorted(
+        tuple(r) for r in spec.build(spark, str(tmp)).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'"
+        )
+        d = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    finally:
+        con.close()
+    assert s == d
