@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
     import barco_spark.functions.udfs  # noqa: F401
     import barco_spark.operators.pipeline  # noqa: F401
     import barco_spark.operators.sampling  # noqa: F401
+    import barco_spark.multimodal.audio  # noqa: F401
     import barco_spark.multimodal.media  # noqa: F401
     import barco_spark.streaming.pipeline  # noqa: F401
 

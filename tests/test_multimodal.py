@@ -234,3 +234,52 @@ def test_perceptual_hash_deterministic_and_content_keyed(spark):
     b = sorted(tuple(r) for r in perceptual_hash(decode_media(media)).collect())
     assert a == b
     assert len({h for _, h in a}) > 1
+
+
+def test_wav_decode_matches_synthesis_closed_form(spark):
+    """The stdlib WAV round trip is exact: a square wave of amplitude A
+    has peak == A and integer RMS == A; frame counts and duration come
+    straight from the synthesis parameters."""
+    from barco_spark.multimodal.audio import (
+        RATE,
+        decode_audio,
+        synthetic_audio,
+    )
+
+    feats = {
+        r["media_id"]: r for r in decode_audio(synthetic_audio(spark, 12)).collect()
+    }
+    assert len(feats) == 12
+    for i, r in feats.items():
+        amp = 8000 + (i % 8) * 1000
+        dur = 100 * (1 + i % 10)
+        assert r["sample_rate"] == RATE
+        assert r["duration_ms"] == dur
+        assert r["n_frames"] == RATE * dur // 1000
+        assert r["peak"] == amp
+        assert r["rms"] == amp  # |s| == A everywhere -> RMS == A exactly
+
+
+def test_wav_frame_energy_is_constant_per_file(spark):
+    """Every 100ms frame of a constant-amplitude square wave carries the
+    same exact RMS (== amplitude); frame counts equal duration/100ms."""
+    from barco_spark.multimodal.audio import audio_frame_energy, synthetic_audio
+
+    rows = audio_frame_energy(synthetic_audio(spark, 6), frame_ms=100).collect()
+    by_media: dict = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for i, frames in by_media.items():
+        amp = 8000 + (i % 8) * 1000
+        dur = 100 * (1 + i % 10)
+        assert len(frames) == dur // 100
+        assert {f["frame_rms"] for f in frames} == {amp}
+
+
+def test_audio_feature_extract_registry_shape(spark, sf_dir):
+    from barco_spark.registry import load_all
+
+    rows = load_all()["audio_feature_extract"].build(spark, sf_dir).collect()
+    assert len(rows) == 10  # duration buckets 100..1000 ms
+    assert all(r["min_rms"] >= 8000 and r["max_rms"] <= 15000 for r in rows)
+    assert all(r["clipped_files"] == 0 for r in rows)
