@@ -1652,3 +1652,79 @@ def discount_band_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+@register(
+    "market_basket_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+    marg AS (SELECT pk, COUNT(*) AS n_p FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk)
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(ma.n_p AS BIGINT) AS n_a,
+           CAST(mb.n_p AS BIGINT) AS n_b,
+           CAST(p.n_ab * n.n_orders AS DOUBLE) / (ma.n_p * mb.n_p) AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.pk = p.part_a
+    JOIN marg mb ON mb.pk = p.part_b
+    CROSS JOIN n
+    WHERE p.n_ab >= 2
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 15
+    """,
+    "aggregation",
+    doc=(
+        "Market-basket affinity: top part pairs by lift "
+        "(P(a,b)/(P(a)P(b))) across orders — the co-purchase signal "
+        "behind recommendations and assortment analysis. The pair "
+        "generator self-joins the DISTINCT (order, part) items on the "
+        "order key, so fan-out is bounded by basket size squared (13 "
+        "parts max here, and real baskets are small by nature — this "
+        "is the bounded-key self-join, NOT a corpus cross join); "
+        "marginals and the one-row order count broadcast back. Lift is "
+        "one double division of exact integer products, so the ranking "
+        "is bit-exact cross-engine. Global top-15 is a "
+        "TakeOrderedAndProject, never a full sort."
+    ),
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = items.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
+    marg = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ma = marg.select(F.col("pk").alias("part_a"), F.col("n_p").alias("n_a"))
+    mb = marg.select(F.col("pk").alias("part_b"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "part_a")
+        .join(F.broadcast(mb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(15)
+    )

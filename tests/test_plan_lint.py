@@ -49,6 +49,8 @@ BNLJ_OK = {
     "key_skew_report",
     # one-row cutoff-day aggregate broadcast into the event stream
     "temporal_holdout_split",
+    # one-row order-count total crossed into the scored pair table
+    "market_basket_lift",
     "revenue_pareto_deciles",
     "order_backlog_aging",
 }
