@@ -748,3 +748,109 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "telemetry_sessions_pipeline",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+      FROM events),
+    kept AS (
+      SELECT user_id, event_id, ts_us FROM o
+      WHERE prev_us IS NULL OR ts_us - prev_us >= {_DEBOUNCE_US}),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM kept
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    numbered AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             MAX(ts_us) - MIN(ts_us) AS dur_us
+      FROM numbered GROUP BY user_id, sid)
+    SELECT CAST(LEAST(n_events, 10) AS BIGINT) AS size_bucket,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) AS avg_dur_us
+    FROM sessions GROUP BY 1 ORDER BY size_bucket
+    """,
+    "pipeline",
+    doc=(
+        "The composed telemetry pipeline as ONE query: debounce "
+        "(drop events <5 min after the previous raw same-(user,type) "
+        "event) -> 30-min gap sessionization of the KEPT stream -> "
+        "session-size-bucket rollup with exact integer durations. Each "
+        "fragment is individually oracle-verified (events_debounce, "
+        "events_sessionize); this entry verifies their COMPOSITION — "
+        "filters feeding windows feeding islands, the ordering-"
+        "sensitive part Catalyst must not break while fusing. Two "
+        "window shuffles ((user,type) then user) + one tiny rollup; at "
+        "100 TB both windows hash-partition on user keys and the "
+        "rollup is counters-only."
+    ),
+)
+def telemetry_sessions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w_d = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    kept = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w_d))
+        .where(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") >= _DEBOUNCE_US)
+        )
+        .select("user_id", "event_id", "ts_us")
+    )
+    w_s = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = kept.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts_us").over(w_s).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_s) >= 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.withColumn("sid", F.sum("new_session").over(w_cum))
+    sessions = numbered.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return (
+        sessions.groupBy(
+            F.least(F.col("n_events"), F.lit(10))
+            .cast("bigint")
+            .alias("size_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+            (F.sum("dur_us").cast("double") / F.count(F.lit(1))).alias(
+                "avg_dur_us"
+            ),
+        )
+        .orderBy("size_bucket")
+    )
