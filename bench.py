@@ -83,6 +83,9 @@ HEADLINE = [
     "training_order_shard",
     "temporal_holdout_split",
     "label_centroid_cosine",
+    "market_basket_lift",
+    "telemetry_sessions_pipeline",
+    "interval_open_orders_daily",
 ]
 
 
