@@ -17,7 +17,7 @@ one md5 per permutation/bit (8-28x less hashing; same values).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from barco_spark.operators.text import (
@@ -1253,4 +1253,66 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs"),
         )
         .orderBy("cluster_size")
+    )
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    b AS (
+      SELECT LEAST(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bucket,
+             COUNT(*) AS n,
+             SUM(CAST(jaccard AS DECIMAL(18,6))) AS sj
+      FROM pairs GROUP BY 1)
+    SELECT CAST(bucket * 10 AS BIGINT) AS threshold_pct,
+           CAST(SUM(n) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS pairs_at_or_above,
+           CAST(SUM(sj) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             / SUM(n) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS mean_jaccard_above
+    FROM b ORDER BY threshold_pct
+    """,
+    "dedup",
+    doc=(
+        "Dedup-threshold tuning sweep: for every 0.1-wide Jaccard "
+        "band, how many verified near-dup pairs sit at-or-above it and "
+        "their mean similarity — the one-pass readout that prices "
+        "'how much does the corpus shrink if we dedup at 0.6 vs 0.8' "
+        "BEFORE committing to a rewrite. Pairs are bucketed by "
+        "floor(jaccard*10) (identical doubles on both engines, so "
+        "bucketing is consistent), then a 10-row descending cumulative "
+        "window turns the histogram into at-or-above counts — no "
+        "per-threshold re-scan, no threshold join. Decimal similarity "
+        "sums, one double division per row (the registry's exactness "
+        "convention). All work after the shared LSH pipeline is a "
+        "10-row aggregate."
+    ),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs(spark, sf_dir).select("jaccard")
+    b = pairs.groupBy(
+        F.least(F.floor(F.col("jaccard") * 10).cast("bigint"), F.lit(9)).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("jaccard").cast("decimal(18,6)")).alias("sj"),
+    )
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        b.select(
+            (F.col("bucket") * 10).cast("bigint").alias("threshold_pct"),
+            F.sum("n").over(w).cast("bigint").alias("pairs_at_or_above"),
+            (
+                F.sum("sj").over(w).cast("double") / F.sum("n").over(w)
+            ).alias("mean_jaccard_above"),
+        )
+        .orderBy("threshold_pct")
     )
