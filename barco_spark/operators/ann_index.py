@@ -208,3 +208,50 @@ def ann_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ivf_index_search(spark, index_path, queries)
+
+
+def ivf_index_append(
+    spark: SparkSession, index_path: str, new_vectors: DataFrame
+) -> int:
+    """Incremental index maintenance: add vectors WITHOUT a rebuild.
+
+    ``new_vectors``: DataFrame (cand_id, cv: array<double>). Each new
+    vector is assigned to its max-cosine cell against the EXISTING
+    centroid table (classic IVF append — centroids are not retrained;
+    re-train + rewrite is a separate, rarer compaction, exactly like a
+    lakehouse OPTIMIZE), and appended to the cell-partitioned corpus.
+    Only the touched cell directories receive new files; every other
+    cell's data is untouched, so at 100 TB an ingest batch costs
+    O(batch) work + one broadcast of the sqrt(N) centroids, and probe
+    scans keep pruning to the same partitions.
+
+    Returns the number of vectors appended.
+    """
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    c = new_vectors.select(
+        "cand_id", F.col("cv"), norm2("cv").alias("n2c")
+    )
+    assigned = (
+        c.join(F.broadcast(cent))
+        .select(
+            "cand_id",
+            "cv",
+            "n2c",
+            "centroid_id",
+            _cos("cv", "centv", "n2c", "n2cent").alias("cos"),
+        )
+        .groupBy("cand_id")
+        .agg(
+            F.any_value("cv").alias("cv"),
+            F.any_value("n2c").alias("n2c"),
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("cos"), (-F.col("centroid_id")).cast("double")),
+            ).alias("cell"),
+        )
+    )
+    n = assigned.count()
+    assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        f"{index_path}/corpus"
+    )
+    return n
