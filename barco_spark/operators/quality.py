@@ -886,3 +886,84 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_VOCAB_KS = (100, 1000, 10000)
+
+
+@register(
+    "vocab_coverage_curve",
+    f"""
+    WITH counts AS (
+      SELECT term, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rn
+      FROM counts),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM ranked)
+    SELECT k,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           tot.total AS total_tokens,
+           CAST(covered AS DOUBLE) / tot.total AS coverage
+    FROM (
+      {" UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS k,"
+        f" (SELECT SUM(c) FROM ranked WHERE rn <= {k}) AS covered"
+        for k in _VOCAB_KS)}
+    ) CROSS JOIN tot
+    ORDER BY k
+    """,
+    "text",
+    doc=(
+        "Vocabulary coverage curve: the share of all token occurrences "
+        "covered by the top-K most frequent types, for K in 100 / 1k / "
+        "10k — THE readout for choosing a tokenizer vocab size or an "
+        "OOV cutoff (Zipf corpora saturate fast; a flat curve means "
+        "noisy/gibberish text). One map-side-combinable term count "
+        "(shuffle volume = vocabulary, not tokens), then a rank over "
+        "the VOCAB-sized count table and one conditional aggregate. "
+        "The rank is a global window over the vocabulary — fine for a "
+        "one-off analysis table even at 100 TB corpora (vocabularies "
+        "are millions, not billions); the arithmetic-bucket two-phase "
+        "rank (training_order_shard) is the drop-in if a vocabulary "
+        "ever outgrows one task."
+    ),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = counts.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "term")),
+    )
+    agg = ranked.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        *[
+            F.sum(F.when(F.col("rn") <= k, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"cov_{k}")
+            for k in _VOCAB_KS
+        ],
+    )
+    stacked = agg.selectExpr(
+        "total",
+        "stack({}, {}) AS (k, covered_tokens)".format(
+            len(_VOCAB_KS),
+            ", ".join(
+                f"CAST({k} AS BIGINT), cov_{k}" for k in _VOCAB_KS
+            ),
+        ),
+    )
+    return stacked.select(
+        "k",
+        "covered_tokens",
+        F.col("total").alias("total_tokens"),
+        (F.col("covered_tokens").cast("double") / F.col("total")).alias(
+            "coverage"
+        ),
+    ).orderBy("k")
