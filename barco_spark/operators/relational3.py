@@ -1728,3 +1728,41 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(15)
     )
+
+
+@register(
+    "join_lateral_topk",
+    """
+    SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+    ORDER BY n_name, acctbal DESC, c_name
+    """,
+    "join",
+    doc=(
+        "LATERAL correlated subquery: top-2 customers by balance PER "
+        "nation, expressed as the SQL-standard lateral join both "
+        "engines support. Catalyst decorrelates it into the windowed "
+        "rank plan (DomainJoin rewrite -> rank <= k per key), so "
+        "despite the correlated-loop surface syntax the execution is "
+        "the same single-shuffle WindowGroupLimit as "
+        "window_topk_per_group — the demonstration that correlated "
+        "per-group-limit SQL does NOT cost a per-outer-row re-scan at "
+        "100 TB. Scale-2 decimal ordering is exact in both engines."
+    ),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS acctbal
+        FROM _lat_nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM _lat_customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        ORDER BY n_name, acctbal DESC, c_name
+        """
+    )
