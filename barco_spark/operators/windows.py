@@ -854,3 +854,79 @@ def telemetry_sessions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+@register(
+    "window_forward_fill",
+    """
+    WITH masked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN value >= 100 THEN value END AS v
+      FROM events),
+    filled AS (
+      SELECT user_id, event_id, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+      FROM masked)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps,
+           CAST(SUM(CASE WHEN v IS NULL AND ff IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN ff IS NOT NULL
+                         THEN CAST(floor(ff * 1000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS fill_checksum
+    FROM filled GROUP BY user_id ORDER BY user_id
+    """,
+    "window",
+    doc=(
+        "Forward fill (last observation carried forward) per key: "
+        "values under 100 are masked to NULL to create gaps, then "
+        "last_value(... IGNORE NULLS) over the (ts, event_id)-ordered "
+        "per-user frame carries the previous reading forward — the "
+        "sensor-gap idiom every telemetry pipeline needs, and the "
+        "IGNORE NULLS window corner both engines must agree on (gaps "
+        "before the first observation stay NULL). Verified by an "
+        "order-sensitive integer checksum of the filled series "
+        "(floor(x*1000) of identical doubles). One user_id window "
+        "shuffle + one rollup."
+    ),
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("value") >= 100, F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = ev.withColumn("ff", F.last("v", ignorenulls=True).over(w))
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("v").isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_gaps"),
+            F.sum(
+                (F.col("v").isNull() & F.col("ff").isNotNull()).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_filled"),
+            F.sum(
+                F.when(
+                    F.col("ff").isNotNull(),
+                    F.floor(F.col("ff") * 1000).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("fill_checksum"),
+        )
+        .orderBy("user_id")
+    )
