@@ -1766,3 +1766,81 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name, acctbal DESC, c_name
         """
     )
+
+
+@register(
+    "agg_grouping_id",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+             AS grouping_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY grouping_id, l_returnflag, l_linestatus
+    """,
+    "aggregation",
+    doc=(
+        "ROLLUP with the GROUPING bitmask: grouping_id distinguishes "
+        "'this column is aggregated away at this level' from a natural "
+        "NULL in the data — the only reliable way to consume rollup/"
+        "cube output programmatically (filtering on IS NULL breaks the "
+        "moment real NULLs appear). Spark's grouping_id() and DuckDB's "
+        "GROUPING(a, b) produce the same bit vector (MSB = first "
+        "column), verified exactly. Same Expand + two-phase aggregate "
+        "plan as agg_rollup."
+    ),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("grouping_id", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_bitwise",
+    """
+    SELECT event_type,
+           CAST(bit_xor(event_id) AS BIGINT) AS xor_ids,
+           CAST(bit_or(CAST(user_id % 64 AS BIGINT)) AS BIGINT) AS user_mask,
+           CAST(bit_and(CAST(event_id % 16 + 16 AS BIGINT)) AS BIGINT)
+             AS and_low
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "aggregation",
+    doc=(
+        "Bitwise aggregates: per type, XOR of all event ids (the "
+        "order-free set checksum used for exactly-once reconciliation "
+        "— XOR of a replayed set cancels to the original), an OR-mask "
+        "of user residues (compact membership summary, the same "
+        "primitive the distributed Bloom build uses), and an AND over "
+        "a biased low nibble. All three are commutative/associative "
+        "integer folds — exact in any order and map-side combinable, "
+        "the cheapest aggregates a 100 TB scan can carry."
+    ),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_xor("event_id").cast("bigint").alias("xor_ids"),
+            F.bit_or((F.col("user_id") % 64).cast("bigint"))
+            .cast("bigint")
+            .alias("user_mask"),
+            F.bit_and((F.col("event_id") % 16 + 16).cast("bigint"))
+            .cast("bigint")
+            .alias("and_low"),
+        )
+        .orderBy("event_type")
+    )
