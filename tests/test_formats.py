@@ -134,3 +134,26 @@ def test_corpus_from_jsonl(spark, tmp_path):
     assert rows["doc two"]["source"] == "dumpdir"  # directory fallback
     assert rows["doc two"]["lang"] is None
     assert len({r["doc_id"] for r in rows.values()}) == 2
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Lakehouse schema drift: batch 2 adds a column; mergeSchema reads
+    the union schema with NULLs for pre-drift rows, and column pruning
+    still pushes into both file generations."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0)}
+
+    # old files lack the column entirely; filtering on it must still
+    # treat their rows as NULL (never error, never fabricate)
+    assert df.where("score > 10").count() == 1
+    assert df.where("score IS NULL").count() == 2
