@@ -519,3 +519,70 @@ def streaming_debounce_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def curated_stream_with_quarantine(
+    spark: SparkSession,
+    log_root: str,
+    topic: str,
+    curated_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    quality_threshold: float = QUALITY_THRESHOLD,
+):
+    """The curation stream with a DEAD-LETTER side output.
+
+    Production curation never silently drops: every rejected document
+    lands in a quarantine table WITH its reject reason, so filters are
+    auditable and tunable after the fact (and a loosened threshold can
+    re-admit from quarantine instead of re-reading the source log).
+    Structured Streaming sinks are single-output, so the split runs in
+    foreachBatch — score once per micro-batch, write the accepted rows
+    to the curated table and the rejects (reason column attached) to
+    quarantine; both writes inherit the stream's exactly-once batch
+    semantics from the shared checkpoint. Returns the started query.
+
+    Scale: scoring is the same map-only expression set as
+    `text_metrics`; the split adds no shuffle (two filtered writes of
+    one scored, persisted batch frame).
+    """
+
+    stream = (
+        spark.readStream.format("barco")
+        .option("path", log_root)
+        .option("topic", topic)
+        .load()
+    )
+
+    def split_batch(batch, batch_id: int) -> None:
+        scored = with_quality(
+            batch.select(F.col("payload").alias("text"))
+        ).persist()
+        try:
+            good = scored.filter(
+                F.col("quality_score") >= quality_threshold
+            ).select("text", "n_tokens", "quality_score")
+            reason = (
+                F.when(F.col("n_tokens") < 5, F.lit("too_short"))
+                .when(F.col("stopword_ratio") < 0.05, F.lit("low_stopword"))
+                .otherwise(F.lit("low_quality_score"))
+            )
+            bad = scored.filter(
+                F.col("quality_score") < quality_threshold
+            ).select(
+                "text",
+                "n_tokens",
+                F.col("quality_score"),
+                reason.alias("reject_reason"),
+            )
+            good.write.mode("append").parquet(curated_path)
+            bad.write.mode("append").parquet(quarantine_path)
+        finally:
+            scored.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(split_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

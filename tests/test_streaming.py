@@ -709,3 +709,42 @@ def test_streaming_debounce_state_spans_batches(spark, tmp_path):
     assert flags[3] == (1, 100_000_000)
     assert flags[4] == (0, None)
     assert flags[5] == (0, 400_000_000)
+
+
+def test_curated_stream_quarantine_side_output(spark, tmp_path):
+    """Rejected documents must land in quarantine WITH a reason, not
+    vanish; accepted ones in the curated table; a drained re-run with
+    the same checkpoint writes nothing twice."""
+    import tempfile
+
+    from barco_spark.operators.text import STOPWORDS
+    from barco_spark.sources import BarcoDataSource, EventLog
+    from barco_spark.streaming.pipeline import curated_stream_with_quarantine
+
+    spark.dataSource.register(BarcoDataSource)
+    log = EventLog(spark, tempfile.mkdtemp() + "/log")
+    good_doc = "the quick brown foxes and their friends jump over a few lazy dogs " * 6
+    junk_doc = "x"  # one token -> too_short
+    log.produce("docs", [good_doc, junk_doc])
+
+    cur = str(tmp_path / "curated")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = curated_stream_with_quarantine(
+            spark, log.root, "docs", cur, quar, ckpt
+        )
+        assert q.awaitTermination(180)
+
+    run()
+    curated = spark.read.parquet(cur).collect()
+    rejected = spark.read.parquet(quar).collect()
+    assert [r["text"] for r in curated] == [good_doc]
+    assert [r["text"] for r in rejected] == [junk_doc]
+    assert rejected[0]["reject_reason"] == "too_short"
+
+    # exactly-once: nothing new to read -> nothing appended
+    run()
+    assert spark.read.parquet(cur).count() == 1
+    assert spark.read.parquet(quar).count() == 1
