@@ -1595,6 +1595,46 @@ class EventLog:
                     deleted += 1
         return deleted
 
+    def replay(
+        self,
+        topic: str,
+        to_topic: str,
+        from_offsets: dict[int, int] | None = None,
+    ) -> int:
+        """Re-produce a topic's records into another topic (ops replay:
+        backfill a rebuilt consumer, fork a topic for a migration test,
+        re-drive a downstream pipeline after a bug fix).
+
+        ``from_offsets``: optional per-bucket starting offsets
+        (inclusive), e.g. a group's ``committed()`` map — omit to
+        replay from the beginning. Original partition keys and
+        timestamps are PRESERVED (the reference's consumer-reset
+        semantics re-delivers the same records; replay materializes
+        that as a new topic). Per-key order is preserved: the frame is
+        repartitioned by the ORIGINAL bucket and sorted by offset, so
+        each source partition feeds produce() in offset order, and the
+        produce-side (timestamp, _seq) window keeps that order inside
+        every destination bucket even when timestamps tie. One scan +
+        the standard produce shuffle; nothing is collected.
+
+        Returns the number of records replayed.
+        """
+        frame = self._topic_scan(topic)
+        if from_offsets:
+            lo = F.create_map(
+                *[F.lit(x) for kv in from_offsets.items() for x in kv]
+            )
+            frame = frame.filter(
+                F.col("offset")
+                >= F.coalesce(lo[F.col("bucket")], F.lit(0))
+            )
+        ordered = (
+            frame.repartition("bucket")
+            .sortWithinPartitions("offset")
+            .select("partition_key", "payload", "timestamp")
+        )
+        return self.produce(to_topic, ordered)
+
     # ------------------------------------------------------------------
     # Reads for analytics
     # ------------------------------------------------------------------

@@ -641,3 +641,31 @@ def test_produce_arrow_declines_unsupported(spark, tmp_path):
     back to the Spark writer (produce_arrow returns None)."""
     log = EventLog(spark, str(tmp_path / "log"))
     assert log.produce_arrow("weird topic!", [(None, "p", None)]) is None
+
+
+def test_replay_preserves_keys_order_and_offsets(spark, tmp_path):
+    """Replay re-produces a topic's records into a new topic with keys,
+    per-key order, and timestamps preserved; from_offsets resumes from
+    a committed map (the consumer-reset semantics, materialized)."""
+    from barco_spark.sources.eventlog import EventLog
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    msgs = [("ka", f"a{i}") for i in range(5)] + [("kb", f"b{i}") for i in range(5)]
+    log.produce("src", msgs)
+
+    n = log.replay("src", "dst")
+    assert n == 10
+    dst = log.read("dst").orderBy("bucket", "offset").collect()
+    by_key: dict = {}
+    for r in dst:
+        by_key.setdefault(r["partition_key"], []).append(r["payload"])
+    assert by_key["ka"] == [f"a{i}" for i in range(5)]
+    assert by_key["kb"] == [f"b{i}" for i in range(5)]
+
+    # timestamps preserved bit-for-bit
+    src_ts = {r["payload"]: r["timestamp"] for r in log.read("src").collect()}
+    assert all(r["timestamp"] == src_ts[r["payload"]] for r in dst)
+
+    # partial replay from a committed map: skip everything (replay none)
+    hi = log.high_watermarks("src")
+    assert log.replay("src", "dst2", from_offsets=hi) == 0
