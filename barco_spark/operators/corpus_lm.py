@@ -437,3 +437,61 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_chunk_tokens")
     )
+
+
+@register(
+    "token_entropy_per_source",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    cnt AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_types,
+             CAST(SUM(c * CAST(FLOOR(LOG2(c)) AS BIGINT)) AS BIGINT)
+               AS sum_c_log2c
+      FROM cnt GROUP BY source)
+    SELECT source, n_tokens, n_types, sum_c_log2c,
+           CAST(FLOOR(LOG2(n_tokens)) AS DOUBLE)
+             - CAST(sum_c_log2c AS DOUBLE) / n_tokens AS entropy_proxy_bits
+    FROM agg ORDER BY source
+    """,
+    "text",
+    doc=(
+        "Token-distribution entropy per source (quantized): H = "
+        "log2(N) - (1/N) sum c*log2(c), with every log2 floor-"
+        "quantized to its integer bit length — the same determinism "
+        "trick as unigram_logprob_quality, because raw libm log2 "
+        "differs in ulps across engines while floor(log2(int)) never "
+        "does. Low entropy = templated/repetitive source, high = "
+        "diverse vocabulary — the corpus-diversity signal that "
+        "complements type-token ratio (vocab_growth_stats) by "
+        "weighting HOW skewed the type distribution is, not just its "
+        "size. One explode, one (source,type) count (map-side "
+        "combined), one per-source rollup — shuffle volume is "
+        "vocabulary-sized."
+    ),
+)
+def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = t(spark, sf_dir, "documents").select(
+        "source", F.explode(words_col()).alias("w")
+    )
+    cnt = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.floor(F.log2("c")).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_c_log2c"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "sum_c_log2c",
+        (
+            F.floor(F.log2("n_tokens")).cast("double")
+            - F.col("sum_c_log2c").cast("double") / F.col("n_tokens")
+        ).alias("entropy_proxy_bits"),
+    ).orderBy("source")
