@@ -283,3 +283,29 @@ def test_audio_feature_extract_registry_shape(spark, sf_dir):
     assert len(rows) == 10  # duration buckets 100..1000 ms
     assert all(r["min_rms"] >= 8000 and r["max_rms"] <= 15000 for r in rows)
     assert all(r["clipped_files"] == 0 for r in rows)
+
+
+def test_wav_files_binaryfile_ingest_and_decode(spark, tmp_path):
+    """The storage loop for audio: real WAV files on disk -> binaryFile
+    distributed ingest (media_from_files) -> real stdlib decode. Proves
+    the same decode stage serves blobs from storage, not just the
+    synthesized in-memory table."""
+    from barco_spark.multimodal.audio import RATE, decode_audio, synth_wav
+    from barco_spark.multimodal.media import media_from_files
+
+    d = tmp_path / "wavs"
+    d.mkdir()
+    for i in range(4):
+        (d / f"clip{i}.wav").write_bytes(synth_wav(i, 100 * (i + 1)))
+
+    media = media_from_files(spark, str(d), kind="audio", glob="*.wav")
+    assert media.count() == 4
+    fmts = {r["meta"]["format"] for r in media.select("meta").collect()}
+    assert fmts == {"wav"}
+
+    feats = decode_audio(media).collect()
+    assert len(feats) == 4
+    assert {r["sample_rate"] for r in feats} == {RATE}
+    assert sorted(r["duration_ms"] for r in feats) == [100, 200, 300, 400]
+    # amplitude for seed i is 8000 + (i % 8) * 1000; square wave -> rms == amp
+    assert sorted(r["rms"] for r in feats) == [8000, 9000, 10000, 11000]
