@@ -110,7 +110,10 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # overhead — re-persist the cached edges into a handful of
         # partitions (reads from cache, no recompute; measured 4.4 s
         # -> 3.9 s at sf0.1 together with the rank broadcast below)
+        wide = edges
         edges = edges.coalesce(8).persist()
+        edges.count()  # materialize from the wide cache, then free it
+        wide.unpersist()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -186,53 +189,115 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "form near-cliques, clustering ~1) from chain-shaped drift "
         "(successive edits, clustering ~0), which matters when deciding "
         "whether to keep one canonical copy or one per chain endpoint. "
-        "Ordered-triple enumeration (a<b<c via two equi-joins on the "
-        "a<b edge list) counts each triangle exactly once; the final "
-        "coefficient is one double division of exact integers. All "
-        "joins run on the banding-bounded pair graph, never the corpus; "
-        "at 100 TB the standard node-degree-ordering optimization "
-        "(orient edges low-degree -> high-degree) bounds the join "
-        "fan-out by sqrt(|E|) per node."
+        "Degree-oriented enumeration: edges are oriented low-(deg,id) "
+        "-> high, wedges enumerated on oriented out-edges and closed "
+        "against oriented edges, so each triangle is counted exactly "
+        "once AND the wedge fan-out per node is bounded by O(sqrt(|E|)) "
+        "— a hub node cannot re-quadratize the join. The final "
+        "coefficient is one double division of exact integers; all "
+        "joins run on the banding-bounded pair graph, never the corpus."
     ),
 )
 def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Degree-oriented enumeration (the 100 TB standard, e.g. Suri &
+    # Vassilvitskii 2011): orient each undirected edge from its
+    # lower-(deg, id) endpoint to the higher one, enumerate wedges on
+    # the ORIENTED out-edges, and close them against oriented edges.
+    # Out-degree under this orientation is bounded by O(sqrt(|E|)), so
+    # a hub node (e.g. boilerplate shared by a million docs after
+    # raising _LSH_BUCKET_CAP) can never re-quadratize the wedge join —
+    # the naive b==a2 join fans out by raw degree squared on hubs.
+    # Each triangle {x<y<z by (deg,id)} is counted exactly once as the
+    # wedge x->y, x->z closed by y->z. Same triangles, same census as
+    # the (orientation-free) DuckDB oracle above.
     pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
-    e1 = pairs.selectExpr("doc_a AS a", "doc_b AS b")
-    e2 = pairs.selectExpr("doc_a AS a2", "doc_b AS c")
-    e3 = pairs.selectExpr("doc_a AS a3", "doc_b AS c3")
-    tri = (
-        e1.join(e2, F.col("b") == F.col("a2"))
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
-    )
-    tpn = (
-        tri.selectExpr("a AS node")
-        .unionByName(tri.selectExpr("b AS node"))
-        .unionByName(tri.selectExpr("c AS node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("tri"))
-    )
-    deg = (
-        pairs.selectExpr("doc_a AS node")
-        .unionByName(pairs.selectExpr("doc_b AS node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    out = (
-        deg.join(tpn, "node", "left")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("deg").cast("bigint").alias("degree"),
-            F.coalesce(F.col("tri"), F.lit(0)).cast("bigint").alias("triangles"),
-            F.when(
-                F.col("deg") >= 2,
-                (F.coalesce(F.col("tri"), F.lit(0)) * 2).cast("double")
-                / (F.col("deg") * (F.col("deg") - 1)),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("local_clustering"),
+    o = None
+    try:
+        deg = (
+            pairs.selectExpr("doc_a AS node")
+            .unionByName(pairs.selectExpr("doc_b AS node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
         )
-        .orderBy(F.col("triangles").desc(), "doc_id")
-        .limit(10)
-    )
-    return out
+        da = deg.selectExpr("node AS doc_a", "deg AS deg_a")
+        db = deg.selectExpr("node AS doc_b", "deg AS deg_b")
+        lower_a = (F.col("deg_a") < F.col("deg_b")) | (
+            (F.col("deg_a") == F.col("deg_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+        )
+        # oriented edge list, with the destination's rank carried so the
+        # wedge join can order its two legs without another deg join
+        o = (
+            pairs.join(da, "doc_a")
+            .join(db, "doc_b")
+            .select(
+                F.when(lower_a, F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("src"),
+                F.when(lower_a, F.col("doc_b"))
+                .otherwise(F.col("doc_a"))
+                .alias("dst"),
+                F.when(lower_a, F.col("deg_b"))
+                .otherwise(F.col("deg_a"))
+                .alias("dst_deg"),
+            )
+            .persist()  # feeds both wedge legs + the closing join
+        )
+        e1 = o.selectExpr("src", "dst AS b", "dst_deg AS bdeg")
+        e2 = o.selectExpr("src AS src2", "dst AS c", "dst_deg AS cdeg")
+        wedge = e1.join(
+            e2,
+            (F.col("src") == F.col("src2"))
+            & (
+                (F.col("bdeg") < F.col("cdeg"))
+                | (
+                    (F.col("bdeg") == F.col("cdeg"))
+                    & (F.col("b") < F.col("c"))
+                )
+            ),
+        )
+        e3 = o.selectExpr("src AS b3", "dst AS c3")
+        tri = wedge.join(
+            e3, (F.col("b") == F.col("b3")) & (F.col("c") == F.col("c3"))
+        ).select(F.col("src").alias("a"), "b", "c")
+        tpn = (
+            tri.selectExpr("a AS node")
+            .unionByName(tri.selectExpr("b AS node"))
+            .unionByName(tri.selectExpr("c AS node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("tri"))
+        )
+        out = (
+            deg.join(tpn, "node", "left")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("deg").cast("bigint").alias("degree"),
+                F.coalesce(F.col("tri"), F.lit(0))
+                .cast("bigint")
+                .alias("triangles"),
+                F.when(
+                    F.col("deg") >= 2,
+                    (F.coalesce(F.col("tri"), F.lit(0)) * 2).cast("double")
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("local_clustering"),
+            )
+            .orderBy(F.col("triangles").desc(), "doc_id")
+            .limit(10)
+        )
+        # the census is 10 rows: materialize eagerly so the persisted
+        # pair graph can be released NOW instead of leaking cached
+        # blocks for the session lifetime (the dedup_clusters pattern)
+        rows = [
+            (r["doc_id"], r["degree"], r["triangles"], r["local_clustering"])
+            for r in out.collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, degree long, triangles long, local_clustering double",
+        )
+    finally:
+        if o is not None:
+            o.unpersist()
+        pairs.unpersist()

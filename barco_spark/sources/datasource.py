@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -78,6 +79,35 @@ def _arrow_target_schema():
 _LIST_FILES_CACHE: dict[
     tuple[str, str | None], tuple[tuple, dict[tuple[str, int], list[str]]]
 ] = {}
+
+# Racy-stamp window (the make/git trick): kernel file timestamps come
+# from the COARSE clock (~1-4 ms ticks on typical CONFIG_HZ), so two
+# writes landing in the same tick leave a directory's mtime_ns
+# unchanged. A stamp captured inside that tick could therefore go
+# stale without detection — the next _high_watermarks() would miss the
+# newest file and produce_arrow would re-assign already-used offsets.
+# Guard: never CACHE a stamp whose newest mtime is within this window
+# of "now"; such calls still return a correct fresh listing, they just
+# don't memoize it. 50 ms comfortably covers jiffy granularity while
+# keeping the memo effective for any poll loop slower than ~20 Hz per
+# entry (entries older than the window cache normally).
+_MTIME_RACE_NS = 50_000_000
+
+
+def invalidate_list_cache(data_path: str, topic: str | None = None) -> None:
+    """Drop memoized listings for ``data_path`` (one topic or all).
+
+    In-process writers (``produce_arrow``, compaction) call this after
+    appending a file so a same-tick mtime can never serve them a stale
+    listing; cross-process writers are covered by the racy-stamp guard
+    in ``_list_files``.
+    """
+    if topic is None:
+        for k in [k for k in _LIST_FILES_CACHE if k[0] == data_path]:
+            _LIST_FILES_CACHE.pop(k, None)
+    else:
+        _LIST_FILES_CACHE.pop((data_path, topic), None)
+        _LIST_FILES_CACHE.pop((data_path, None), None)
 
 
 def _list_files(data_path: str, topic: str | None) -> dict[tuple[str, int], list[str]]:
@@ -127,7 +157,12 @@ def _list_files(data_path: str, topic: str | None) -> dict[tuple[str, int], list
                 out.setdefault((tp, b), []).append(os.path.join(bpath, fn))
     if len(_LIST_FILES_CACHE) > 4096:  # runaway-session backstop
         _LIST_FILES_CACHE.clear()
-    _LIST_FILES_CACHE[key] = (stamp, out)
+    # racy-stamp guard: see _MTIME_RACE_NS. A stamp this fresh could be
+    # invalidated by another write in the same coarse-clock tick, so
+    # return the (correct) listing without memoizing it.
+    now_ns = time.time_ns()
+    if all(now_ns - m >= _MTIME_RACE_NS for _, m in stamp_parts):
+        _LIST_FILES_CACHE[key] = (stamp, out)
     return out
 
 

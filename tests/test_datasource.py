@@ -223,3 +223,58 @@ def test_stream_resume_after_compaction_no_duplicates(ds_spark):
     resumed = sorted(r["payload"] for r in ds_spark.read.parquet(out_dir).collect())
     assert len(resumed) == 13  # exactly one new row, nothing redelivered
     assert "after-compact" in resumed
+
+
+def test_list_cache_ignores_same_tick_writes(tmp_path):
+    """The listing memo must never serve a stale listing when a write
+    lands in the same coarse-clock tick as the cached stamp (kernel
+    mtimes tick at ~1-4 ms; two produce_arrow appends in a tight loop
+    are sub-millisecond). The guard refuses to CACHE a stamp whose
+    mtime is within the race window of now, so a same-tick second
+    write is always re-listed."""
+    import os
+
+    from barco_spark.sources.datasource import _LIST_FILES_CACHE, _list_files
+
+    root = str(tmp_path / "data")
+    bdir = os.path.join(root, "topic=t", "bucket=0")
+    os.makedirs(bdir)
+    open(os.path.join(bdir, "part-1.parquet"), "w").close()
+    # dir mtime is "now" -> stamp is inside the race window
+    files1 = _list_files(root, "t")
+    assert [len(v) for v in files1.values()] == [1]
+    assert (root, "t") not in _LIST_FILES_CACHE, "fresh stamp must not memoize"
+    # same-tick second write: force the dir mtime back to its pre-write
+    # value (exactly what a coarse-clock tick does)
+    st = os.stat(bdir)
+    open(os.path.join(bdir, "part-2.parquet"), "w").close()
+    os.utime(bdir, ns=(st.st_atime_ns, st.st_mtime_ns))
+    files2 = _list_files(root, "t")
+    assert [len(v) for v in files2.values()] == [2], "stale listing served"
+
+
+def test_list_cache_memoizes_aged_stamps(tmp_path):
+    """Stamps safely in the past memoize (the poll-loop fast path):
+    the second call returns the cached listing object itself."""
+    import os
+    import time
+
+    from barco_spark.sources.datasource import (
+        _list_files,
+        invalidate_list_cache,
+    )
+
+    root = str(tmp_path / "data")
+    bdir = os.path.join(root, "topic=t", "bucket=0")
+    os.makedirs(bdir)
+    open(os.path.join(bdir, "part-1.parquet"), "w").close()
+    past = time.time_ns() - 2_000_000_000  # 2 s ago: outside the window
+    for d in (bdir, os.path.dirname(bdir), root):
+        os.utime(d, ns=(past, past))
+    r1 = _list_files(root, "t")
+    r2 = _list_files(root, "t")
+    assert r1 is r2, "aged stamp should hit the memo"
+    # explicit invalidation (produce_arrow's in-process path) drops it
+    invalidate_list_cache(root, "t")
+    r3 = _list_files(root, "t")
+    assert r3 is not r2 and r3 == r2
