@@ -299,7 +299,10 @@ class EventLog:
             spark_bucket_py,
             token_to_bucket_py,
         )
-        from barco_spark.sources.datasource import _high_watermarks
+        from barco_spark.sources.datasource import (
+            _high_watermarks,
+            invalidate_list_cache,
+        )
 
         def bucket_of(key: str) -> int:
             if self.exact_tokens:
@@ -359,6 +362,14 @@ class EventLog:
                     f"{d}/part-{_uuid.uuid4().hex}-arrow.zstd.parquet",
                     compression="zstd",
                 )
+            # drop the memoized listing NOW, inside the lock: a
+            # back-to-back produce_arrow (coalescer at linger_ms=0) can
+            # land in the same coarse-clock tick as the stamp above, in
+            # which case the dir mtime does not move and the next
+            # _high_watermarks would reuse already-assigned offsets.
+            # The racy-stamp guard in _list_files covers cross-process
+            # writers; this covers the in-process fast path exactly.
+            invalidate_list_cache(self._data_path, topic)
         return len(records)
 
     def _topic_produce_lock(self, topic: str):
@@ -921,6 +932,7 @@ class EventLog:
         max_records_per_bucket: int = 1000,
         buckets: list[int] | None = None,
         auto_commit: bool = True,
+        with_record_meta: bool = False,
     ) -> list[dict]:
         """Spark-free poll: the reference's JSON response items as
         Python dicts, served from pyarrow footer-pruned slice reads.
@@ -937,10 +949,44 @@ class EventLog:
         putting the Spark driver in the per-request data path.
 
         Object-store roots fall back to the Spark `poll_json` path.
+
+        ``with_record_meta`` additionally carries ``timestamps_us``
+        (producer timestamp per record, parallel to ``values``) — the
+        per-record header the O1 binary response item embeds
+        (``wire.encode_poll_items_py``).
         """
         if "://" in self.root:
             import json as _json
+            from datetime import datetime as _dt
+            from datetime import timedelta as _td
+            from datetime import timezone as _tz
 
+            if with_record_meta:
+                rows = self.poll(
+                    group, topic, max_records_per_bucket, buckets, auto_commit
+                ).collect()
+                epoch = _dt(1970, 1, 1, tzinfo=_tz.utc)
+                us = _td(microseconds=1)
+                per_b: dict[int, list] = {}
+                for r in rows:
+                    t = r["timestamp"]
+                    t = t if t.tzinfo else t.replace(tzinfo=_tz.utc)
+                    per_b.setdefault(r["bucket"], []).append(
+                        (r["offset"], r["payload"], (t - epoch) // us)
+                    )
+                out_meta: list[dict] = []
+                for b, recs in sorted(per_b.items()):
+                    recs.sort(key=lambda x: x[0])
+                    out_meta.append(
+                        {
+                            "topic": topic,
+                            "bucket": b,
+                            "startOffset": recs[0][0],
+                            "values": [p for _o, p, _t in recs],
+                            "timestamps_us": [t for _o, _p, t in recs],
+                        }
+                    )
+                return out_meta
             rows = self.poll_json(
                 group, topic, max_records_per_bucket, buckets, auto_commit
             ).collect()
@@ -967,33 +1013,45 @@ class EventLog:
             end = min(start + max_records_per_bucket, hwm.get(b, 0))
             if end <= start:
                 continue
-            served: list[tuple[int, str]] = []
+            cols = ["payload", "offset"]
+            if with_record_meta:
+                cols.append("timestamp")
+            served = []
             for batch in _read_slice(
                 files.get((topic, b), []),
                 topic,
                 b,
                 start,
                 end,
-                columns=["payload", "offset"],
+                columns=cols,
             ):
-                served.extend(
-                    zip(
-                        batch.column("offset").to_pylist(),
-                        batch.column("payload").to_pylist(),
+                offs = batch.column("offset").to_pylist()
+                vals = batch.column("payload").to_pylist()
+                if with_record_meta:
+                    import pyarrow as _pa
+
+                    # exact epoch micros, no datetime round-trip
+                    tss = (
+                        batch.column("timestamp")
+                        .cast(_pa.int64())
+                        .to_pylist()
                     )
-                )
+                    served.extend(zip(offs, vals, tss))
+                else:
+                    served.extend(zip(offs, vals))
             nexts[b] = end
             if not served:
                 continue  # retention-trimmed gap: advance past it silently
             served.sort(key=lambda t: t[0])
-            out.append(
-                {
-                    "topic": topic,
-                    "bucket": b,
-                    "startOffset": served[0][0],
-                    "values": [v for _, v in served],
-                }
-            )
+            item = {
+                "topic": topic,
+                "bucket": b,
+                "startOffset": served[0][0],
+                "values": [t[1] for t in served],
+            }
+            if with_record_meta:
+                item["timestamps_us"] = [t[2] for t in served]
+            out.append(item)
         if auto_commit:
             self._served[key] = {**served_prev, **nexts}
         elif nexts:

@@ -132,8 +132,13 @@ class BrokerHttpServer:
             def log_message(self, fmt, *args):  # noqa: N802
                 pass
 
-            def _respond(self, code: int, body: str, ctype: str = "text/plain"):
-                data = body.encode("utf-8")
+            def _respond(
+                self,
+                code: int,
+                body: str | bytes,
+                ctype: str = "text/plain",
+            ):
+                data = body if isinstance(body, bytes) else body.encode("utf-8")
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
@@ -423,6 +428,13 @@ class BrokerHttpServer:
             # server-side via ConsumerReadThreshold; exposing it per
             # request lets clients pace their batches)
             max_records = int(q.get("maxRecords", ["1000"])[0])
+            # Accept negotiation exactly like the reference
+            # (consuming/server.go:411-415): the DEFAULT poll response
+            # is the compressed binary item stream (O1); JSON only when
+            # the client asks with Accept: application/json.
+            want_json = (
+                handler.headers.get("Accept", "") == "application/json"
+            )
             out = []
             for topic in topics:
                 out.extend(
@@ -431,9 +443,21 @@ class BrokerHttpServer:
                         topic,
                         max_records_per_bucket=max_records,
                         buckets=owned,
+                        with_record_meta=not want_json,
                     )
                 )
-        handler._respond(200, json.dumps(out), "application/json")
+        if want_json:
+            handler._respond(200, json.dumps(out), "application/json")
+            return
+        from barco_spark.sources.wire import encode_poll_items_py
+
+        body = encode_poll_items_py(
+            out,
+            brokers=self.log.config.brokers,
+            consumer_ranges=self.log.config.consumer_ranges,
+        )
+        # defaultMimeType, consuming/server.go:37
+        handler._respond(200, body, "application/vnd.polar.consumermessage")
 
     def _handle_commit(self, handler, q: dict) -> None:
         with self._lock:

@@ -321,9 +321,65 @@ def encode_poll_items(
     )
 
 
+def encode_poll_items_py(
+    items: list[dict],
+    brokers: int = 3,
+    consumer_ranges: int = 4,
+    gen_version: int = 1,
+) -> bytes:
+    """Spark-free twin of ``encode_poll_items``: the FULL binary poll
+    response body (O1) for the facade's ms-latency consumer path.
+
+    Layout per docs/developer/NETWORK_FORMATS.md "Consumer poll
+    response": uint16 item count, then one ``consumerResponseItem``
+    per (topic, bucket) exactly as ``Marshal`` writes it
+    (internal/consuming/models.go:106-134); record payloads use the
+    on-disk chunk record layout (timestamp us + length + body) inside
+    one zstd frame. ``items`` is ``EventLog.poll_dicts(...,
+    with_record_meta=True)`` output: each dict carries ``topic``,
+    ``bucket``, ``startOffset``, ``values`` and parallel
+    ``timestamps_us``.
+    """
+    out = [struct.pack(">H", len(items))]
+    for it in items:
+        bucket = int(it["bucket"])
+        broker, r = divmod(bucket, consumer_ranges)
+        token, _hi = range_bounds(broker, r, brokers, consumer_ranges)
+        records = b""
+        for ts_us, payload in zip(it["timestamps_us"], it["values"]):
+            body = payload.encode()
+            records += struct.pack(">qI", int(ts_us), len(body)) + body
+        compressed = bytes(_zstd().compress(records))
+        topic_b = it["topic"].encode()
+        item = struct.pack(">qBI", token, r, gen_version)
+        item += struct.pack(">B", len(topic_b)) + topic_b
+        item += struct.pack(">q", int(it["startOffset"]))
+        item += struct.pack(">i", len(compressed)) + compressed
+        out.append(item)
+    return b"".join(out)
+
+
+def decode_poll_response(data: bytes) -> list[dict]:
+    """Parse a full binary poll response (uint16 count + items) —
+    the test/client twin of ``encode_poll_items_py``."""
+    (count,) = struct.unpack_from(">H", data, 0)
+    pos = 2
+    items = []
+    for _ in range(count):
+        item, pos = _decode_poll_item_at(data, pos)
+        items.append(item)
+    if pos != len(data):
+        raise ValueError(f"trailing bytes in poll response: {len(data) - pos}")
+    return items
+
+
 def decode_poll_item(item: bytes) -> dict:
     """Decode one response item back to records (test/client twin)."""
-    pos = 0
+    out, _pos = _decode_poll_item_at(item, 0)
+    return out
+
+
+def _decode_poll_item_at(item: bytes, pos: int) -> tuple[dict, int]:
     token, range_index, gen_version = struct.unpack_from(">qBI", item, pos)
     pos += 13
     tlen = item[pos]
@@ -335,6 +391,7 @@ def decode_poll_item(item: bytes) -> dict:
     (plen,) = struct.unpack_from(">i", item, pos)
     pos += 4
     raw = _zstd_decompress(item[pos : pos + plen])
+    pos += plen
     records = []
     b = 0
     while b < len(raw):
@@ -351,4 +408,4 @@ def decode_poll_item(item: bytes) -> dict:
         "topic": topic,
         "start_offset": start_offset,
         "records": records,
-    }
+    }, pos

@@ -669,3 +669,19 @@ def test_replay_preserves_keys_order_and_offsets(spark, tmp_path):
     # partial replay from a committed map: skip everything (replay none)
     hi = log.high_watermarks("src")
     assert log.replay("src", "dst2", from_offsets=hi) == 0
+
+
+def test_produce_arrow_back_to_back_assigns_contiguous_offsets(spark, tmp_path):
+    """Tight-loop arrow produces (coalescer at linger_ms=0) land within
+    one kernel coarse-clock tick; the watermark read between them must
+    still see the just-written file (listing-memo racy-stamp guard +
+    in-process invalidation) or offsets would silently collide."""
+    log = EventLog(spark, str(tmp_path / "log"))
+    for i in range(6):  # sub-millisecond apart: same mtime tick
+        assert log.produce_arrow("t", [("k", f"m{i}", None)]) == 1
+    log.register("g", ["t"], reset="earliest")
+    rows = sorted(
+        (r["offset"], r["payload"]) for r in log.poll("g", "t").collect()
+    )
+    assert [o for o, _ in rows] == list(range(6)), "offset collision"
+    assert [p for _, p in rows] == [f"m{i}" for i in range(6)]

@@ -22,11 +22,14 @@ def server(spark, tmp_path):
 
 
 def _req(srv, method, path, body=None, ctype="text/plain"):
+    # explicit JSON client: the facade's poll DEFAULT is the reference's
+    # binary item stream; these tests exercise the JSON surface
     req = urllib.request.Request(
         f"http://127.0.0.1:{srv.port}{path}",
         data=body.encode() if body is not None else None,
         method=method,
     )
+    req.add_header("Accept", "application/json")
     if body is not None:
         req.add_header("Content-Type", ctype)
     try:
@@ -34,6 +37,22 @@ def _req(srv, method, path, body=None, ctype="text/plain"):
             return resp.status, resp.read().decode()
     except urllib.error.HTTPError as ex:
         return ex.code, ex.read().decode()
+
+
+def _req_raw(srv, method, path, body=None, headers=None):
+    """No Accept header: what a reference binary consumer client sends."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=body.encode() if body is not None else None,
+        method=method,
+    )
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read(), resp.headers
+    except urllib.error.HTTPError as ex:
+        return ex.code, ex.read(), ex.headers
 
 
 def test_status(server):
@@ -783,3 +802,84 @@ def test_crashed_facade_leadership_expires_by_ttl(spark, tmp_path):
         fa.coalescer.stop()
         fa.registry.retire()
         fb.stop()
+
+
+def test_poll_default_is_binary_item_stream(server):
+    """A poll with NO Accept header gets the reference's default
+    compressed-binary response (consuming/server.go:411-415 picks
+    compressedBinaryFormat unless Accept: application/json): uint16
+    item count + consumerResponseItem stream, parsed field-for-field
+    by the wire twin — a reference binary consumer client can consume
+    this facade unchanged."""
+    from barco_spark.sources.wire import decode_poll_response
+
+    for i in range(3):
+        _req(
+            server, "POST", "/v1/topic/orders/messages?partitionKey=kb",
+            body=f"m{i}",
+        )
+    _req(
+        server, "PUT",
+        "/v1/consumer/register?consumerId=cb1&group=gb&topic=orders&onNewGroup=earliest",
+        body="",
+    )
+    code, raw, headers = _req_raw(
+        server, "POST", "/v1/consumer/poll?consumerId=cb1", body=" "
+    )
+    assert code == 200
+    assert headers.get("Content-Type") == "application/vnd.polar.consumermessage"
+    items = decode_poll_response(raw)
+    assert len(items) == 1  # one key -> one bucket
+    it = items[0]
+    assert it["topic"] == "orders"
+    assert it["start_offset"] == 0
+    assert it["gen_version"] == 1
+    assert [r["payload"] for r in it["records"]] == ["m0", "m1", "m2"]
+    # producer timestamps ride along in the record headers
+    assert all(r["timestamp_us"] > 1_500_000_000_000_000 for r in it["records"])
+    # token/range arithmetic matches the ring (bucket -> broker, range)
+    from barco_spark.functions.tokens import range_bounds
+
+    cfg = server.log.config
+    # recover the bucket from the served (token, rangeIndex)
+    matched = [
+        b
+        for b in range(server.log.buckets)
+        if (
+            range_bounds(
+                b // cfg.consumer_ranges,
+                b % cfg.consumer_ranges,
+                cfg.brokers,
+                cfg.consumer_ranges,
+            )[0],
+            b % cfg.consumer_ranges,
+        )
+        == (it["token"], it["range_index"])
+    ]
+    assert matched, "served token/rangeIndex not on the ring"
+
+    # binary serves are real serves: they advance the at-least-once
+    # position exactly like JSON polls (next poll returns no new data)
+    code2, raw2, _ = _req_raw(
+        server, "POST", "/v1/consumer/poll?consumerId=cb1", body=" "
+    )
+    assert code2 == 200
+    assert decode_poll_response(raw2) == []
+
+
+def test_poll_accept_json_still_serves_json(server):
+    """Accept: application/json keeps the JSON response shape (O2)."""
+    _req(server, "POST", "/v1/topic/t/messages?partitionKey=k", body="x")
+    _req(
+        server, "PUT",
+        "/v1/consumer/register?consumerId=cj&group=gj&topic=t&onNewGroup=earliest",
+        body="",
+    )
+    code, raw, headers = _req_raw(
+        server, "POST", "/v1/consumer/poll?consumerId=cj", body=" ",
+        headers={"Accept": "application/json"},
+    )
+    assert code == 200
+    assert headers.get("Content-Type") == "application/json"
+    items = json.loads(raw.decode())
+    assert [v for it in items for v in it["values"]] == ["x"]
