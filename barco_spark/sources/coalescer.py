@@ -60,8 +60,13 @@ class ProduceCoalescer:
         linger_ms: float = 20.0,
         max_pending_records: int = 100_000,
         lock: threading.Lock | None = None,
+        metrics: dict | None = None,
     ) -> None:
         self.log = log
+        # optional broker_metrics() dict (C9): the flusher observes
+        # coalesced window sizes and flushed bytes, like the reference's
+        # coalescer feeding CoalescerMessagesProcessed/PerGroup
+        self._metrics = metrics
         self.linger_s = linger_ms / 1000.0
         self.max_pending_records = max_pending_records
         self._lock = lock if lock is not None else threading.Lock()
@@ -196,6 +201,14 @@ class ProduceCoalescer:
                     with self._lock:
                         n = self.log.produce(topic, df)
                 self.flushes += 1
+                if self._metrics is not None:
+                    self._metrics["coalescer_messages"].inc(len(rows))
+                    self._metrics["coalescer_coalesced"].observe(len(rows))
+                    # record-payload bytes this window flushed durably
+                    # (the reference histograms segment write sizes)
+                    self._metrics["segment_flush_bytes"].observe(
+                        sum(len(p.encode("utf-8")) for _k, p, _t in rows)
+                    )
                 if n != len(rows):
                     raise RuntimeError(
                         f"flush wrote {n} records, expected {len(rows)}"

@@ -63,6 +63,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from barco_spark.metrics import PromRegistry, broker_metrics
 from barco_spark.sources.coalescer import ProduceCoalescer
 from barco_spark.sources.eventlog import EventLog
 from barco_spark.sources.membership import (
@@ -70,6 +71,7 @@ from barco_spark.sources.membership import (
     FsMembershipStore,
     GroupMembership,
     MembershipStore,
+    ProduceFencedError,
 )
 
 _TOPIC_MSG_RE = re.compile(r"^/v1/topic/([^/]+)/messages$")
@@ -93,11 +95,29 @@ class BrokerHttpServer:
             log.buckets, debounce_s=rebalance_debounce_s
         )
         self._lock = threading.Lock()
+        # C9: Prometheus registry with the reference's broker metric
+        # names (internal/metrics/metrics.go:13-87), served live on
+        # GET /metrics (the reference serves promhttp on port 9253;
+        # the facade serves it on its main port — one port, same text
+        # format, deploy/ carries the scrape annotation)
+        self.prom = PromRegistry()
+        self.metrics = broker_metrics(self.prom)
+        self.prom.gauge_callback(
+            "polar_consumer_active",
+            "The number of active consumers connected to this broker",
+            lambda: [({}, float(len(self._consumers)))],
+        )
+        self.prom.gauge_callback(
+            "barco_spark_consumer_lag",
+            "Per-bucket consumer lag (high watermark minus committed)",
+            self._lag_samples,
+        )
         # W1 coalescer: concurrent produce requests merge into one
         # Spark write per window; shares the facade lock so produce
         # still serializes against poll/register/commit
         self.coalescer = ProduceCoalescer(
-            log, linger_ms=produce_linger_ms, lock=self._lock
+            log, linger_ms=produce_linger_ms, lock=self._lock,
+            metrics=self.metrics,
         )
         # Durable, shared registration store next to the log (the
         # reference replicates registrations to peer brokers,
@@ -149,6 +169,15 @@ class BrokerHttpServer:
                 path = urlparse(self.path).path
                 if path == "/status":
                     self._respond(200, "OK")
+                elif path == "/metrics":
+                    # Prometheus text exposition (C9): the reference's
+                    # promhttp endpoint (internal/metrics/metrics.go:
+                    # 77-87), same metric names, scrape-ready
+                    self._respond(
+                        200,
+                        outer.prom.render(),
+                        "text/plain; version=0.0.4; charset=utf-8",
+                    )
                 elif path == "/v1/brokers":
                     # client-discovery bootstrap (GET /v1/brokers,
                     # docs/rest_api/README.md:17-45): this facade is a
@@ -257,8 +286,41 @@ class BrokerHttpServer:
             )
         return handler.rfile.read(length).decode("utf-8")
 
+    def _lag_samples(self) -> list[tuple[dict, float]]:
+        """Per-bucket lag for every registered (group, topic), computed
+        Spark-free at scrape time (footer-stat watermarks + pyarrow
+        offsets read — both memoized, so a scrape costs a few stats).
+        Object-store roots skip the samples rather than issue remote
+        reads per scrape."""
+        if "://" in self.log.root:
+            return []
+        from barco_spark.sources.datasource import _high_watermarks
+
+        pairs = sorted(
+            {
+                (group, topic)
+                for group, topics in self._consumers.values()
+                for topic in topics
+            }
+        )
+        out: list[tuple[dict, float]] = []
+        for group, topic in pairs:
+            wm = _high_watermarks(self.log._data_path, topic)
+            committed = self.log._committed_arrow(group, topic)
+            for b in sorted(wm):
+                lag = wm[b] - committed.get(b, 0)
+                out.append(
+                    (
+                        {"group": group, "topic": topic, "bucket": b},
+                        float(lag),
+                    )
+                )
+        return out
+
     def _handle_produce(self, handler, topic: str, q: dict) -> None:
         body = self._read_body(handler)
+        self.metrics["producer_requests"].inc()
+        self.metrics["producer_body_bytes"].inc(len(body.encode("utf-8")))
         # validate before queueing so a bad topic answers 400 instantly
         # instead of failing a whole coalesced window
         if not topic or len(topic) > self.log.config.max_topic_length:
@@ -274,6 +336,7 @@ class BrokerHttpServer:
         self.registry.heartbeat()
         leader_id, lhost, lport = self.registry.leader_for(topic)
         if leader_id != self.registry.facade_id:
+            self.metrics["rerouted_sent"].inc()
             data = json.dumps({"leader": f"http://{lhost}:{lport}"}).encode()
             handler.send_response(307)
             handler.send_header("Location", f"http://{lhost}:{lport}{handler.path}")
@@ -302,6 +365,22 @@ class BrokerHttpServer:
         records = ProduceCoalescer.parse_records(body, key, ndjson, ts_us)
         if not records:  # NDJSON body of only blank lines
             handler._respond(200, json.dumps({"produced": 0}), "application/json")
+            return
+        # object-store write fence: on scheme:// roots there is no
+        # atomic produce lock, so the leader must prove its leadership
+        # is current in the STORE's clock frame before writing (see
+        # FacadeRegistry.produce_fence). Refusals are 503 + Retry-After:
+        # the retry re-resolves the leader (possibly a 307 by then).
+        try:
+            self.registry.produce_fence(topic)
+        except ProduceFencedError as ex:
+            data = str(ex).encode()
+            handler.send_response(503)
+            handler.send_header("Retry-After", "1")
+            handler.send_header("Content-Type", "text/plain")
+            handler.send_header("Content-Length", str(len(data)))
+            handler.end_headers()
+            handler.wfile.write(data)
             return
         # coalesced produce (W1): park on the flusher, ack after the
         # window's single Spark write lands. The handler thread holds NO

@@ -883,3 +883,56 @@ def test_poll_accept_json_still_serves_json(server):
     assert headers.get("Content-Type") == "application/json"
     items = json.loads(raw.decode())
     assert [v for it in items for v in it["values"]] == ["x"]
+
+
+def test_metrics_endpoint_prometheus_text(server):
+    """GET /metrics serves Prometheus text format (C9, the reference's
+    promhttp endpoint on 9253, internal/metrics/metrics.go:77-87) with
+    the reference's metric names; counters move across a produce+poll
+    roundtrip and the lag gauge reflects uncommitted records."""
+    code, raw, headers = _req_raw(server, "GET", "/metrics")
+    assert code == 200
+    assert headers.get("Content-Type", "").startswith("text/plain")
+    before = raw.decode()
+    assert "# TYPE polar_producer_requests_total counter" in before
+    assert "polar_producer_requests_total 0" in before
+    assert "polar_consumer_active 0" in before
+
+    for i in range(3):
+        _req(server, "POST", "/v1/topic/tm/messages?partitionKey=km", body=f"pay{i}")
+    _req(
+        server, "PUT",
+        "/v1/consumer/register?consumerId=cm&group=gm&topic=tm&onNewGroup=earliest",
+        body="",
+    )
+    after = _req_raw(server, "GET", "/metrics")[1].decode()
+    lines = dict(
+        ln.rsplit(" ", 1) for ln in after.splitlines() if not ln.startswith("#")
+    )
+    assert float(lines["polar_producer_requests_total"]) == 3
+    assert float(lines["polar_producer_requests_body_bytes_total"]) == sum(
+        len(f"pay{i}") for i in range(3)
+    )
+    assert float(lines["polar_coalescer_messages_total"]) == 3
+    # histogram invariants: cumulative buckets end at _count, sum adds up
+    assert float(lines["polar_coalescer_messages_coalesced_count"]) >= 1
+    assert float(lines["polar_segment_flushed_bytes_sum"]) == sum(
+        len(f"pay{i}") for i in range(3)
+    )
+    assert float(lines["polar_consumer_active"]) == 1
+    # nothing committed yet -> lag = produced count on km's bucket
+    lag_lines = [
+        ln for ln in after.splitlines()
+        if ln.startswith("barco_spark_consumer_lag{")
+    ]
+    assert any(ln.endswith(" 3") and 'group="gm"' in ln for ln in lag_lines)
+
+    # poll (auto-commit on next poll), then the lag gauge drains
+    _req(server, "POST", "/v1/consumer/poll?consumerId=cm", body=" ")
+    _req(server, "POST", "/v1/consumer/poll?consumerId=cm", body=" ")
+    final = _req_raw(server, "GET", "/metrics")[1].decode()
+    lag_final = [
+        ln for ln in final.splitlines()
+        if ln.startswith("barco_spark_consumer_lag{") and 'group="gm"' in ln
+    ]
+    assert lag_final and all(ln.endswith(" 0") for ln in lag_final)
