@@ -771,7 +771,18 @@ class EventLog:
         """Latest committed (next-to-read) offset per bucket for a group."""
         self._recover_offsets_store()
         try:
-            df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(self._offsets_path)
+            reader = self.spark.read.schema(OFFSETS_SCHEMA)
+            if "://" in self.root:
+                # a peer facade's offsets compaction deletes absorbed
+                # files AFTER appending their consolidated replacement;
+                # a listing taken in between would fail the whole read
+                # on the vanished file. Tolerating the gap is safe here:
+                # losing an absorbed input's rows can only UNDER-report
+                # the committed position (redelivery, at-least-once
+                # preserved), never skip records. Local roots get the
+                # rename+rescue swap instead and don't need this.
+                reader = reader.option("ignoreMissingFiles", "true")
+            df = reader.parquet(self._offsets_path)
         except AnalysisException:
             return {}  # no commits yet; real read errors propagate
         w = Window.partitionBy("bucket").orderBy(
@@ -1131,9 +1142,16 @@ class EventLog:
             # incremental state is unsound — rebuild from scratch
             best, seen = {}, set()
         for f in sorted(paths - seen):
-            tbl = pq.read_table(
-                f, columns=["group", "topic", "bucket", "committed", "committed_at"]
-            )
+            try:
+                tbl = pq.read_table(
+                    f,
+                    columns=["group", "topic", "bucket", "committed", "committed_at"],
+                )
+            except FileNotFoundError:
+                continue  # peer compaction absorbed it between glob and
+                # read; its rows live on in the consolidated file (which
+                # this loop reads as an unseen path) — skipping can only
+                # under-report, i.e. redeliver, never skip records
             tbl = tbl.filter(
                 pc.and_(pc.equal(tbl["group"], group), pc.equal(tbl["topic"], topic))
             )
@@ -1539,7 +1557,17 @@ class EventLog:
         snapshot = [f for f, _m, _s in obs.list_files(uri, ".parquet")]
         if not snapshot:
             return 0
-        df = self.spark.read.schema(OFFSETS_SCHEMA).parquet(*snapshot)
+        # two facades can compact concurrently (goodbye-triggered, no
+        # cross-process lock on object stores): the peer's deletes may
+        # remove files from OUR snapshot mid-read. Ignoring them is
+        # correct — the peer only deletes inputs whose consolidated
+        # replacement is already visible, and latest-wins resolution
+        # makes re-absorbing it idempotent.
+        df = (
+            self.spark.read.schema(OFFSETS_SCHEMA)
+            .option("ignoreMissingFiles", "true")
+            .parquet(*snapshot)
+        )
         w = Window.partitionBy("group", "topic", "bucket").orderBy(
             F.col("committed_at").desc(), F.col("committed").desc()
         )

@@ -26,6 +26,12 @@ from urllib.parse import quote, unquote
 from barco_spark.sources.eventlog import assign_buckets
 
 
+class ProduceFencedError(RuntimeError):
+    """A produce batch was refused by the object-store write fence
+    (stale leadership); the client should retry — the retry lands on
+    whichever facade the registry then names leader (307 reroute)."""
+
+
 class GroupMembership:
     """Tracks live consumers per group; applies the deterministic
     deal-out after a debounce window of membership quiet time."""
@@ -272,7 +278,15 @@ class FsMembershipStore:
         return obs.list_files(self.uri, ".json")
 
     def version(self) -> tuple:
-        return tuple((path, int(mtime * 1e9), size) for path, mtime, size in self._entries())
+        """Change stamp over REGISTRATIONS only: the (path, size) set of
+        .json objects. Deliberately excludes mtimes and the .hb
+        heartbeat objects touch() writes, so per-poll activity can
+        never churn the version — peers rescan on join/leave, not on
+        every poll (the same invariant the local store gets from
+        utime-not-bumping-the-dir). Registrations are immutable per
+        consumer id (divergent re-registration is rejected upstream),
+        so path+size is a faithful stamp."""
+        return tuple((path, size) for path, _mtime, size in self._entries())
 
     def put(self, group: str, consumer_id: str, topics: list[str]) -> None:
         from barco_spark.sources import objectstore as obs
@@ -286,13 +300,24 @@ class FsMembershipStore:
         from barco_spark.sources import objectstore as obs
 
         obs.delete_file(self._consumer_uri(group, consumer_id))
+        # drop the activity stamp too; a concurrent touch() may race
+        # this and leave an orphan .hb — harmless (consumers() reads
+        # .json only; eviction ignores cids with no registration)
+        obs.delete_file(self._consumer_uri(group, consumer_id)[: -len(".json")] + ".hb")
 
     def touch(self, group: str, consumer_id: str) -> None:
+        """Record consumer activity in a SEPARATE heartbeat object
+        (blind PUT, nothing read): registration version() stays stable
+        across polls, and there is no read-modify-write race with a
+        concurrent remove() that could resurrect a just-removed
+        registration — the worst case is an orphan .hb, cleaned by the
+        next remove or ignored forever."""
         from barco_spark.sources import objectstore as obs
 
-        rec = obs.read_json(self._consumer_uri(group, consumer_id))
-        if rec is not None:
-            obs.write_json(self._consumer_uri(group, consumer_id), rec)
+        obs.write_json(
+            self._consumer_uri(group, consumer_id)[: -len(".json")] + ".hb",
+            {},
+        )
 
     def consumers(self) -> dict[str, tuple[str, list[str]]]:
         from barco_spark.sources import objectstore as obs
@@ -314,15 +339,26 @@ class FsMembershipStore:
         return out
 
     def last_active(self) -> dict[str, tuple[str, float]]:
+        """Registration write is the first activity; each touch() bumps
+        the .hb heartbeat object — take the newer of the two."""
         from urllib.parse import unquote as _unq
 
+        from barco_spark.sources import objectstore as obs
+
+        hb: dict[tuple[str, str], float] = {}
+        for path, mtime, _size in obs.list_files(self.uri, ".hb"):
+            parts = path.rsplit("/", 2)
+            if len(parts) < 3:
+                continue
+            hb[(parts[-2], parts[-1][: -len(".hb")])] = mtime
         out: dict[str, tuple[str, float]] = {}
         for path, mtime, _size in self._entries():
             parts = path.rsplit("/", 2)
             if len(parts) < 3:
                 continue
-            group, fname = _unq(parts[-2]), parts[-1]
-            out[_unq(fname[: -len(".json")])] = (group, mtime)
+            gq, fname = parts[-2], parts[-1]
+            cq = fname[: -len(".json")]
+            out[_unq(cq)] = (_unq(gq), max(mtime, hb.get((gq, cq), 0.0)))
         return out
 
 
@@ -348,10 +384,15 @@ class FacadeRegistry:
 
     Divergence window: two facades can briefly disagree on the live set
     (a peer's heartbeat expiring between their checks) — the same
-    generational window the reference closes with consensus; here it is
-    bounded by ``ttl_s`` and documented rather than coordinated. A
-    crashed facade stops heartbeating and its topics re-deal to
-    survivors after ``ttl_s`` with no operator action.
+    generational window the reference closes with consensus. On LOCAL
+    roots the mkdir produce lock makes the disagreement harmless; on
+    object-store roots ``produce_fence`` closes it write-side: every
+    produce batch first proves, in the STORE's own clock frame, that
+    this facade's heartbeat is current and that no peer holds a newer
+    per-topic lease — so stale leadership refuses (503, client
+    retries) instead of writing colliding offsets. A crashed facade
+    stops heartbeating and its topics re-deal to survivors after
+    ``ttl_s`` with no operator action.
     """
 
     def __init__(
@@ -447,6 +488,83 @@ class FacadeRegistry:
             if rec.get("facade_id"):
                 out[rec["facade_id"]] = (rec["host"], int(rec["port"]))
         return out
+
+    def produce_fence(self, topic: str) -> None:
+        """Write-side fence for object-store roots (raises to refuse).
+
+        On local roots the mkdir produce lock serializes cross-process
+        writers; object stores have no atomic primitive, so leadership
+        divergence (a facade still believing it is leader after peers
+        expired its heartbeat, or cross-machine clock skew) could let
+        two facades read the same watermark and write colliding
+        offsets. Before each produce batch the leader must pass two
+        checks, both comparing timestamps WRITTEN BY THE STORE against
+        each other (one clock frame — local clocks never enter):
+
+        1. self-staleness: our own heartbeat object must exist and be
+           within ttl of the newest heartbeat in the registry. A facade
+           that fell behind (GC pause, partition) re-announces and
+           refuses this batch — the client retries and lands on
+           whatever the store then says.
+        2. topic lease: a per-topic epoch object records the last
+           producer. If a DIFFERENT facade holds the lease and wrote it
+           after our own heartbeat, it produced while we were stale —
+           refuse. Otherwise bump the epoch to fence THEM.
+
+        This shrinks the split-brain window from unbounded-under-skew
+        to one store round-trip (two facades interleaving the
+        read-then-write of the same lease); a store with conditional
+        PUT (S3 If-None-Match, GCS generations) can close even that by
+        making the lease write conditional — noted, not required here.
+        """
+        if not self._is_uri:
+            return
+        from barco_spark.sources import objectstore as obs
+
+        my_name = quote(self.facade_id, safe="") + ".json"
+        beats = {
+            p.rsplit("/", 1)[-1]: m
+            for p, m, _s in obs.list_files(self._dir, ".json")
+        }
+        my_m = beats.get(my_name)
+        if my_m is None or (beats and max(beats.values()) - my_m > self.ttl_s):
+            self.announce()  # rejoin with a fresh stamp, then retry
+            raise ProduceFencedError(
+                "produce fenced: this facade's heartbeat is stale in the "
+                "registry (expired or missing); re-announced — retry"
+            )
+        lease_dir = f"{self._dir}/_leases"
+        lease_uri = f"{lease_dir}/{quote(topic, safe='')}.lease"
+        lease = obs.read_json(lease_uri)
+        lease_m = next(
+            (m for p, m, _s in obs.list_files(lease_dir, ".lease") if p == lease_uri),
+            None,
+        )
+        if (
+            lease
+            and lease.get("facade_id") != self.facade_id
+            and lease_m is not None
+            and lease_m > my_m
+        ):
+            # a peer produced AFTER our last heartbeat: either we lost
+            # leadership (the retry's 307 will say so) or this is a
+            # legitimate handoff and we must first prove liveness with
+            # a stamp NEWER than the peer's last write — re-announce so
+            # the retry carries that proof. A true split-brain keeps
+            # the contest going (the active peer keeps the lease fresh)
+            # and this facade keeps refusing, which is the point.
+            self.announce()
+            raise ProduceFencedError(
+                "produce fenced: another facade produced this topic after "
+                "our last heartbeat — leadership moved; retry for reroute"
+            )
+        obs.write_json(
+            lease_uri,
+            {
+                "facade_id": self.facade_id,
+                "epoch": int((lease or {}).get("epoch", 0)) + 1,
+            },
+        )
 
     def leader_for(self, topic: str) -> tuple[str, str, int]:
         """(facade_id, host, port) of the topic's single writer:

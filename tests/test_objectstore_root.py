@@ -170,6 +170,7 @@ def test_facade_on_scheme_root_with_durable_membership(spark, tmp_path):
             data=body.encode() if body is not None else None,
             method=method,
         )
+        r.add_header("Accept", "application/json")  # poll default is binary
         if body is not None:
             r.add_header("Content-Type", "text/plain")
         with urllib.request.urlopen(r) as resp:
@@ -203,3 +204,84 @@ def test_facade_on_scheme_root_with_durable_membership(spark, tmp_path):
         assert code in (200, 204)
     finally:
         srv2.stop()
+
+
+def test_fs_store_touch_keeps_version_stable(tmp_path):
+    """Per-poll activity must not churn registration version(): peers
+    would otherwise full-rescan the store on EVERY poll (O(C^2) fleet
+    work). touch() writes a separate heartbeat object excluded from
+    the version stamp; only join/leave moves the version."""
+    import time
+
+    from barco_spark.sources.membership import FsMembershipStore
+
+    store = FsMembershipStore(f"file://{tmp_path}/log")
+    store.put("g", "c1", ["t"])
+    v1 = store.version()
+    t0 = store.last_active()["c1"][1]
+    time.sleep(0.02)
+    store.touch("g", "c1")
+    store.touch("g", "c1")
+    assert store.version() == v1, "touch must not bump version"
+    assert store.last_active()["c1"][1] > t0, "touch must bump activity"
+    # remove cleans the heartbeat object too: no orphan resurrection
+    store.remove("g", "c1")
+    assert store.version() != v1
+    assert "c1" not in store.last_active()
+    assert not list((tmp_path / "log" / "_membership").rglob("*.hb"))
+
+
+def test_produce_fence_on_scheme_root(tmp_path):
+    """Object-store write fence (single-writer-per-topic under clock
+    skew): a facade whose heartbeat went stale in the STORE's clock
+    frame refuses produce; a facade whose heartbeat predates a peer's
+    topic lease refuses; current leadership proceeds and bumps the
+    lease epoch."""
+    import json as _json
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from barco_spark.sources.membership import (
+        FacadeRegistry,
+        ProduceFencedError,
+    )
+
+    root = f"file://{tmp_path}/log"
+    a = FacadeRegistry(root, "fa", "127.0.0.1", 1, ttl_s=15.0)
+    b = FacadeRegistry(root, "fb", "127.0.0.1", 2, ttl_s=15.0)
+    a.announce()
+    b.announce()
+
+    # healthy leader passes and writes the epoch lease
+    a.produce_fence("t")
+    lease_path = tmp_path / "log" / "_facades" / "_leases" / "t.lease"
+    assert _json.loads(lease_path.read_text()) == {"facade_id": "fa", "epoch": 1}
+    a.produce_fence("t")
+    assert _json.loads(lease_path.read_text())["epoch"] == 2
+
+    # lease files must never pollute the facade live set
+    assert set(a.live()) == {"fa", "fb"}
+
+    # stale-heartbeat fence: age fa's stamp past ttl relative to fb's
+    fa_obj = tmp_path / "log" / "_facades" / "fa.json"
+    old = time.time() - 60
+    os.utime(fa_obj, (old, old))
+    with _pytest.raises(ProduceFencedError, match="stale"):
+        a.produce_fence("t")
+    # the refusal re-announced: a retry now passes
+    a.produce_fence("t")
+
+    # lease fence (handoff contest): fb's heartbeat predates fa's lease
+    # write, so fb must first refuse + re-announce, then the retry's
+    # fresh stamp out-dates the idle lease and fb claims it
+    with _pytest.raises(ProduceFencedError, match="leadership moved"):
+        b.produce_fence("t")
+    b.produce_fence("t")
+    assert _json.loads(lease_path.read_text())["facade_id"] == "fb"
+    # and symmetrically back: fa's stamp now predates fb's lease
+    with _pytest.raises(ProduceFencedError, match="leadership moved"):
+        a.produce_fence("t")
+    a.produce_fence("t")
+    assert _json.loads(lease_path.read_text())["facade_id"] == "fa"
