@@ -7,7 +7,7 @@ module makes that real:
 
 - ``ivf_index_write``: assigns every corpus vector to its max-cosine
   stride-sampled centroid with the SAME sequential-fold arithmetic as
-  ``ann_ivf_search`` (similarity.py) and writes the corpus as parquet
+  ``ann_ivf_search_exact`` (similarity.py) and writes the corpus as parquet
   PARTITIONED BY cell, centroids alongside. One broadcast join + one
   partial-aggregating groupBy + one partitioned write — no all-pairs
   stage, no collect of corpus rows.
@@ -16,7 +16,7 @@ module makes that real:
   probe-cell literals reach the scan as PartitionFilters (asserted in
   tests/test_plans.py), so a query reads ~nprobe/nlist of the index
   regardless of corpus size. Scoring reuses the fold-exact cosine, so
-  results are bit-identical to ``ann_ivf_search`` over the same data —
+  results are bit-identical to ``ann_ivf_search_exact`` over the same data —
   which is why the registered query shares its DuckDB oracle verbatim.
 
 At 100 TB the write runs once per ingest batch (append new cells /
@@ -38,8 +38,8 @@ from barco_spark.operators.similarity import N_QUERY, NPROBE, dot, norm2
 from barco_spark.registry import QUERIES, register
 from barco_spark.tables import t
 
-# bit-identical results => the oracle is literally ann_ivf_search's
-_IVF_ORACLE_SQL = QUERIES["ann_ivf_search"].oracle
+# bit-identical results => the oracle is literally ann_ivf_search_exact's
+_IVF_ORACLE_SQL = QUERIES["ann_ivf_search_exact"].oracle
 
 
 def _cos(a: str, b: str, n2a: str, n2b: str) -> Column:
@@ -48,7 +48,7 @@ def _cos(a: str, b: str, n2a: str, n2b: str) -> Column:
 
 def _centroids(e: DataFrame, n_corpus: int) -> DataFrame:
     """Deterministic stride sample, nlist ~ sqrt(corpus) — the same
-    centroid set ann_ivf_search and its oracle use."""
+    centroid set ann_ivf_search_exact and its oracle use."""
     stride = max(1, math.ceil(math.sqrt(n_corpus)))
     return e.filter(
         (F.col("vec_id") >= N_QUERY) & ((F.col("vec_id") - N_QUERY) % stride == 0)
@@ -180,7 +180,7 @@ def ivf_index_search(
     _IVF_ORACLE_SQL,
     "similarity",
     doc=(
-        "Persisted-index twin of ann_ivf_search: build the cell-"
+        "Persisted-index twin of ann_ivf_search_exact: build the cell-"
         "partitioned parquet index, then answer the standard query set "
         "through partition-pruned probes. Same centroids, same "
         "sequential-fold cosine => bit-identical results, same oracle. "

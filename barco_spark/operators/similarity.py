@@ -480,7 +480,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 @register(
-    "ann_ivf_search",
+    "ann_ivf_search_exact",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY}),
@@ -520,15 +520,17 @@ def _cos_sql(a: str, b: str) -> str:
     """,
     "similarity",
     doc=(
-        "IVF ANN: deterministic stride-sampled centroids; corpus rows "
-        "assigned to their max-cosine centroid via a partial-aggregating "
-        "groupBy (max_by over a (cos, -id) struct => one shuffle of "
-        "corpus rows, never corpus x centroids); queries probe their "
-        f"{NPROBE} nearest cells only. Same arithmetic as the oracle "
-        "(sequential folds), so cosines match bit-for-bit."
+        "Oracle-parity twin of ann_ivf_search: identical IVF structure "
+        "(stride-sampled centroids, max_by cell assignment, "
+        f"{NPROBE}-cell probes) computed with sequential JVM folds so "
+        "cosines match the DuckDB oracle bit-for-bit. The folds are "
+        "interpreted HOFs — N*sqrt(N) work per corpus vector — so this "
+        "twin exists to PROVE the structure correct at sf0.01, while "
+        "ann_ivf_search (numpy matmul over Arrow batches) is what the "
+        "headline bench and 100 TB deployments run."
     ),
 )
-def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -623,21 +625,25 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_ivf_vectorized",
+    "ann_ivf_search",
     None,  # numpy summation order differs from the sequential fold =>
-    # rows-only check; recall vs brute force in tests/test_similarity.py
+    # rows-only check; structure proven bit-exact by the oracle-paired
+    # ann_ivf_search_exact twin, recall vs brute force in
+    # tests/test_similarity.py
     "similarity",
     doc=(
-        "Throughput path of ann_ivf_search: identical IVF structure "
-        "(sqrt(N)-sampled centroids, nprobe cells) but the per-vector "
-        "work is numpy matmul over Arrow batches (mapInPandas) instead "
-        "of interpreted JVM folds — the same design FAISS uses, where "
-        "the centroid table is small enough to broadcast everywhere. "
-        "~40x faster per corpus vector at 64 dims; use this at 100 TB "
-        "and the fold path when bit-exact oracle parity is required."
+        "IVF ANN, canonical plan: deterministic sqrt(N) stride-sampled "
+        "centroids broadcast everywhere; corpus cell assignment and "
+        f"query scoring are numpy matmul over Arrow batches "
+        f"(mapInPandas), queries probe their {NPROBE} nearest cells "
+        "only — the FAISS IVF design, ~40x faster per corpus vector "
+        "than interpreted folds at 64 dims and the plan a 100 TB "
+        "deployment runs. Bit-exact oracle parity of the identical IVF "
+        "structure is carried by the ann_ivf_search_exact twin "
+        "(sequential JVM folds, DuckDB-matched)."
     ),
 )
-def ann_ivf_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     import numpy as np

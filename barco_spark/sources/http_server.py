@@ -11,9 +11,16 @@ Routes mirror the reference's URL constants
 - ``PUT|POST /v1/consumer/register``        -> register
   (``?consumerId=&group=&topic=...&onNewGroup=earliest|latest``,
   internal/consuming/server.go:203-291)
-- ``POST /v1/consumer/poll``                -> JSON poll of the
-  consumer's owned buckets (server.go:389-419; JSON response shape =
-  EventLog.poll_json / marshalJsonResponse, consuming/models.go:136-199)
+- ``POST /v1/consumer/poll``                -> poll of the consumer's
+  owned buckets (server.go:389-419). DEFAULT response is the
+  compressed binary item stream (O1: uint16 count +
+  consumerResponseItem per (topic,bucket), models.go:106-134,
+  mime application/vnd.polar.consumermessage) exactly like the
+  reference (server.go:411-415); JSON (O2 shape, marshalJsonResponse,
+  models.go:136-199) only on ``Accept: application/json``
+- ``GET  /metrics``                         -> Prometheus text format
+  (C9: the reference's promhttp endpoint on 9253, metrics.go:77-87),
+  reference metric names + a per-bucket consumer-lag gauge
 - ``POST /v1/consumer/commit``              -> manual commit
   (server.go:421-449)
 - ``POST /v1/consumer/goodbye``             -> commit-and-leave

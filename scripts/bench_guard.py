@@ -39,13 +39,16 @@ def run_bench() -> dict:
         env=env,
         cwd=REPO,
     )
-    # bench.py prints exactly one JSON line on stdout (Spark chatter goes
-    # to stderr); take the last line that parses.
+    # bench.py prints the full per-query JSON line, then a compact
+    # truncation-proof summary line (no "queries"); take the last line
+    # that parses AND carries per-query timings.
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            return json.loads(line)
+            parsed = json.loads(line)
         except json.JSONDecodeError:
             continue
+        if "queries" in parsed:
+            return parsed
     print(proc.stdout[-2000:], file=sys.stderr)
     print(proc.stderr[-2000:], file=sys.stderr)
     raise SystemExit("bench.py produced no JSON line")

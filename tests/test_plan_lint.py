@@ -29,7 +29,7 @@ QUERIES = load_all()
 BNLJ_OK = {
     # N_QUERY (5) query vectors broadcast against the corpus
     "ann_cosine_topk",
-    "ann_ivf_search",
+    "ann_ivf_search_exact",
     # one-row total-token table broadcast into the scored pairs
     "bigram_lift_top",
     # theta join (vec_a < vec_b) over the broadcast cell/centroid side

@@ -343,7 +343,7 @@ def test_ivf_index_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     ) or "cell IN" in plan, plan[:4000]
 
     # and the result must be bit-identical to the non-indexed IVF path
-    direct = QUERIES["ann_ivf_search"].build(spark, sf_dir)
+    direct = QUERIES["ann_ivf_search_exact"].build(spark, sf_dir)
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, direct.collect())
     )

@@ -82,11 +82,12 @@ def test_lsh_probes_less_than_brute(spark, sf_dir):
     assert n_pairs < n_brute / 2, (n_pairs, n_brute)
 
 
-def test_ivf_vectorized_recall_vs_brute(spark, sf_dir):
+def test_ivf_exact_twin_recall_vs_brute(spark, sf_dir):
     brute = _top3(spark, sf_dir, "ann_cosine_topk")
-    fast = _top3(spark, sf_dir, "ann_ivf_vectorized")
-    # same IVF structure as ann_ivf_search (see its threshold comment);
-    # numpy argmax ties may differ from the fold path on exact ties only
+    fast = _top3(spark, sf_dir, "ann_ivf_search_exact")
+    # same IVF structure as the canonical ann_ivf_search (see its
+    # threshold comment); fold-path ties may differ from numpy argmax
+    # on exact ties only
     assert _recall(brute, fast) >= 0.4
 
 
