@@ -301,3 +301,88 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         if o is not None:
             o.unpersist()
         pairs.unpersist()
+
+
+KCORE_K = 2  # minimum within-core degree
+KCORE_ROUNDS = 3  # unrolled peel rounds (matches the oracle CTEs)
+
+
+def _kcore_round_sql(edges_in: str, edges_out: str) -> str:
+    """One peel round in DuckDB SQL: drop nodes with degree < K, keep
+    only edges between survivors."""
+    return f"""
+    n_{edges_out} AS (
+      SELECT src AS node FROM {edges_in}
+      GROUP BY src HAVING COUNT(*) >= {KCORE_K}),
+    {edges_out} AS (
+      SELECT e.src, e.dst FROM {edges_in} e
+      JOIN n_{edges_out} a ON a.node = e.src
+      JOIN n_{edges_out} b ON b.node = e.dst)"""
+
+
+_KCORE_ROUNDS_SQL = ",".join(
+    _kcore_round_sql(f"e{i}", f"e{i + 1}") for i in range(KCORE_ROUNDS)
+)
+
+
+@register(
+    "graph_kcore",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    e0 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    {_KCORE_ROUNDS_SQL}
+    SELECT src AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{KCORE_ROUNDS}
+    GROUP BY src
+    ORDER BY core_degree DESC, doc_id
+    """,
+    "similarity",
+    doc=(
+        f"{KCORE_ROUNDS}-round {KCORE_K}-core peel of the near-"
+        "duplicate graph: repeatedly drop nodes with degree < "
+        f"{KCORE_K} and the edges touching them. Survivors are the "
+        "DENSE duplication communities — template/boilerplate families "
+        "that warrant one canonical representative — separated from "
+        "incidental pairwise matches, which a single threshold on pair "
+        "similarity cannot do. Bit-exact oracle pairing via the same "
+        "unrolled-rounds idiom as the fixed-point PageRank (the oracle "
+        "unrolls the identical peel as nested CTEs). Each round is one "
+        "degree aggregate + two semi-joins on the banding-bounded pair "
+        "graph (never the corpus); the edge list is persisted once and "
+        "released eagerly, and at 100 TB the loop extends to "
+        "convergence exactly like dedup_clusters' label propagation."
+    ),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    try:
+        edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
+        for _ in range(KCORE_ROUNDS):
+            keep = (
+                edges.groupBy(F.col("src").alias("node"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= KCORE_K)
+                .select("node")
+            )
+            edges = (
+                edges.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+                .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+                .select("src", "dst")
+            )
+        out = (
+            edges.groupBy(F.col("src").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+            .orderBy(F.col("core_degree").desc(), "doc_id")
+        )
+        # materialize eagerly (core of the pair graph: tiny) so the
+        # persisted pairs release NOW, like graph_triangle_census
+        rows = [(r["doc_id"], r["core_degree"]) for r in out.collect()]
+        return spark.createDataFrame(rows, "doc_id long, core_degree long")
+    finally:
+        pairs.unpersist()

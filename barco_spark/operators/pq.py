@@ -210,3 +210,150 @@ def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cosine_sim", "rank")
     )
+
+
+@register(
+    "ann_ivfpq_search",
+    None,  # float-sum order is engine-specific => rows-only check;
+    # recall vs brute force is property-tested in tests/test_pq.py
+    "similarity",
+    doc=(
+        "Combined IVF+PQ ANN (the canonical FAISS IVFPQ shape, Jégou "
+        "et al. 2011 §IV): sqrt(N) stride-sampled coarse centroids cut "
+        "WHAT a query scans (nprobe cells), PQ codes on the RESIDUAL "
+        "(vector minus its cell centroid) cut the BYTES per scanned "
+        "vector (64x). One map-only pass assigns cell + encodes + "
+        "ADC-scores (score = dot(q, centroid_cell) + sum_m "
+        "lut[q][m][code_m]); per-query shortlist then exact rerank. "
+        "At 100 TB: codes+cells persist columnar at ingest "
+        "(ann_ivf_index_search layout), search reads nprobe/nlist of "
+        "an 8-byte-per-vector table — the smallest scan of any ann_* "
+        "path here."
+    ),
+)
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from barco_spark.operators.similarity import NPROBE
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY)
+    n_corpus = c.count()
+
+    # --- coarse quantizer: deterministic stride-sampled centroids ----
+    cstride = max(1, math.ceil(math.sqrt(n_corpus)))
+    cent_rows = c.filter((F.col("vec_id") - N_QUERY) % cstride == 0).collect()
+    cent_rows.sort(key=lambda r: r.vec_id)
+    CM = np.stack([np.asarray(r.v) for r in cent_rows])
+    CMn = CM / np.linalg.norm(CM, axis=1, keepdims=True)
+    n_cells = len(CMn)
+
+    # --- train PQ codebooks on RESIDUALS of a driver-side sample -----
+    tstride = max(1, math.ceil(n_corpus / TRAIN_CAP))
+    sample_rows = c.filter((F.col("vec_id") - N_QUERY) % tstride == 0).collect()
+    sample_rows.sort(key=lambda r: r.vec_id)
+    S = np.stack([np.asarray(r.v) for r in sample_rows])
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    s_cells = np.argmax(Sn @ CMn.T, axis=1)
+    books = _train_codebooks(Sn - CMn[s_cells])
+    m_sub, k, sub = books.shape
+    bb = spark.sparkContext.broadcast((CMn, books))
+
+    # --- queries: probe sets + per-query LUTs + centroid dots --------
+    q_rows = e.filter(F.col("vec_id") < N_QUERY).collect()
+    q_rows.sort(key=lambda r: r.vec_id)
+    qm = np.stack([np.asarray(r.v) for r in q_rows])
+    qmn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qc = qmn @ CMn.T  # n_query x n_cells: the dot(q, centroid) term
+    # stable argsort => lowest cell index wins ties, like the IVF path
+    probe_sets = {
+        int(q_ids[i]): np.sort(
+            np.argsort(-qc[i], kind="stable")[: min(NPROBE, n_cells)]
+        )
+        for i in range(len(q_ids))
+    }
+    luts = np.einsum(
+        "qms,mks->qmk", qmn.reshape(len(qmn), m_sub, sub), books
+    )
+    bq = spark.sparkContext.broadcast((q_ids, qc, probe_sets, luts))
+
+    # --- fused assign + residual-encode + ADC per Arrow batch --------
+    def encode_score(batches):
+        CMn_, books_ = bb.value
+        q_ids_, qc_, probes_, luts_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].map(np.asarray).values)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            cells = np.argmax(Mn @ CMn_.T, axis=1)
+            R = (Mn - CMn_[cells]).reshape(len(Mn), m_sub, sub)
+            d2 = ((R[:, :, None, :] - books_[None, :, :, :]) ** 2).sum(axis=3)
+            codes = np.argmin(d2, axis=2)  # batch x m_sub
+            resid_score = luts_[
+                :, np.arange(m_sub)[None, :], codes
+            ].sum(axis=2)  # n_query x batch
+            cand = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = []
+            for qi, qid in enumerate(q_ids_):
+                mask = np.isin(cells, probes_[int(qid)])
+                if mask.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": int(qid),
+                                "cand_id": cand[mask],
+                                "adc_score": qc_[qi, cells[mask]]
+                                + resid_score[qi, mask],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    adc = c.mapInPandas(
+        encode_score, "query_id long, cand_id long, adc_score double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("cand_id")
+    )
+    shortlist = (
+        adc.withColumn("sr", F.row_number().over(ws))
+        .filter(F.col("sr") <= SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+
+    # --- exact cosine rerank (same shape as ann_pq_search) -----------
+    def rerank(batches):
+        q_ids_, _qc, _p, _l = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].map(np.asarray).values)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            qi = np.searchsorted(q_ids_, pdf["query_id"].to_numpy(np.int64))
+            sims = (Mn * qmn[qi]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "cosine_sim": sims,
+                }
+            )
+
+    joined = shortlist.join(c.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+    exact = joined.mapInPandas(
+        rerank, "query_id long, cand_id long, cosine_sim double"
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("cand_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine_sim", "rank")
+    )

@@ -522,3 +522,76 @@ def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("sentiment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval chunking (RAG / training-context preparation)
+# --------------------------------------------------------------------------
+RAG_CHUNK = 16  # words per chunk
+RAG_STRIDE = 12  # chunk start stride (overlap = CHUNK - STRIDE = 4 words)
+
+
+@register(
+    "chunk_for_retrieval",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) <= {RAG_CHUNK} THEN 1
+                  ELSE (len(w) - {RAG_CHUNK} + {RAG_STRIDE} - 1)
+                       // {RAG_STRIDE} + 1 END AS n_chunks
+      FROM d),
+    c AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, n_chunks - 1)) AS j
+      FROM m)
+    SELECT doc_id,
+           j AS chunk_idx,
+           CAST(len(list_slice(w, j*{RAG_STRIDE}+1,
+                               j*{RAG_STRIDE}+{RAG_CHUNK})) AS BIGINT)
+             AS n_words,
+           {h28_sql(f"array_to_string(list_slice(w, j*{RAG_STRIDE}+1, j*{RAG_STRIDE}+{RAG_CHUNK}), ' ')")}
+             AS chunk_hash
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+    "text",
+    doc=(
+        "Overlapping word-window chunking for retrieval / context "
+        f"packing: {RAG_CHUNK}-word chunks every {RAG_STRIDE} words "
+        f"({RAG_CHUNK - RAG_STRIDE}-word overlap so no boundary "
+        "sentence is ever split away from both neighbors), each chunk "
+        "carrying its h28 content hash — the primitive RAG ingestion "
+        "and long-context training-example prep both start from, and "
+        "the hash feeds the same exact-dedup machinery as documents. "
+        "Pure per-row map work (split once, slice per chunk index, no "
+        "joins): at 100 TB this is one scan riding whole-stage "
+        "codegen, output partitionable by chunk_hash for dedup."
+    ),
+)
+def chunk_for_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.col("w")
+    n = F.size(w)
+    n_chunks = F.when(n <= RAG_CHUNK, F.lit(1)).otherwise(
+        ((n - RAG_CHUNK + RAG_STRIDE - 1) / RAG_STRIDE).cast("int") + 1
+    )
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+    )
+    chunk = F.slice(w, F.col("chunk_idx") * RAG_STRIDE + 1, RAG_CHUNK)
+    return (
+        d.select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size(chunk).cast("bigint").alias("n_words"),
+            h28(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

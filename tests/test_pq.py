@@ -74,3 +74,33 @@ def test_pq_codebook_shapes_and_compression(spark, sf_dir):
     # training is deterministic
     books2 = pq._train_codebooks(Xn)
     assert np.array_equal(books, books2)
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """IVFPQ probes nprobe cells AND compresses residuals: recall is
+    bounded by the probed fraction times shortlist coverage, so the
+    gate is lower than plain PQ's (which scans every cell). The whole
+    pipeline is RNG-free, so two runs must match exactly."""
+    res = pq.ann_ivfpq_search(spark, sf_dir).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.query_id, []).append((r.rank, r.cand_id, r.cosine_sim))
+    truth = _brute_topk(spark, sf_dir, pq.TOP_K)
+    assert set(got) == set(range(N_QUERY))
+    hits = total = 0
+    for qid, rows in got.items():
+        rows.sort()
+        assert 1 <= len(rows) <= pq.TOP_K
+        # ranks are 1..n with exact-cosine ordering
+        assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+        sims = [s for _, _, s in rows]
+        assert sims == sorted(sims, reverse=True)
+        total += pq.TOP_K
+        hits += len({cid for _, cid, _ in rows} & set(truth[qid]))
+    recall = hits / total
+    # nprobe/nlist ~ 8/23 of cells probed at sf0.001; residual-PQ ADC
+    # ordering inside probed cells is near-exact after rerank
+    assert recall >= 0.35, f"recall@{pq.TOP_K} too low: {recall}"
+
+    res2 = pq.ann_ivfpq_search(spark, sf_dir).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
