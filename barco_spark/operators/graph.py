@@ -358,10 +358,21 @@ _KCORE_ROUNDS_SQL = ",".join(
     ),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.session import persistent_rdd_ids, unpersist_rdds
+
+    before = persistent_rdd_ids(spark)
     pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     try:
-        edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+        edges = (
+            pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+            .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+            .coalesce(8)
+            # eager per-round materialization (the dedup_clusters loop
+            # discipline): each round references `edges` THREE times
+            # (degree agg + both semi-join probes), so without a
+            # lineage cut the plan re-executes the previous round 3x
+            # per round — measured 23.8 s vs 1.5 s at sf0.01
+            .localCheckpoint()
         )
         for _ in range(KCORE_ROUNDS):
             keep = (
@@ -374,6 +385,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 edges.join(keep.withColumnRenamed("node", "src"), "src", "semi")
                 .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
                 .select("src", "dst")
+                .localCheckpoint()
             )
         out = (
             edges.groupBy(F.col("src").alias("doc_id"))
@@ -386,3 +398,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "doc_id long, core_degree long")
     finally:
         pairs.unpersist()
+        # release the per-round localCheckpoint blocks (result is
+        # driver-local rows, so nothing references them anymore)
+        unpersist_rdds(spark, persistent_rdd_ids(spark) - before)

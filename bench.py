@@ -86,6 +86,9 @@ HEADLINE = [
     "market_basket_lift",
     "telemetry_sessions_pipeline",
     "interval_open_orders_daily",
+    "ann_ivfpq_search",
+    "chunk_for_retrieval",
+    "graph_kcore",
 ]
 
 
