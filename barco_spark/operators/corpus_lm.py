@@ -495,3 +495,243 @@ def token_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sum_c_log2c").cast("double") / F.col("n_tokens")
         ).alias("entropy_proxy_bits"),
     ).orderBy("source")
+
+
+# BM25 ranking: fixed query terms (lexical order fixes the score-sum
+# fold order), Robertson k1=1.2 (6/5) and b=0.75 (3/4) as exact
+# rationals. Quantized idf keeps cross-engine bit-exactness: libm ln()
+# differs in ulps between engines, but floor(log2(int)) never does
+# (an integer k only has log2(k) within 2^-52 of an integer when k IS
+# that power of two, where log2 is exact).
+BM25_QUERY = ("hash", "merge", "scan")
+BM25_TOP = 20
+_IDF_SCALE = 1 << 20
+
+
+def _bm25_idf_sql(n: str, df: str) -> str:
+    return (
+        f"CAST(FLOOR(LOG2((({n} - {df} + 1) * {_IDF_SCALE}) // ({df} + 1)))"
+        " AS BIGINT)"
+    )
+
+
+@register(
+    "bm25_topdocs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    d AS (SELECT doc_id, len(ws) AS dl, ws FROM base),
+    scal AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
+      FROM d
+    ),
+    tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM tok WHERE term IN ('hash', 'merge', 'scan')
+      GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT f.doc_id, f.dl, f.term, f.tf,
+             ({_bm25_idf_sql('s.n_docs', 'd.df')} * (44 * s.total_tokens * f.tf))
+               / (20 * s.total_tokens * f.tf + 6 * s.total_tokens
+                  + 18 * f.dl * s.n_docs) AS score_t
+      FROM tf f JOIN dft d USING (term) CROSS JOIN scal s
+    ),
+    piv AS (
+      SELECT doc_id, dl,
+             CAST(COALESCE(SUM(CASE WHEN term = 'hash' THEN tf END), 0)
+                  AS BIGINT) AS tf_hash,
+             CAST(COALESCE(SUM(CASE WHEN term = 'merge' THEN tf END), 0)
+                  AS BIGINT) AS tf_merge,
+             CAST(COALESCE(SUM(CASE WHEN term = 'scan' THEN tf END), 0)
+                  AS BIGINT) AS tf_scan,
+             COALESCE(SUM(CASE WHEN term = 'hash' THEN score_t END), 0.0)
+               AS s_hash,
+             COALESCE(SUM(CASE WHEN term = 'merge' THEN score_t END), 0.0)
+               AS s_merge,
+             COALESCE(SUM(CASE WHEN term = 'scan' THEN score_t END), 0.0)
+               AS s_scan
+      FROM sc GROUP BY doc_id, dl
+    )
+    SELECT doc_id, dl, tf_hash, tf_merge, tf_scan,
+           (s_hash + s_merge) + s_scan AS bm25
+    FROM piv ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}
+    """,
+    "text",
+    doc=(
+        "BM25 ranked retrieval for a fixed 3-term query: idf quantized "
+        "to floor(log2(((N-df+1)<<20) div (df+1))) (exact integer bit "
+        "length, never a cross-engine ulp), the tf normalization "
+        "tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) cleared of fractions "
+        "by multiplying through by 20*total_tokens so each per-term "
+        "score is ONE division of exact int64 products, and the "
+        "per-document score summed in fixed lexical term order (both "
+        "engines fold the identical expression tree). Plan: doc "
+        "lengths are map-only size(split(..)), the corpus-scalar "
+        "(N, T) table is a one-row broadcast, tf rows exist only for "
+        "query-term hits, and the top-20 is TakeOrderedAndProject — "
+        "never a global sort. At 100 TB the int64 products flip to "
+        "DECIMAL(38,0) like bigram_lift_top; the ranking is unchanged."
+    ),
+)
+def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(words_col()).alias("dl"), words_col().alias("ws")
+    )
+    scal = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    tok = d.select("doc_id", "dl", F.explode("ws").alias("term")).where(
+        F.col("term").isin(*BM25_QUERY)
+    )
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # exact integer quotient ((N-df+1)<<20) div (df+1), then bit length
+    q = F.expr(f"((n_docs - df + 1) * {_IDF_SCALE}) div (df + 1)")
+    idf = F.floor(F.log2(q)).cast("bigint")
+    score_t = (
+        idf * (F.lit(44) * F.col("total_tokens") * F.col("tf"))
+    ) / (
+        F.lit(20) * F.col("total_tokens") * F.col("tf")
+        + F.lit(6) * F.col("total_tokens")
+        + F.lit(18) * F.col("dl") * F.col("n_docs")
+    )
+    sc = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(scal))
+        .select("doc_id", "dl", "term", "tf", score_t.alias("score_t"))
+    )
+
+    def _tf(term: str) -> F.Column:
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("term") == term, F.col("tf"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"tf_{term}")
+        )
+
+    def _s(term: str) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(F.col("term") == term, F.col("score_t"))), F.lit(0.0)
+        ).alias(f"s_{term}")
+
+    piv = sc.groupBy("doc_id", "dl").agg(
+        _tf("hash"), _tf("merge"), _tf("scan"), _s("hash"), _s("merge"), _s("scan")
+    )
+    return (
+        piv.select(
+            "doc_id",
+            "dl",
+            "tf_hash",
+            "tf_merge",
+            "tf_scan",
+            ((F.col("s_hash") + F.col("s_merge")) + F.col("s_scan")).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+# Boilerplate: a chunk whose DISTINCT-document frequency reaches
+# BOILER_MIN_DDF is template text (headers, footers, licence blocks)
+# and is stripped from EVERY document — unlike dedup_chunk_rewrite,
+# which keeps the first occurrence.
+BOILER_MIN_DDF = 2
+
+
+@register(
+    "boilerplate_strip",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    c AS (
+      SELECT doc_id, j,
+             array_to_string(
+               list_slice(words, j*{CHUNK}+1, j*{CHUNK}+{CHUNK}), ' ') AS chunk
+      FROM w, unnest(range(0, (len(words) + {CHUNK - 1}) // {CHUNK})) AS u(j)
+    ),
+    ddf AS (
+      SELECT {h28_sql('chunk')} AS h, COUNT(DISTINCT doc_id) AS ddf
+      FROM c GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, j, chunk
+      FROM c JOIN ddf ON {h28_sql('chunk')} = ddf.h
+      WHERE ddf < {BOILER_MIN_DDF}
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             array_to_string(list(chunk ORDER BY j), ' ') AS new_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           t.n_chunks - COALESCE(r.n_kept, 0) AS n_boiler,
+           COALESCE(r.new_text, '') AS new_text
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "dedup",
+    doc=(
+        "Boilerplate removal transform: fixed-width chunks whose "
+        "DISTINCT-document frequency reaches BOILER_MIN_DDF (template "
+        "text — headers, footers, licence blocks) are stripped from "
+        "every document, and documents are reassembled from the "
+        "surviving chunks in order. Complements dedup_chunk_rewrite "
+        "(first-occurrence dedup): boilerplate keeps NO copy. Shuffle "
+        "shape: one exact-dedup aggregation on the chunk hash (the "
+        "distinct-doc count is vocabulary-bounded), one doc_id "
+        "rebuild co-partitioned with the explode's natural key — no "
+        "all-pairs anything at any scale."
+    ),
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = words_col()
+    n_chunks = F.expr(f"(size(split(text, ' ')) + {CHUNK - 1}) div {CHUNK}")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda j: F.struct(
+            j.alias("j"),
+            F.concat_ws(" ", F.slice(w, j * CHUNK + 1, CHUNK)).alias("chunk"),
+        ),
+    )
+    c = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(chunk_structs).alias("s"))
+        .select("doc_id", F.col("s.j").alias("j"), F.col("s.chunk").alias("chunk"))
+    )
+    ddf = (
+        c.groupBy(h28(F.col("chunk")).alias("h"))
+        .agg(F.countDistinct("doc_id").alias("ddf"))
+        .where(F.col("ddf") >= BOILER_MIN_DDF)
+    )
+    # anti-join against the (small) boilerplate hash set: only chunks
+    # with ddf >= threshold survive the filter above, so the probe side
+    # is the exceptional set, not the corpus
+    kept = c.join(ddf, h28(F.col("chunk")) == F.col("h"), "anti")
+    totals = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("chunk")))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_boiler"
+        ),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )

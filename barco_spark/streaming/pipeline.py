@@ -586,3 +586,117 @@ def curated_stream_with_quarantine(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@register(
+    "streaming_join_snapshot",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(c.ts) AS click_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    "pipeline",
+    doc=(
+        "Stream-stream event-time interval join (click attribution) "
+        "run as a REAL streaming query: the events topic split into a "
+        "view stream and a click stream, both watermarked, joined on "
+        "user_id with the time-range predicate click_ts in [view_ts, "
+        "view_ts + 1h], parquet sink, Trigger.AvailableNow — "
+        "hash-matched against the batch self-join oracle. Inner "
+        "stream-stream joins emit matches eagerly, so no sentinel is "
+        "needed; the watermark delay here spans the snapshot's input "
+        "(late-drop-free by construction), while a production stream "
+        "uses a realistic delay so the range condition bounds both "
+        "sides' state and the watermark evicts it. At scale both "
+        "sides shuffle-partition on user_id — the state-store key — "
+        "so each pairing is executor-local."
+    ),
+)
+def streaming_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from barco_spark.tables import t
+
+    tmp = tempfile.mkdtemp(prefix="ssjoin-snap-")
+    src = tmp + "/src"
+    out = tmp + "/out"
+    t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click")
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "unix_micros(ts) AS ts_us"
+    ).write.json(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts_us long"
+        )
+        .json(src)
+        .selectExpr(
+            "event_id", "user_id", "event_type", "timestamp_micros(ts_us) AS ts"
+        )
+    )
+    # file batches arrive in arbitrary ts order; a delay covering the
+    # dataset's time span makes cross-batch late drops impossible for
+    # the snapshot (production picks the real lateness bound instead)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "366 days")
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "366 days")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND click_ts >= view_ts"
+            " AND click_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_join_snapshot: query did not drain in 300s"
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(src, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return spark.read.schema(
+        "user_id long, view_id long, click_id long, view_us long, click_us long"
+    ).parquet(out)

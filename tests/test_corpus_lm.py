@@ -215,3 +215,78 @@ def test_kgrams_matches_naive_on_edges(spark):
 
     for (text,) in rows:
         assert got[text] == naive(text), (text, got[text], naive(text))
+
+
+def test_bm25_ranking_invariants(spark, sf_dir):
+    out = cl.bm25_topdocs(spark, sf_dir).collect()
+    assert 0 < len(out) <= cl.BM25_TOP
+    scores = [r.bm25 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        # only docs containing at least one query term may rank
+        assert r.tf_hash + r.tf_merge + r.tf_scan >= 1
+        assert r.bm25 > 0.0
+        assert r.dl > 0
+
+
+def test_boilerplate_strip_semantics(spark, sf_dir):
+    out = cl.boilerplate_strip(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_chunks").alias("total"),
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_boiler").alias("boiler"),
+    ).collect()[0]
+    assert agg.total == agg.kept + agg.boiler
+    assert agg.boiler > 0  # corpus has cross-doc template chunks
+    # independent recomputation: boiler occurrences are exactly the
+    # chunk occurrences whose chunk text spans >= BOILER_MIN_DDF docs
+    docs = t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_chunks = F.expr(f"(size(split(text, ' ')) + {CHUNK - 1}) div {CHUNK}")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda j: F.concat_ws(" ", F.slice(w, j * CHUNK + 1, CHUNK)),
+            )
+        ).alias("chunk"),
+    )
+    ddf = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("ddf")
+    )
+    expected_boiler = (
+        chunks.join(ddf, "chunk")
+        .where(F.col("ddf") >= cl.BOILER_MIN_DDF)
+        .count()
+    )
+    assert agg.boiler == expected_boiler
+
+
+def test_boilerplate_surviving_chunks_are_single_doc(spark, sf_dir):
+    out = cl.boilerplate_strip(spark, sf_dir)
+    rechunked = (
+        out.where(F.col("new_text") != "")
+        .select("doc_id", F.split(F.col("new_text"), " ").alias("words"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        ((F.size("words") + (CHUNK - 1)) / CHUNK).cast("int") - 1,
+                    ),
+                    lambda j: F.concat_ws(
+                        " ", F.slice(F.col("words"), j * CHUNK + 1, CHUNK)
+                    ),
+                )
+            ).alias("chunk"),
+        )
+    )
+    multi_doc = (
+        rechunked.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("ddf"))
+        .where(F.col("ddf") >= cl.BOILER_MIN_DDF)
+        .count()
+    )
+    assert multi_doc == 0

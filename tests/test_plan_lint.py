@@ -51,6 +51,9 @@ BNLJ_OK = {
     "temporal_holdout_split",
     # one-row order-count total crossed into the scored pair table
     "market_basket_lift",
+    # one-row (n_docs, total_tokens) corpus scalars crossed into the
+    # query-term tf table
+    "bm25_topdocs",
     "revenue_pareto_deciles",
     "order_backlog_aging",
 }
