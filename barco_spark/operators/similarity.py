@@ -211,6 +211,13 @@ def dedup_embedding_cosine_baseline(spark: SparkSession, sf_dir: str) -> DataFra
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cell_blocked_pairs(spark, sf_dir)
+
+
+def _cell_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of dedup_embedding_cosine / semdedup_prune: the
+    IVF-cell-blocked near-dup pair list (vec_a, vec_b, cell,
+    cosine_sim) at threshold 0.4."""
     import math
 
     e = t(spark, sf_dir, "embeddings").select(
@@ -1203,4 +1210,83 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("label", "vec_id", "dist2", F.col("rk").cast("bigint").alias("rk"))
         .orderBy("label", "rk")
+    )
+
+
+@register(
+    "semdedup_prune",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+             WHERE vec_id % (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+                             FROM e) = 0),
+    cscore AS (
+      SELECT e.vec_id, e.v, centroid_id, {_cos_sql_fwd('e.v', 'centv')} AS cos
+      FROM e CROSS JOIN cent),
+    assigned AS (
+      SELECT vec_id, v, centroid_id AS cell FROM (
+        SELECT vec_id, v, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id) AS rn
+        FROM cscore) WHERE rn = 1),
+    drops AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_cos_sql_fwd('a.v', 'b.v')} >= 0.4),
+    flagged AS (
+      SELECT e.label,
+             CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      FROM e LEFT JOIN drops d USING (vec_id))
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped,
+           CAST(SUM(kept) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS retention
+    FROM flagged GROUP BY label ORDER BY label
+    """,
+    "similarity",
+    doc=(
+        "SemDeDup (Abbas et al. 2023) pruning decision + retention "
+        "report: within each IVF cell (the same stride-sampled "
+        "max-cosine assignment as dedup_embedding_cosine), every "
+        "vector with an above-threshold lower-id neighbor is dropped "
+        "— the keep-lowest-id rule makes the survivor set "
+        "deterministic and order-free (a vec is dropped iff ANY "
+        "qualifying lower-id neighbor shares its cell, so no "
+        "sequential scan order exists to disagree about). Emits "
+        "per-label corpus size / kept / dropped / retention, the "
+        "dataset-shrink readout a curation run reports. Plan: the "
+        "pair join is the canonical cell-blocked shape (never "
+        "all-pairs), drops is a distinct projection of the pair "
+        "list's right column, and the final pass is one broadcast "
+        "anti-ish left join + label rollup."
+    ),
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _cell_blocked_pairs(spark, sf_dir)
+    drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    flagged = e.join(
+        F.broadcast(drops.withColumn("dropped", F.lit(1))), "vec_id", "left"
+    )
+    kept = F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum(kept)).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_kept",
+            "n_dropped",
+            (
+                F.col("n_kept").cast("double") / F.col("n_vectors")
+            ).alias("retention"),
+        )
+        .orderBy("label")
     )

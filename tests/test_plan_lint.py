@@ -35,6 +35,7 @@ BNLJ_OK = {
     # theta join (vec_a < vec_b) over the broadcast cell/centroid side
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_baseline",
+    "semdedup_prune",
     # scalar subquery threshold (one row) against the group sums
     "q11_important_parts",
     # probe-cell resolution over the tiny centroid table (sqrt(N) rows)

@@ -157,3 +157,23 @@ def test_dedup_embedding_vectorized_matches_fold_twin(spark, sf_dir):
         assert cell_f == cell_v, (k, cell_f, cell_v)
         assert abs(cos_f - cos_v) < 1e-9, (k, cos_f, cos_v)
     assert fold  # non-empty at every test SF
+
+
+def test_semdedup_prune_agrees_with_pair_list(spark, sf_dir):
+    """The retention report must be exactly derivable from the
+    canonical cell-blocked pair list: dropped = distinct vec_b."""
+    from barco_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        semdedup_prune,
+    )
+    from barco_spark.tables import t as _t
+
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    expected_drops = {r.vec_b for r in pairs.select("vec_b").distinct().collect()}
+    rep = semdedup_prune(spark, sf_dir).collect()
+    assert sum(r.n_dropped for r in rep) == len(expected_drops)
+    n = _t(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rep) == n
+    for r in rep:
+        assert r.n_kept + r.n_dropped == r.n_vectors
+        assert 0.0 < r.retention <= 1.0
