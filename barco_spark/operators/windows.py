@@ -930,3 +930,119 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_hopping_window",
+    """
+    WITH x AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 15 MINUTE, ts)
+               - u.i * INTERVAL 15 MINUTE AS window_start
+      FROM events, unnest(range(0, 4)) AS u(i))
+    SELECT window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+    "window",
+    doc=(
+        "Hopping (sliding) event-time window: 1h windows advancing "
+        "every 15 min via the REAL F.window(ts, '1 hour', '15 "
+        "minutes') operator — each event lands in size/slide = 4 "
+        "overlapping windows. The oracle expands the same 4 "
+        "epoch-aligned offsets per event with unnest(range(0,4)). "
+        "Complements events_tumbling_window (slide == size) and the "
+        "session_window family. Value sums in exact DECIMAL. Scale: "
+        "the expansion factor is size/slide (constant), and the "
+        "aggregate is one hash shuffle keyed on (window, type) — "
+        "identical posture to the tumbling rollup."
+    ),
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_twap",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS ts_us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS next_us
+      FROM events),
+    seg AS (
+      SELECT user_id, event_type,
+             cents * (next_us - ts_us) AS area,
+             next_us - ts_us AS dur_us
+      FROM o WHERE next_us IS NOT NULL)
+    SELECT user_id, event_type,
+           COUNT(*) AS n_segments,
+           CAST(SUM(dur_us) AS BIGINT) AS span_us,
+           (CAST(SUM(area) AS BIGINT) / CAST(SUM(dur_us) AS BIGINT))
+             / 100.0 AS twap
+    FROM seg GROUP BY user_id, event_type
+    """,
+    "window",
+    doc=(
+        "Time-weighted average value per (user, event type): each "
+        "observation holds until the next one (step interpolation), "
+        "TWAP = sum(value_i * dur_i) / sum(dur_i) over the observed "
+        "span — the standard telemetry/financial rollup that plain "
+        "AVG gets wrong under irregular sampling. Determinism: values are "
+        "quantized to integer cents (floor(value*100) — the same "
+        "double product in both engines), the per-segment area is "
+        "cents * integer-microsecond duration (exact int64; bounded "
+        "by max_cents * time_range regardless of row count), and the "
+        "only doubles are the final two fixed-order divisions. One window shuffle keyed on the "
+        "group (LEAD) feeding a same-key aggregate — at scale the agg "
+        "reuses the window's partitioning, so it is a single shuffle."
+    ),
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    seg = o.where(F.col("next_us").isNotNull()).select(
+        "user_id",
+        "event_type",
+        (F.col("cents") * (F.col("next_us") - F.col("ts_us"))).alias("area"),
+        (F.col("next_us") - F.col("ts_us")).alias("dur_us"),
+    )
+    return seg.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur_us").cast("bigint").alias("span_us"),
+        (
+            (
+                F.sum("area").cast("bigint")
+                / F.sum("dur_us").cast("bigint")
+            )
+            / F.lit(100.0)
+        ).alias("twap"),
+    )

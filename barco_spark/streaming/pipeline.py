@@ -700,3 +700,76 @@ def streaming_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "user_id long, view_id long, click_id long, view_us long, click_us long"
     ).parquet(out)
+
+
+@register(
+    "streaming_enrich_snapshot",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    "pipeline",
+    doc=(
+        "Stream-static enrichment join run as a REAL streaming query: "
+        "the events stream joined (stateless, per-micro-batch) against "
+        "the static customer dimension, enriched rows written to the "
+        "sink, then rolled up per market segment — hash-matched "
+        "against the batch join+GROUP BY oracle. The static side is "
+        "broadcast into every micro-batch, the standard dimension- "
+        "enrichment shape: no state store, no watermark, and at scale "
+        "the dimension refresh is just re-reading the static relation "
+        "per batch. Value sums in exact DECIMAL."
+    ),
+)
+def streaming_enrich_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from barco_spark.tables import t
+
+    tmp = tempfile.mkdtemp(prefix="enrich-snap-")
+    src = tmp + "/src"
+    out = tmp + "/out"
+    t(spark, sf_dir, "events").selectExpr("user_id", "value").write.json(src)
+
+    customer = F.broadcast(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    stream = spark.readStream.schema("user_id long, value double").json(src)
+    enriched = stream.join(
+        customer, stream["user_id"] == customer["c_custkey"], "inner"
+    ).select("c_mktsegment", "value")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_enrich_snapshot: query did not drain in 300s"
+            )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(src, ignore_errors=True)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return (
+        spark.read.schema("c_mktsegment string, value double")
+        .parquet(out)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
