@@ -167,35 +167,33 @@ def chunk_rewrite_frame(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", F.explode(chunk_structs).alias("s"))
         .select("doc_id", F.col("s.j").alias("j"), F.col("s.chunk").alias("chunk"))
     )
+    # JOIN-FREE shape (round 6, same rewrite as boilerplate_strip): the
+    # old totals-join-rebuilt plan re-executed the chunk explode on the
+    # totals side and joined it back; keeping every row through the one
+    # rank window and folding kept/total/rebuild into a single doc_id
+    # aggregation runs the explode once and removes the join entirely
+    # (measured 56 s -> 49 s at 500k docs — the h-window carrying the
+    # chunk text dominates, so the win is smaller than
+    # boilerplate_strip's 2.1x, but the explode now runs once and the
+    # doc rollup rides the rebuild's own shuffle; SCALING.md round 6).
     rn = F.row_number().over(
         Window.partitionBy(h28(F.col("chunk"))).orderBy("doc_id", "j")
     )
-    flagged = c.withColumn("rn", rn)
-    totals = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    rebuilt = (
-        flagged.where(F.col("rn") == 1)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("j"), F.col("chunk")))
-                    ),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("new_text"),
-        )
-    )
-    return totals.join(rebuilt, "doc_id", "left").select(
+    flagged = c.select(
         "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_dropped"
-        ),
-        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+        F.when(rn == 1, F.struct(F.col("j"), F.col("chunk"))).alias("kept_s"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count("kept_s").alias("n_kept"),
+        (F.count(F.lit(1)) - F.count("kept_s")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("kept_s")),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
     )
 
 
@@ -684,11 +682,17 @@ BOILER_MIN_DDF = 2
         "text — headers, footers, licence blocks) are stripped from "
         "every document, and documents are reassembled from the "
         "surviving chunks in order. Complements dedup_chunk_rewrite "
-        "(first-occurrence dedup): boilerplate keeps NO copy. Shuffle "
-        "shape: one exact-dedup aggregation on the chunk hash (the "
-        "distinct-doc count is vocabulary-bounded), one doc_id "
-        "rebuild co-partitioned with the explode's natural key — no "
-        "all-pairs anything at any scale."
+        "(first-occurrence dedup): boilerplate keeps NO copy. Plan "
+        "shape (JOIN-FREE): the chunk explode runs ONCE into a single "
+        "chunk-hash shuffle where two stacked windows compute the "
+        "distinct-doc count (a lag(doc_id) first-in-doc mark summed "
+        "over the hash partition — COUNT(DISTINCT) OVER isn't "
+        "supported, and both windows share the h-only partitioning so "
+        "there is no second exchange), then ONE doc_id aggregation "
+        "emits totals, kept counts, and the rebuilt text together. "
+        "The naive agg-then-join-back plan re-executed the explode on "
+        "all three consumers: 110 s -> 52 s at 500k docs (SCALING.md "
+        "round 6). Two shuffles total, no all-pairs anything."
     ),
 )
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,33 +709,31 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(chunk_structs).alias("s"))
         .select("doc_id", F.col("s.j").alias("j"), F.col("s.chunk").alias("chunk"))
+        .withColumn("h", h28(F.col("chunk")))
     )
-    ddf = (
-        c.groupBy(h28(F.col("chunk")).alias("h"))
-        .agg(F.countDistinct("doc_id").alias("ddf"))
-        .where(F.col("ddf") >= BOILER_MIN_DDF)
+    # first occurrence of each doc within its hash partition (ordered
+    # by doc then position, so the mark is deterministic)
+    w_h = Window.partitionBy("h").orderBy("doc_id", "j")
+    fid = F.when(
+        F.lag("doc_id").over(w_h).isNull()
+        | (F.lag("doc_id").over(w_h) != F.col("doc_id")),
+        1,
+    ).otherwise(0)
+    ddf = F.sum(fid).over(Window.partitionBy("h"))
+    keep = ddf < BOILER_MIN_DDF
+    flagged = c.select(
+        "doc_id",
+        F.when(keep, F.struct(F.col("j"), F.col("chunk"))).alias("kept_s"),
     )
-    # anti-join against the (small) boilerplate hash set: only chunks
-    # with ddf >= threshold survive the filter above, so the probe side
-    # is the exceptional set, not the corpus
-    kept = c.join(ddf, h28(F.col("chunk")) == F.col("h"), "anti")
-    totals = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count("kept_s").alias("n_kept"),
+        (F.count(F.lit(1)) - F.count("kept_s")).alias("n_boiler"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("chunk")))),
+                F.array_sort(F.collect_list("kept_s")),
                 lambda s: s["chunk"],
             ),
             " ",
         ).alias("new_text"),
-    )
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-            "n_boiler"
-        ),
-        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
     )

@@ -89,6 +89,11 @@ HEADLINE = [
     "ann_ivfpq_search",
     "chunk_for_retrieval",
     "graph_kcore",
+    "bm25_topdocs",
+    "boilerplate_strip",
+    "semdedup_prune",
+    "events_hopping_window",
+    "events_twap",
 ]
 
 
