@@ -278,30 +278,6 @@ def _cell_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_lsh_buckets",
-    None,  # scale-path operator; verified by rows-only check + pytest
-    "similarity",
-    doc=(
-        "Random-hyperplane LSH bucketing: 8 sign bits from pseudo-random "
-        "hyperplanes (deterministic md5-derived components). At scale the "
-        "corpus is written bucketed by this key; queries probe one bucket. "
-        "Verified in tests/test_similarity.py against brute force recall."
-    ),
-)
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every vector an 8-bit LSH bucket; return bucket histogram."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    bucket = lsh_bucket_col(F.col("v"), n_planes=8, dim=64)
-    return (
-        e.select("vec_id", bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-    )
-
-
 def _plane_component(j: int, i: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5)."""
     import hashlib
@@ -358,6 +334,37 @@ def _bucket_col(v: Column, planes: list[list[float]]) -> Column:
     tmpl = "(" + " + ".join(terms) + ")"
     name = _column_sql_name(v)
     return F.expr(tmpl.replace("{v}", name))
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT {_bucket_sql('v', _planes(8, 64))} AS bucket,
+           COUNT(*) AS n_vectors
+    FROM e GROUP BY 1
+    """,
+    "similarity",
+    doc=(
+        "Random-hyperplane LSH bucketing: 8 sign bits from pseudo-random "
+        "hyperplanes (deterministic md5-derived components). At scale the "
+        "corpus is written bucketed by this key; queries probe one bucket. "
+        "Verified in tests/test_similarity.py against brute force recall; "
+        "oracle-paired since round 6 (the per-plane dot products fold "
+        "sequentially on both engines, so the sign bits are exact)."
+    ),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector an 8-bit LSH bucket; return bucket histogram."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucket = lsh_bucket_col(F.col("v"), n_planes=8, dim=64)
+    return (
+        e.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
 
 
 def _column_sql_name(v: Column) -> str:
