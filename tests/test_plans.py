@@ -395,3 +395,30 @@ def test_incremental_dedup_index_never_shuffles(spark, sf_dir):
     # sits AFTER the broadcast probe join, so its dedup shuffles only
     # matches; the cold plan duplicates that subtree once per key kind)
     assert shuffle_count(df) <= 4
+
+
+def test_chunk_transforms_are_join_free(spark, sf_dir):
+    """boilerplate_strip and dedup_chunk_rewrite must keep the round-6
+    join-free shape: the chunk explode feeds exactly two exchanges
+    (chunk-hash window, doc_id rebuild) and no join re-executes it."""
+    for name in ("boilerplate_strip", "dedup_chunk_rewrite"):
+        df = QUERIES[name].build(spark, sf_dir)
+        plan = explain_str(df)
+        assert "Join" not in plan, f"{name}: join reintroduced"
+        assert shuffle_count(df) == 2, f"{name}: expected 2 exchanges"
+
+
+def test_bm25_topk_and_broadcasts(spark, sf_dir):
+    """bm25_topdocs: corpus scalars broadcast, top-20 never a global
+    sort."""
+    df = QUERIES["bm25_topdocs"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_broadcast_join(df)
+
+
+def test_events_twap_single_shuffle_window_then_agg(spark, sf_dir):
+    """TWAP: the LEAD window and the group aggregate share the
+    (user_id, event_type) partitioning — one exchange total."""
+    df = QUERIES["events_twap"].build(spark, sf_dir)
+    assert shuffle_count(df) == 1
