@@ -476,3 +476,97 @@ def test_fuzz_debounce_tie_break(spark, rows, tmp_path_factory):
     finally:
         con.close()
     assert s == d
+
+
+TWAP_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),            # key
+        st.integers(min_value=-100_000, max_value=100_000),  # cents
+        st.integers(min_value=1, max_value=2_500_000_000_000),  # dur_us
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=TWAP_ROWS)
+@FUZZ
+def test_fuzz_twap_integer_areas(spark, rows):
+    """events_twap's determinism shape, fuzzed AT TRAP MAGNITUDES: the
+    first draft summed DECIMAL(18,2)*bigint areas and cast the
+    DECIMAL(38,2) sum to DOUBLE — the engines disagreed by 1 ulp once
+    the unscaled sum passed ~2^53 (seen on the real events table at
+    ~1.5e16 units). The shipped shape keeps areas in int64
+    (cents * dur_us, bounded by max_cents * time_range) and does two
+    fixed-order double divisions; durations here go to 2.5e12 so the
+    products land squarely in the zone that broke the decimal cast."""
+    import duckdb
+
+    pdf = pd.DataFrame(
+        [(i, k, c, d) for i, (k, c, d) in enumerate(rows)],
+        columns=["id", "k", "cents", "dur_us"],
+    )
+    spark.createDataFrame(
+        pdf, schema="id long, k long, cents long, dur_us long"
+    ).createOrReplaceTempView("fz_twap")
+    con = duckdb.connect()
+    con.register("fz_twap", pdf)
+    try:
+        _both(
+            spark,
+            con,
+            """
+            SELECT k,
+                   CAST(SUM(dur_us) AS BIGINT) AS span_us,
+                   (CAST(SUM(cents * dur_us) AS BIGINT)
+                      / CAST(SUM(dur_us) AS BIGINT)) / 100.0 AS twap
+            FROM fz_twap GROUP BY k
+            """,
+        )
+    finally:
+        con.close()
+
+
+IDF_PAIRS = st.tuples(
+    st.integers(min_value=1, max_value=10_000_000_000),  # N
+    st.integers(min_value=1, max_value=10_000_000_000),  # df (clamped <= N)
+)
+
+
+@given(pairs=st.lists(IDF_PAIRS, min_size=1, max_size=40))
+@FUZZ
+def test_fuzz_bm25_idf_quantization(spark, pairs):
+    """bm25's quantized idf: floor(log2(((N-df+1)<<20) div (df+1))) must
+    be cross-engine exact for ANY (N, df) — the argument is an integer,
+    and floor(log2(int)) is its bit length minus one (log2 of an int is
+    only ever within an ulp of an integer when it IS that power of two,
+    where log2 is exact). Includes exact powers of two by construction
+    (N-df+1 = 1 cases) and values far past 2^53."""
+    import duckdb
+
+    rows = [(i, max(n, d), min(n, d)) for i, (n, d) in enumerate(pairs)]
+    pdf = pd.DataFrame(rows, columns=["id", "n_docs", "df"])
+    spark.createDataFrame(
+        pdf, schema="id long, n_docs long, df long"
+    ).createOrReplaceTempView("fz_idf")
+    con = duckdb.connect()
+    con.register("fz_idf", pdf)
+    try:
+        _both(
+            spark,
+            con,
+            """
+            SELECT id,
+                   CAST(FLOOR(LOG2(((n_docs - df + 1) * 1048576)
+                        div (df + 1))) AS BIGINT) AS idf_q
+            FROM fz_idf
+            """,
+            """
+            SELECT id,
+                   CAST(FLOOR(LOG2(((n_docs - df + 1) * 1048576)
+                        // (df + 1))) AS BIGINT) AS idf_q
+            FROM fz_idf
+            """,
+        )
+    finally:
+        con.close()
