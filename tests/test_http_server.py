@@ -936,3 +936,70 @@ def test_metrics_endpoint_prometheus_text(server):
         if ln.startswith("barco_spark_consumer_lag{") and 'group="gm"' in ln
     ]
     assert lag_final and all(ln.endswith(" 0") for ln in lag_final)
+
+
+def test_failover_produce_keeps_offsets_contiguous(spark, tmp_path):
+    """End-to-end single-writer guarantee through a crash failover: the
+    topic leader produces, dies WITHOUT goodbye (stale registry entry,
+    no retire), the survivor takes leadership after ttl and CONTINUES
+    the same per-bucket offset sequences — the new leader must derive
+    watermarks from the log's footers, not from any in-memory state of
+    the dead facade, and the write fence must admit it (fresh heartbeat
+    vs the dead peer's stale one). The combined log must hold every
+    record from both leaders with per-bucket offsets exactly
+    [0..n-1]."""
+    import time as _t
+    from collections import Counter
+
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    root = str(tmp_path / "log")
+    fa = BrokerHttpServer(EventLog(spark, root), facade_ttl_s=0.5)
+    fb = BrokerHttpServer(EventLog(spark, root), facade_ttl_s=0.5)
+    fa.start(), fb.start()
+    try:
+        leader_id = fa.registry.leader_for("t")[0]
+        crashed, survivor = (
+            (fa, fb) if leader_id == fa.registry.facade_id else (fb, fa)
+        )
+        for i in range(6):
+            code, body = _req(
+                crashed,
+                "POST",
+                f"/v1/topic/t/messages?partitionKey=k{i % 3}",
+                body=f"pre{i}",
+            )
+            assert (code, json.loads(body)["produced"]) == (200, 1)
+        # crash: socket down, registry entry left to rot
+        crashed._httpd.shutdown()
+        crashed._httpd.server_close()
+        _t.sleep(0.6)
+        assert survivor.registry.leader_for("t")[0] == (
+            survivor.registry.facade_id
+        )
+        for i in range(6):
+            code, body = _req(
+                survivor,
+                "POST",
+                f"/v1/topic/t/messages?partitionKey=k{i % 3}",
+                body=f"post{i}",
+            )
+            assert (code, json.loads(body)["produced"]) == (200, 1)
+        rows = spark.read.parquet(root + "/data").collect()
+        assert len(rows) == 12
+        assert {r["payload"] for r in rows} == (
+            {f"pre{i}" for i in range(6)} | {f"post{i}" for i in range(6)}
+        )
+        per_bucket = Counter(r["bucket"] for r in rows)
+        for bucket, n in per_bucket.items():
+            offs = sorted(
+                r["offset"] for r in rows if r["bucket"] == bucket
+            )
+            assert offs == list(range(n)), (
+                f"bucket {bucket}: offsets {offs} not contiguous"
+            )
+    finally:
+        fa.coalescer.stop()
+        fa.registry.retire()
+        fb.stop()
