@@ -29,7 +29,7 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _req(port, method, path, body=None, ctype="text/plain"):
+def _req(port, method, path, body=None, ctype="text/plain", accept=None, raw=False):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}",
         data=body.encode() if body is not None else None,
@@ -37,8 +37,13 @@ def _req(port, method, path, body=None, ctype="text/plain"):
     )
     if body is not None:
         req.add_header("Content-Type", ctype)
+    if accept is not None:
+        # the facade's poll default is the reference's BINARY item
+        # stream (round 6); the JSON path needs an explicit Accept
+        req.add_header("Accept", accept)
     with urllib.request.urlopen(req) as resp:
-        return resp.status, resp.read().decode()
+        data = resp.read()
+        return resp.status, (data if raw else data.decode())
 
 
 def bench_produce(server, producers: int, per_producer: int) -> dict:
@@ -102,12 +107,43 @@ def bench_poll(server, log, rows: int, polls: int) -> dict:
             "POST",
             f"/v1/consumer/poll?consumerId=lat1&maxRecords={per_bucket}",
             body=" ",
+            accept="application/json",
         )
         lat.append(time.perf_counter() - t0)
         if code == 200:
             served += sum(len(item["values"]) for item in json.loads(body))
     lat_ms = sorted(x * 1000 for x in lat)
     q = lambda p: lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))]  # noqa: E731
+    # second consumer drains the same topic over the DEFAULT binary
+    # item stream (no Accept header), for the marshal-cost comparison
+    _req(
+        server.port,
+        "PUT",
+        "/v1/consumer/register?consumerId=lat2&group=latb&topic=poll_t&onNewGroup=earliest",
+        body=" ",
+    )
+    from barco_spark.sources.wire import decode_poll_response
+
+    blat: list[float] = []
+    bbytes = 0
+    bserved = 0
+    for _ in range(polls):
+        t0 = time.perf_counter()
+        code, raw = _req(
+            server.port,
+            "POST",
+            f"/v1/consumer/poll?consumerId=lat2&maxRecords={per_bucket}",
+            body=" ",
+            raw=True,
+        )
+        blat.append(time.perf_counter() - t0)
+        if code == 200:
+            bbytes += len(raw)
+            bserved += sum(
+                len(item["records"]) for item in decode_poll_response(raw)
+            )
+    blat_ms = sorted(x * 1000 for x in blat)
+    bq = lambda p: blat_ms[min(len(blat_ms) - 1, int(p * len(blat_ms)))]  # noqa: E731
     return {
         "rows": rows,
         "polls": polls,
@@ -116,6 +152,10 @@ def bench_poll(server, log, rows: int, polls: int) -> dict:
         "p90_ms": round(q(0.90), 1),
         "p99_ms": round(q(0.99), 1),
         "max_ms": round(lat_ms[-1], 1),
+        "binary_p50_ms": round(statistics.median(blat_ms), 1),
+        "binary_p99_ms": round(bq(0.99), 1),
+        "binary_records_served": bserved,
+        "binary_bytes": bbytes,
     }
 
 
