@@ -1,0 +1,85 @@
+"""The Python client library (barco_spark/client.py) e2e against the
+live facade: discovery, leader-following produce, binary-default polls
+decoded field-for-field, JSON mode, commit/goodbye lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+
+from barco_spark.client import BarcoConsumer, BarcoProducer, discover
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    s = BrokerHttpServer(EventLog(spark, str(tmp_path / "log")))
+    s.start()
+    try:
+        yield s
+    finally:
+        s.stop()
+
+
+def _base(server) -> str:
+    return f"http://127.0.0.1:{server.port}"
+
+
+def test_discovery_and_produce_consume_roundtrip(server):
+    topo = discover(_base(server))
+    assert topo["length"] >= 1
+    prod = BarcoProducer(_base(server))
+    for i in range(10):
+        out = prod.produce("t", f"m{i}", key=f"k{i % 3}")
+        assert out["produced"] == 1
+    with BarcoConsumer(_base(server), "c1", "g1", "t") as cons:
+        got: list[str] = []
+        for _ in range(5):
+            got.extend(cons.payloads())
+            if len(got) >= 10:
+                break
+        assert sorted(got) == sorted(f"m{i}" for i in range(10))
+        committed = cons.commit()
+        assert "committed" in committed
+    # after goodbye, a NEW consumer in the same group resumes past the
+    # committed records: nothing is redelivered
+    with BarcoConsumer(_base(server), "c2", "g1", "t") as c2:
+        assert c2.payloads() == []
+
+
+def test_json_mode_matches_binary(server):
+    prod = BarcoProducer(_base(server))
+    for i in range(6):
+        prod.produce("t2", f"x{i}", key="k")
+    with BarcoConsumer(_base(server), "cb", "gb", "t2") as cb:
+        bin_payloads = sorted(cb.payloads())
+    with BarcoConsumer(
+        _base(server), "cj", "gj", "t2", json_mode=True
+    ) as cj:
+        json_payloads = sorted(cj.payloads())
+    assert bin_payloads == json_payloads == sorted(f"x{i}" for i in range(6))
+
+
+def test_producer_follows_topic_leader_across_facades(spark, tmp_path):
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    root = str(tmp_path / "log")
+    fa = BrokerHttpServer(EventLog(spark, root))
+    fb = BrokerHttpServer(EventLog(spark, root))
+    fa.start(), fb.start()
+    try:
+        leader_id = fa.registry.leader_for("lt")[0]
+        follower = fb if leader_id == fa.registry.facade_id else fa
+        # aim the producer at the NON-leader: the client must follow the
+        # 307 and land the write on the leader
+        prod = BarcoProducer(f"http://127.0.0.1:{follower.port}")
+        assert prod.produce("lt", "hello", key="k")["produced"] == 1
+        assert prod._leader["lt"] != f"http://127.0.0.1:{follower.port}"
+        # cached leader: second send goes direct (no 307 hop)
+        assert prod.produce("lt", "again", key="k")["produced"] == 1
+        rows = spark.read.parquet(root + "/data").collect()
+        assert sorted(r["payload"] for r in rows) == ["again", "hello"]
+    finally:
+        fa.stop(), fb.stop()
