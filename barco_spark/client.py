@@ -114,15 +114,19 @@ class BarcoConsumer:
         self.consumer_id = consumer_id
         self.group = group
         self.topic = topic
+        self.on_new_group = on_new_group
         self.json_mode = json_mode
+        self._register()
+
+    def _register(self) -> None:
         _request(
             self.base,
             "PUT",
             "/v1/consumer/register"
-            f"?consumerId={urllib.parse.quote(consumer_id)}"
-            f"&group={urllib.parse.quote(group)}"
-            f"&topic={urllib.parse.quote(topic)}"
-            f"&onNewGroup={on_new_group}",
+            f"?consumerId={urllib.parse.quote(self.consumer_id)}"
+            f"&group={urllib.parse.quote(self.group)}"
+            f"&topic={urllib.parse.quote(self.topic)}"
+            f"&onNewGroup={self.on_new_group}",
             b" ",
         )
 
@@ -134,17 +138,33 @@ class BarcoConsumer:
 
         Each item carries ``topic``, ``start_offset`` (binary) or
         ``startOffset`` (json) and its records/values, exactly as the
-        facade serialized them.
+        facade serialized them. A consumer the facade evicted for
+        inactivity (R13) is transparently re-registered and retried
+        once — committed offsets live server-side per group, so the
+        re-registered consumer resumes where the group left off.
         """
         headers = {"Accept": "application/json"} if self.json_mode else {}
-        status, body, _ = _request(
-            self.base,
-            "POST",
-            f"/v1/consumer/poll{self._consumer_qs()}"
-            f"&maxRecords={max_records}",
-            b" ",
-            headers,
-        )
+        try:
+            status, body, _ = _request(
+                self.base,
+                "POST",
+                f"/v1/consumer/poll{self._consumer_qs()}"
+                f"&maxRecords={max_records}",
+                b" ",
+                headers,
+            )
+        except BarcoClientError as ex:
+            if ex.status != 400 or "Unregistered" not in ex.body:
+                raise
+            self._register()
+            status, body, _ = _request(
+                self.base,
+                "POST",
+                f"/v1/consumer/poll{self._consumer_qs()}"
+                f"&maxRecords={max_records}",
+                b" ",
+                headers,
+            )
         if status == 204:
             return []
         if self.json_mode:

@@ -83,3 +83,46 @@ def test_producer_follows_topic_leader_across_facades(spark, tmp_path):
         assert sorted(r["payload"] for r in rows) == ["again", "hello"]
     finally:
         fa.stop(), fb.stop()
+
+
+def test_evicted_consumer_transparently_reregisters(spark, tmp_path):
+    """R13 eviction from the CLIENT's view: a consumer idle past the
+    read timeout is dropped server-side; its next poll re-registers
+    transparently and resumes from the group's committed offsets (no
+    redelivery of committed records, no skips of new ones)."""
+    import time as _t
+
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    s = BrokerHttpServer(
+        EventLog(spark, str(tmp_path / "log")), consumer_read_timeout_s=0.4
+    )
+    s.start()
+    try:
+        base = f"http://127.0.0.1:{s.port}"
+        prod = BarcoProducer(base)
+        for i in range(4):
+            prod.produce("t", f"a{i}", key="k")
+        cons = BarcoConsumer(base, "ce", "ge", "t")
+        got = []
+        for _ in range(5):
+            got.extend(cons.payloads())
+            if len(got) >= 4:
+                break
+        assert sorted(got) == [f"a{i}" for i in range(4)]
+        cons.commit()
+        _t.sleep(0.6)  # idle past the timeout; next sweep evicts
+        # a second consumer's poll triggers the sweep that evicts ce
+        other = BarcoConsumer(base, "cx", "gx", "t")
+        other.poll()
+        for i in range(2):
+            prod.produce("t", f"b{i}", key="k")
+        got2 = []
+        for _ in range(5):
+            got2.extend(cons.payloads())  # transparently re-registers
+            if len(got2) >= 2:
+                break
+        assert sorted(got2) == ["b0", "b1"]  # resumed, not redelivered
+    finally:
+        s.stop()
