@@ -169,3 +169,18 @@ def test_sparkapplication_core_fields():
             assert spec.get(key), f"{fname}: spec.{key} missing"
         assert "executor" in spec and "driver" in spec
         assert spec["dynamicAllocation"]["maxExecutors"] >= 100  # scale posture
+
+
+def test_compose_dev_mode_parses_and_probes_status():
+    """deploy/docker-compose.yml mirrors the reference's dev-mode
+    compose (single facade, /status healthcheck); .yml keeps it out of
+    the K8s lint's *.yaml glob."""
+    path = os.path.join(DEPLOY_DIR, "docker-compose.yml")
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    svc = doc["services"]["barco-facade"]
+    assert "run_facade.py" in " ".join(svc["command"])
+    assert any("/status" in str(part) for part in svc["healthcheck"]["test"])
+    assert any("9250" in p for p in svc["ports"])
+    env = dict(e.split("=", 1) for e in svc["environment"])
+    assert env["FACADE_PORT"] == "9250"
