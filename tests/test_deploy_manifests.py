@@ -184,3 +184,14 @@ def test_compose_dev_mode_parses_and_probes_status():
     assert any("9250" in p for p in svc["ports"])
     env = dict(e.split("=", 1) for e in svc["environment"])
     assert env["FACADE_PORT"] == "9250"
+
+
+def test_facade_dockerfile_ships_package_and_entrypoint():
+    path = os.path.join(DEPLOY_DIR, "Dockerfile")
+    text = open(path).read()
+    assert "COPY barco_spark" in text
+    assert "run_facade.py" in text
+    assert "PYTHONPATH=/opt/barco" in text
+    # the deployment must run the image this Dockerfile builds
+    dep = open(os.path.join(DEPLOY_DIR, "facade-deployment.yaml")).read()
+    assert "barco-spark:" in dep and "run_facade.py" in dep
