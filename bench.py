@@ -94,6 +94,7 @@ HEADLINE = [
     "semdedup_prune",
     "events_hopping_window",
     "events_twap",
+    "variant_shred_stats",
 ]
 
 
