@@ -507,9 +507,14 @@ _IDF_SCALE = 1 << 20
 
 
 def _bm25_idf_sql(n: str, df: str) -> str:
+    # GREATEST(..., 1) is the standard BM25 idf floor: when df ≈ N at
+    # ≥2^20 docs the integer quotient underflows to 0 and LOG2(0) would
+    # error (DuckDB) / NULL (Spark).  Flooring at 1 gives idf_q = 0 for
+    # corpus-saturating terms — they contribute nothing to the score,
+    # which is exactly Robertson's non-negative idf convention.
     return (
-        f"CAST(FLOOR(LOG2((({n} - {df} + 1) * {_IDF_SCALE}) // ({df} + 1)))"
-        " AS BIGINT)"
+        f"CAST(FLOOR(LOG2(GREATEST((({n} - {df} + 1) * {_IDF_SCALE})"
+        f" // ({df} + 1), 1))) AS BIGINT)"
     )
 
 
@@ -588,9 +593,10 @@ def bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # exact integer quotient ((N-df+1)<<20) div (df+1), then bit length
+    # exact integer quotient ((N-df+1)<<20) div (df+1), floored at 1
+    # (the BM25 idf floor — see _bm25_idf_sql), then bit length
     q = F.expr(f"((n_docs - df + 1) * {_IDF_SCALE}) div (df + 1)")
-    idf = F.floor(F.log2(q)).cast("bigint")
+    idf = F.floor(F.log2(F.greatest(q, F.lit(1)))).cast("bigint")
     score_t = (
         idf * (F.lit(44) * F.col("total_tokens") * F.col("tf"))
     ) / (

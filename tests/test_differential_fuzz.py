@@ -536,8 +536,11 @@ IDF_PAIRS = st.tuples(
 @given(pairs=st.lists(IDF_PAIRS, min_size=1, max_size=40))
 @FUZZ
 def test_fuzz_bm25_idf_quantization(spark, pairs):
-    """bm25's quantized idf: floor(log2(((N-df+1)<<20) div (df+1))) must
-    be cross-engine exact for ANY (N, df) — the argument is an integer,
+    """bm25's quantized idf: floor(log2(greatest(((N-df+1)<<20) div
+    (df+1), 1))) must be cross-engine exact for ANY (N, df) — the
+    GREATEST floor (the standard BM25 non-negative-idf convention)
+    keeps the log argument a POSITIVE integer even when df ≈ N at
+    ≥2^20 docs (the round-6 falsifier), the argument is an integer,
     and floor(log2(int)) is its bit length minus one (log2 of an int is
     only ever within an ulp of an integer when it IS that power of two,
     where log2 is exact). Includes exact powers of two by construction
@@ -557,14 +560,14 @@ def test_fuzz_bm25_idf_quantization(spark, pairs):
             con,
             """
             SELECT id,
-                   CAST(FLOOR(LOG2(((n_docs - df + 1) * 1048576)
-                        div (df + 1))) AS BIGINT) AS idf_q
+                   CAST(FLOOR(LOG2(GREATEST(((n_docs - df + 1) * 1048576)
+                        div (df + 1), 1))) AS BIGINT) AS idf_q
             FROM fz_idf
             """,
             """
             SELECT id,
-                   CAST(FLOOR(LOG2(((n_docs - df + 1) * 1048576)
-                        // (df + 1))) AS BIGINT) AS idf_q
+                   CAST(FLOOR(LOG2(GREATEST(((n_docs - df + 1) * 1048576)
+                        // (df + 1), 1))) AS BIGINT) AS idf_q
             FROM fz_idf
             """,
         )
