@@ -1267,17 +1267,22 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dataset-shrink readout a curation run reports. Plan: the "
         "pair join is the canonical cell-blocked shape (never "
         "all-pairs), drops is a distinct projection of the pair "
-        "list's right column, and the final pass is one broadcast "
-        "anti-ish left join + label rollup."
+        "list's right column, and the final pass is one left join + "
+        "label rollup with NO broadcast hint — the drop-set is "
+        "O(N_dropped), unbounded on dup-heavy corpora, so AQE picks "
+        "the strategy and the vec_id join may legitimately shuffle."
     ),
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _cell_blocked_pairs(spark, sf_dir)
     drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     e = t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    flagged = e.join(
-        F.broadcast(drops.withColumn("dropped", F.lit(1))), "vec_id", "left"
-    )
+    # No broadcast hint on the drop-set: SemDeDup prunes a large
+    # fraction of dup-heavy corpora by design, so drops is O(N_dropped)
+    # — unbounded at 100 TB.  AQE sizes the join at runtime (broadcast
+    # when small, shuffled hash otherwise); the vec_id join MAY shuffle
+    # and that is the correct scale posture.
+    flagged = e.join(drops.withColumn("dropped", F.lit(1)), "vec_id", "left")
     kept = F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0))
     return (
         flagged.groupBy("label")
