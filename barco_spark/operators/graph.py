@@ -354,10 +354,39 @@ _KCORE_ROUNDS_SQL = ",".join(
         "degree aggregate + two semi-joins on the banding-bounded pair "
         "graph (never the corpus); the edge list is persisted once and "
         "released eagerly, and at 100 TB the loop extends to "
-        "convergence exactly like dedup_clusters' label propagation."
+        "convergence exactly like dedup_clusters' label propagation "
+        "(see graph_kcore_converged). The result stays DISTRIBUTED — "
+        "dense duplication communities at web scale make the survivor "
+        "set large, so nothing here collects to the driver; all but "
+        "the final round's checkpoint blocks are freed inside the "
+        "loop, the last at the session's next-query boundary "
+        "(bench.py free_persistent_rdds)."
     ),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = _kcore_peel(spark, sf_dir, rounds=KCORE_ROUNDS)
+    return out
+
+
+def _kcore_peel(
+    spark: SparkSession, sf_dir: str, rounds: int | None
+) -> tuple[DataFrame, int]:
+    """Shared k-core peel loop.
+
+    ``rounds=N`` unrolls exactly N rounds (oracle-matchable);
+    ``rounds=None`` peels to fixpoint (edge count stable round over
+    round — peeling is monotone, so an unchanged count IS convergence).
+    Returns (distributed result frame, rounds actually run).
+
+    Block discipline: each round localCheckpoints (the plan references
+    `edges` three times per round — degree agg + both semi-join probes
+    — so without a lineage cut round i re-executes round i-1 three
+    times: measured 23.8 s vs 1.5 s at sf0.01).  The PREVIOUS round's
+    checkpoint blocks are freed as soon as the new round materializes
+    (localCheckpoint is eager), so live storage is one round's edge
+    list, never the whole peel history.  The final round's blocks back
+    the returned frame and are released at the next-query boundary.
+    """
     from barco_spark.session import persistent_rdd_ids, unpersist_rdds
 
     before = persistent_rdd_ids(spark)
@@ -367,37 +396,67 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.selectExpr("doc_a AS src", "doc_b AS dst")
             .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
             .coalesce(8)
-            # eager per-round materialization (the dedup_clusters loop
-            # discipline): each round references `edges` THREE times
-            # (degree agg + both semi-join probes), so without a
-            # lineage cut the plan re-executes the previous round 3x
-            # per round — measured 23.8 s vs 1.5 s at sf0.01
             .localCheckpoint()
         )
-        for _ in range(KCORE_ROUNDS):
-            keep = (
-                edges.groupBy(F.col("src").alias("node"))
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .filter(F.col("deg") >= KCORE_K)
-                .select("node")
-            )
-            edges = (
-                edges.join(keep.withColumnRenamed("node", "src"), "src", "semi")
-                .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
-                .select("src", "dst")
-                .localCheckpoint()
-            )
-        out = (
-            edges.groupBy(F.col("src").alias("doc_id"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-            .orderBy(F.col("core_degree").desc(), "doc_id")
-        )
-        # materialize eagerly (core of the pair graph: tiny) so the
-        # persisted pairs release NOW, like graph_triangle_census
-        rows = [(r["doc_id"], r["core_degree"]) for r in out.collect()]
-        return spark.createDataFrame(rows, "doc_id long, core_degree long")
     finally:
+        # the checkpoint materialized (or raised); either way the
+        # upstream pair persist is no longer needed
         pairs.unpersist()
-        # release the per-round localCheckpoint blocks (result is
-        # driver-local rows, so nothing references them anymore)
-        unpersist_rdds(spark, persistent_rdd_ids(spark) - before)
+    n_edges = edges.count() if rounds is None else -1
+    done = 0
+    while True:
+        if rounds is not None and done >= rounds:
+            break
+        keep = (
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+        )
+        prev_ids = persistent_rdd_ids(spark) - before
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        # new round is materialized; the previous round's blocks are dead
+        unpersist_rdds(spark, prev_ids)
+        done += 1
+        if rounds is None:
+            n = edges.count()
+            if n == n_edges:
+                break
+            n_edges = n
+    out = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .orderBy(F.col("core_degree").desc(), "doc_id")
+    )
+    return out, done
+
+
+@register(
+    "graph_kcore_converged",
+    None,  # iterative fixpoint: rows-only check (like pagerank's loop)
+    "similarity",
+    doc=(
+        f"{KCORE_K}-core peel of the near-duplicate graph run to "
+        "CONVERGENCE rather than a fixed unroll: the peel repeats "
+        "until the edge count is stable round over round (peeling "
+        "only removes edges, so a stable count is the fixpoint). "
+        "This is the shape the 100 TB playbook promises for "
+        "graph_kcore — same per-round plan (one degree aggregate + "
+        "two semi-joins on the banding-bounded pair graph), same "
+        "localCheckpoint lineage cut per round, previous-round blocks "
+        "freed as soon as the next round materializes so live storage "
+        "is ONE round's edge list. No SQL oracle (data-dependent "
+        "round count); tests/test_graph.py proves it equals the "
+        "unrolled graph_kcore whenever the fixpoint is reached within "
+        f"{KCORE_ROUNDS} rounds, and rounds-run is bounded by the "
+        "longest peel chain, not corpus size."
+    ),
+)
+def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, _ = _kcore_peel(spark, sf_dir, rounds=None)
+    return out

@@ -1,0 +1,50 @@
+"""k-core peel: convergence twin vs the fixed unroll.
+
+The oracle-paired ``graph_kcore`` unrolls exactly KCORE_ROUNDS peel
+rounds (matching the nested-CTE DuckDB oracle).  The rows-only
+``graph_kcore_converged`` peels until the edge count is stable.  When
+the fixpoint is reached within KCORE_ROUNDS, the two MUST agree; when
+it is not, extra peeling can only shrink the core (peeling is
+monotone).
+"""
+
+from __future__ import annotations
+
+from barco_spark.operators.graph import (
+    KCORE_ROUNDS,
+    _kcore_peel,
+    graph_kcore,
+    graph_kcore_converged,
+)
+
+
+def test_kcore_converged_matches_unrolled_at_fixpoint(spark, sf_dir):
+    conv, rounds = _kcore_peel(spark, sf_dir, rounds=None)
+    conv_rows = sorted(tuple(r) for r in conv.collect())
+    unrolled_rows = sorted(tuple(r) for r in graph_kcore(spark, sf_dir).collect())
+    assert rounds >= 1
+    if rounds <= KCORE_ROUNDS:
+        # fixpoint within the unroll: identical node set AND degrees
+        assert conv_rows == unrolled_rows
+    else:
+        # extra rounds only remove nodes; survivors' degrees can only drop
+        conv_nodes = {r[0] for r in conv_rows}
+        unrolled = dict(unrolled_rows)
+        assert conv_nodes <= set(unrolled)
+        assert all(deg <= unrolled[n] for n, deg in conv_rows)
+
+
+def test_kcore_converged_is_a_true_fixpoint(spark, sf_dir):
+    """One more peel round after convergence changes nothing."""
+    _, rounds = _kcore_peel(spark, sf_dir, rounds=None)
+    at_fix, _ = _kcore_peel(spark, sf_dir, rounds=rounds)
+    one_more, _ = _kcore_peel(spark, sf_dir, rounds=rounds + 1)
+    assert sorted(map(tuple, at_fix.collect())) == sorted(
+        map(tuple, one_more.collect())
+    )
+
+
+def test_kcore_registered_variant_is_converged(spark, sf_dir):
+    a = sorted(tuple(r) for r in graph_kcore_converged(spark, sf_dir).collect())
+    b, _ = _kcore_peel(spark, sf_dir, rounds=None)
+    assert a == sorted(tuple(r) for r in b.collect())
