@@ -66,10 +66,18 @@ def discover(base: str) -> dict:
 
 
 class BarcoProducer:
-    """Produce client with leader-following (307) topic routing."""
+    """Produce client with leader-following (307) topic routing.
 
-    def __init__(self, base: str):
+    ``server_side_routing=True`` sends ``X-No-Redirect`` so a
+    mis-routed produce is proxied to the leader BY THE FACADE (the
+    reference's gossiper.SendToLeader behavior) — for clients whose
+    HTTP stack refuses to re-POST on 3xx. The default keeps
+    client-side 307 following (one fewer proxy hop once the leader
+    is cached)."""
+
+    def __init__(self, base: str, server_side_routing: bool = False):
         self.base = base.rstrip("/")
+        self.server_side_routing = server_side_routing
         self._leader: dict[str, str] = {}  # topic -> base url
 
     def produce(
@@ -78,14 +86,16 @@ class BarcoProducer:
         qs = f"?partitionKey={urllib.parse.quote(key)}" if key else ""
         path = f"/v1/topic/{urllib.parse.quote(topic)}/messages{qs}"
         base = self._leader.get(topic, self.base)
-        status, body, headers = _request(
-            base, "POST", path, message.encode(),
-            {"Content-Type": "text/plain"},
+        headers = {"Content-Type": "text/plain"}
+        if self.server_side_routing:
+            headers["X-No-Redirect"] = "1"
+        status, body, headers_out = _request(
+            base, "POST", path, message.encode(), headers
         )
         if status == 307:
             # multi-facade: this facade is not the topic's leader; learn
             # the leader and re-issue there (cached for future sends)
-            leader = headers.get("Location", "").split("/v1/")[0]
+            leader = headers_out.get("Location", "").split("/v1/")[0]
             if not leader:
                 leader = json.loads(body)["leader"]
             self._leader[topic] = leader

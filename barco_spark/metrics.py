@@ -201,6 +201,10 @@ def broker_metrics(registry: PromRegistry) -> dict:
             "polar_producer_rerouting_sent_total",
             "The total number of re-routed messages sent by this broker",
         ),
+        "rerouted_received": registry.counter(
+            "polar_producer_rerouting_received_total",
+            "The total number of re-routed messages received by the broker",
+        ),
     }
 
 

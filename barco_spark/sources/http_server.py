@@ -25,6 +25,13 @@ Routes mirror the reference's URL constants
   (server.go:421-449)
 - ``POST /v1/consumer/goodbye``             -> commit-and-leave
   (server.go:451-505)
+- ``POST /v1/routing/topic/{topic}/messages`` -> peer-forwarded
+  produce (S4: RoutingMessageUrl, internal/conf/constants.go:51;
+  leader listener internal/producing/server.go:116-124). A mis-routed
+  produce is proxied here server-side when the facade runs with
+  ``forward_produce=True`` or the client sends ``X-No-Redirect`` —
+  the reference's gossiper.SendToLeader, where the client never sees
+  a redirect; otherwise the non-leader answers 307 (see below).
 
 Scale posture: the facade is a thin driver-side shim for live
 produce/poll against the same parquet log the batch/streaming paths
@@ -82,6 +89,10 @@ from barco_spark.sources.membership import (
 )
 
 _TOPIC_MSG_RE = re.compile(r"^/v1/topic/([^/]+)/messages$")
+# the reference's leader-forwarding listener route
+# (RoutingMessageUrl, internal/conf/constants.go:51; listener
+# internal/producing/server.go:116-124)
+_ROUTING_MSG_RE = re.compile(r"^/v1/routing/topic/([^/]+)/messages$")
 
 
 class BrokerHttpServer:
@@ -96,8 +107,17 @@ class BrokerHttpServer:
         produce_linger_ms: float = 20.0,
         consumer_read_timeout_s: float | None = 120.0,
         facade_ttl_s: float = 15.0,
+        forward_produce: bool = False,
     ) -> None:
         self.log = log
+        # S4 server-side forwarding (gossiper.SendToLeader,
+        # internal/producing/server.go:158-166): when True, a
+        # mis-routed produce is proxied to the topic leader instead of
+        # answered 307 — the reference's behavior, where the client
+        # never sees a redirect. False keeps 307 as the default (zero
+        # proxy overhead for leader-aware clients); a client that
+        # cannot re-POST on 3xx opts in per-request with X-No-Redirect.
+        self.forward_produce = forward_produce
         self.membership = GroupMembership(
             log.buckets, debounce_s=rebalance_debounce_s
         )
@@ -221,9 +241,14 @@ class BrokerHttpServer:
                 url = urlparse(self.path)
                 q = parse_qs(url.query)
                 m = _TOPIC_MSG_RE.match(url.path)
+                mr = _ROUTING_MSG_RE.match(url.path)
                 try:
                     if m:
                         outer._handle_produce(self, m.group(1), q)
+                    elif mr:
+                        # peer-forwarded produce (the reference's
+                        # routing listener, producing/server.go:116-124)
+                        outer._handle_produce(self, mr.group(1), q, routed=True)
                     elif url.path == "/v1/consumer/register":
                         outer._handle_register(self, q)
                     elif url.path == "/v1/consumer/poll":
@@ -324,7 +349,9 @@ class BrokerHttpServer:
                 )
         return out
 
-    def _handle_produce(self, handler, topic: str, q: dict) -> None:
+    def _handle_produce(
+        self, handler, topic: str, q: dict, routed: bool = False
+    ) -> None:
         body = self._read_body(handler)
         self.metrics["producer_requests"].inc()
         self.metrics["producer_body_bytes"].inc(len(body.encode("utf-8")))
@@ -336,14 +363,27 @@ class BrokerHttpServer:
             )
         # single-writer-per-topic (the reference's leader reroute,
         # producing/server.go:158-166): when a peer facade is the
-        # topic's rendezvous leader, answer 307 + Location so the
-        # client re-issues the same request there. 307 preserves the
-        # method and body by contract; bucket offsets therefore stay
-        # one facade's contiguous watermark arithmetic.
+        # topic's rendezvous leader, either PROXY the request there
+        # server-side (forward_produce / X-No-Redirect — the
+        # reference's gossiper.SendToLeader, where the client never
+        # sees a redirect) or answer 307 + Location so the client
+        # re-issues the same request there. 307 preserves the method
+        # and body by contract; either way bucket offsets stay one
+        # facade's contiguous watermark arithmetic.
         self.registry.heartbeat()
         leader_id, lhost, lport = self.registry.leader_for(topic)
         if leader_id != self.registry.facade_id:
             self.metrics["rerouted_sent"].inc()
+            if not routed and (
+                self.forward_produce
+                or handler.headers.get("X-No-Redirect") is not None
+            ):
+                self._forward_produce(handler, topic, body)
+                return
+            # routed requests never forward again (no proxy loops): a
+            # routing POST that lands on a non-leader — leadership
+            # moved mid-flight — answers 307 and the FORWARDER
+            # re-resolves and retries.
             data = json.dumps({"leader": f"http://{lhost}:{lport}"}).encode()
             handler.send_response(307)
             handler.send_header("Location", f"http://{lhost}:{lport}{handler.path}")
@@ -352,6 +392,8 @@ class BrokerHttpServer:
             handler.end_headers()
             handler.wfile.write(data)
             return
+        if routed:
+            self.metrics["rerouted_received"].inc()
         key = q.get("partitionKey", [None])[0]
         # per-line split is gated SOLELY on the NDJSON content type, like
         # the reference (internal/producing/models.go:33-35): a single
@@ -395,6 +437,71 @@ class BrokerHttpServer:
         # by taking the facade lock around EventLog.produce only.
         n = self.coalescer.produce_sync(topic, records)
         handler._respond(200, json.dumps({"produced": n}), "application/json")
+
+    def _forward_produce(self, handler, topic: str, body: str) -> None:
+        """Proxy a mis-routed produce to the topic leader server-side
+        (S4, gossiper.SendToLeader, producing/server.go:158-166): the
+        client gets the LEADER's final answer, never a redirect.
+
+        Each attempt re-resolves the leader from the shared registry,
+        so a leadership move mid-flight (crash, scale-down) converges
+        instead of bouncing: the routing endpoint answers 307 when it
+        is no longer leader and the next attempt targets the new one.
+        Exhausted retries answer 503 + Retry-After like a fence
+        refusal — the client's retry re-resolves from scratch."""
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        url = urlparse(handler.path)
+        qs = f"?{url.query}" if url.query else ""
+        payload = body.encode("utf-8")
+        ctype = handler.headers.get("Content-Type", "text/plain")
+        last_err = "no live leader"
+        for attempt in range(3):
+            if attempt:
+                _time.sleep(0.2)
+            _lid, lhost, lport = self.registry.leader_for(topic)
+            # leadership may have moved to US mid-retry; the routing
+            # route never re-forwards, so a self-POST cannot loop
+            # `topic` is the raw path segment (still percent-encoded),
+            # so splicing it back preserves the client's encoding
+            target = (
+                f"http://{lhost}:{lport}/v1/routing/topic/{topic}/messages{qs}"
+            )
+            req = urllib.request.Request(
+                target, data=payload, method="POST",
+                headers={"Content-Type": ctype},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=10.0) as resp:
+                    handler._respond(
+                        resp.status,
+                        resp.read(),
+                        resp.headers.get("Content-Type", "application/json"),
+                    )
+                    return
+            except urllib.error.HTTPError as ex:
+                if ex.code == 307:
+                    last_err = "leadership moved during forward"
+                    continue  # re-resolve and retry
+                # a real produce error (400 bad timestamp, ...): relay it
+                handler._respond(
+                    ex.code,
+                    ex.read(),
+                    ex.headers.get("Content-Type", "text/plain"),
+                )
+                return
+            except OSError as ex:  # connection refused / timeout
+                last_err = str(ex)
+                continue
+        data = f"produce forward failed: {last_err}".encode()
+        handler.send_response(503)
+        handler.send_header("Retry-After", "1")
+        handler.send_header("Content-Type", "text/plain")
+        handler.send_header("Content-Length", str(len(data)))
+        handler.end_headers()
+        handler.wfile.write(data)
 
     def _handle_register(self, handler, q: dict) -> None:
         cid = q.get("consumerId", [""])[0]

@@ -1003,3 +1003,236 @@ def test_failover_produce_keeps_offsets_contiguous(spark, tmp_path):
         fa.coalescer.stop()
         fa.registry.retire()
         fb.stop()
+
+
+def test_server_side_produce_forwarding(spark, tmp_path):
+    """S4 server-side forwarding (gossiper.SendToLeader,
+    producing/server.go:158-166): a redirect-refusing client produces
+    through the NON-leader facade and still succeeds — the facade
+    proxies the request to the topic leader over the routing route
+    (RoutingMessageUrl, internal/conf/constants.go:51) and relays the
+    leader's answer; the client never sees a 307. Covers both opt-in
+    paths (per-request X-No-Redirect and facade-wide forward_produce),
+    the reference's reroute metrics on both sides, and that mixed
+    direct + forwarded produce keeps per-bucket offsets contiguous."""
+    from collections import Counter
+
+    from barco_spark.client import BarcoProducer
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    root = str(tmp_path / "log")
+    fa = BrokerHttpServer(EventLog(spark, root), forward_produce=True)
+    fb = BrokerHttpServer(EventLog(spark, root), forward_produce=True)
+    fa.start(), fb.start()
+    try:
+        leader_id = fa.registry.leader_for("t")[0]
+        leader, follower = (
+            (fa, fb) if leader_id == fa.registry.facade_id else (fb, fa)
+        )
+        # per-request opt-in: X-No-Redirect through the non-leader
+        code, body, _ = _req_raw(
+            follower,
+            "POST",
+            "/v1/topic/t/messages?partitionKey=k1",
+            body="fwd1",
+            headers={"Content-Type": "text/plain", "X-No-Redirect": "1"},
+        )
+        assert (code, json.loads(body)["produced"]) == (200, 1)
+        # facade-wide flag: no header needed, still no redirect
+        code, body = _req(
+            follower, "POST", "/v1/topic/t/messages?partitionKey=k2", body="fwd2"
+        )
+        assert (code, json.loads(body)["produced"]) == (200, 1)
+        # the stdlib client in server-side-routing mode (a client whose
+        # HTTP stack refuses to re-POST on 3xx) pointed at the follower
+        p = BarcoProducer(
+            f"http://127.0.0.1:{follower.port}", server_side_routing=True
+        )
+        assert p.produce("t", "fwd3", key="k3")["produced"] == 1
+        assert p._leader == {}  # never saw a 307, never learned a leader
+        # leader still accepts direct produce alongside forwarded ones
+        code, _ = _req(
+            leader, "POST", "/v1/topic/t/messages?partitionKey=k1", body="dir1"
+        )
+        assert code == 200
+        # reference reroute metrics: sent on the proxying side,
+        # received on the leader (metrics.go:39-47)
+        assert follower.metrics["rerouted_sent"].value >= 3
+        assert leader.metrics["rerouted_received"].value >= 3
+        # the forwarded writes are ordinary single-writer appends
+        rows = spark.read.parquet(root + "/data").collect()
+        assert {r["payload"] for r in rows} == {"fwd1", "fwd2", "fwd3", "dir1"}
+        per_bucket = Counter(r["bucket"] for r in rows)
+        for bucket, n in per_bucket.items():
+            offs = sorted(r["offset"] for r in rows if r["bucket"] == bucket)
+            assert offs == list(range(n))
+        # 400s from the leader relay through the proxy verbatim
+        code, body, _ = _req_raw(
+            follower,
+            "POST",
+            "/v1/topic/t/messages?timestamp=notanumber",
+            body="bad",
+            headers={"Content-Type": "text/plain", "X-No-Redirect": "1"},
+        )
+        assert code == 400
+    finally:
+        fa.stop(), fb.stop()
+
+
+def test_topology_resize_under_live_traffic(spark, tmp_path):
+    """Live topology resize under continuous traffic, the analogue of
+    the reference's hardest integration tests (scale-up mid-produce,
+    internal/test/integration/roundtrip_test.go:425; scale-down,
+    scale_down_test.go:38): two facades serve continuous keyed produce
+    + poll traffic, a THIRD joins mid-stream (leadership re-deals over
+    the bigger live set), then one facade retires mid-stream
+    (scale-down re-deal) — with ZERO loss of any acked message,
+    per-(topic,bucket) offset contiguity, per-key produce-order
+    delivery, and consumer progress spanning both transitions.
+
+    Producers aim at ONE fixed facade with X-No-Redirect, so every
+    leadership move mid-flight exercises the server-side forward path
+    (re-resolve + retry) rather than client smarts."""
+    import threading
+    import time as _t
+    import urllib.request
+    from collections import Counter
+
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    root = str(tmp_path / "log")
+    topics = ["rt0", "rt1", "rt2"]
+    fa = BrokerHttpServer(EventLog(spark, root), facade_ttl_s=5.0)
+    fb = BrokerHttpServer(EventLog(spark, root), facade_ttl_s=5.0)
+    fa.start(), fb.start()
+    fc = None
+
+    stop = threading.Event()
+    sent: dict[str, list[str]] = {t: [] for t in topics}
+    produce_errors: list[str] = []
+
+    def producer(topic: str) -> None:
+        seq = 0
+        while not stop.is_set():
+            payload = f"{topic}-m{seq:04d}"
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{fa.port}/v1/topic/{topic}/messages"
+                f"?partitionKey={topic}k{seq % 3}",
+                data=payload.encode(),
+                method="POST",
+                headers={"Content-Type": "text/plain", "X-No-Redirect": "1"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    assert resp.status == 200
+                sent[topic].append(payload)  # acked => must never be lost
+                seq += 1
+            except Exception as ex:  # noqa: BLE001 (503 retry path)
+                if getattr(ex, "code", None) == 503:
+                    _t.sleep(0.3)  # fence/forward refusal: retry same seq
+                else:
+                    produce_errors.append(f"{topic}: {ex!r}")
+                    return
+
+    # consumer polls the fixed facade throughout; progress snapshots
+    # prove it advanced DURING each phase, not just at the final drain
+    qs_topics = "&".join(f"topic={t}" for t in topics)
+    code, _ = _req(
+        fa,
+        "PUT",
+        f"/v1/consumer/register?consumerId=rz1&group=rz&{qs_topics}"
+        "&onNewGroup=earliest",
+        body=" ",
+    )
+    assert code == 200
+    consumed: list[str] = []
+
+    def drain_once() -> int:
+        code, body = _req(
+            fa, "POST", "/v1/consumer/poll?consumerId=rz1&maxRecords=500",
+            body=" ",
+        )
+        if code != 200:
+            return 0
+        items = json.loads(body)
+        got = [v for item in items for v in item["values"]]
+        consumed.extend(got)
+        return len(got)
+
+    threads = [
+        threading.Thread(target=producer, args=(t,), daemon=True)
+        for t in topics
+    ]
+    for th in threads:
+        th.start()
+    try:
+        # phase 1: steady state on two facades
+        _t.sleep(1.5)
+        drain_once()
+        progress_p1 = len(consumed)
+
+        # phase 2: SCALE UP — third facade joins mid-traffic
+        fc = BrokerHttpServer(EventLog(spark, root), facade_ttl_s=5.0)
+        fc.start()
+        _t.sleep(2.0)
+        assert len(fa.registry.live()) == 3  # all three announced
+        drain_once()
+        progress_p2 = len(consumed)
+
+        # phase 3: SCALE DOWN — fb retires gracefully mid-traffic
+        fb.stop()
+        _t.sleep(2.0)
+        live = fa.registry.live()
+        assert len(live) == 2 and fb.registry.facade_id not in live
+        # every topic's leadership re-dealt to a survivor
+        for t in topics:
+            assert fa.registry.leader_for(t)[0] in live
+        drain_once()
+        progress_p3 = len(consumed)
+    finally:
+        stop.set()
+        for th in threads:
+            th.join(timeout=60)
+    assert produce_errors == [], produce_errors
+
+    total_sent = sum(len(v) for v in sent.values())
+    assert total_sent > 0 and all(len(sent[t]) > 0 for t in topics)
+    # consumer progressed across BOTH transitions (ends exclusive: the
+    # final drain below may carry the tail)
+    assert progress_p1 > 0
+    assert progress_p3 >= progress_p2 >= progress_p1
+
+    # final drain: everything acked must arrive (zero loss), exactly
+    # once (single consumer, no eviction => no redelivery)
+    idle = 0
+    deadline = _t.monotonic() + 120
+    while len(consumed) < total_sent and _t.monotonic() < deadline:
+        idle = 0 if drain_once() else idle + 1
+        if idle:
+            _t.sleep(0.2)
+    all_sent = [p for t in topics for p in sent[t]]
+    assert Counter(consumed) == Counter(all_sent)
+
+    # per-(topic,bucket) offsets contiguous and per-key order preserved
+    rows = spark.read.parquet(root + "/data").collect()
+    assert len(rows) == total_sent
+    by_tb: dict[tuple, list] = {}
+    for r in rows:
+        by_tb.setdefault((r["topic"], r["bucket"]), []).append(r)
+    send_index = {t: {p: i for i, p in enumerate(sent[t])} for t in topics}
+    for (t, bucket), rs in by_tb.items():
+        rs.sort(key=lambda r: r["offset"])
+        offs = [r["offset"] for r in rs]
+        assert offs == list(range(len(rs))), (
+            f"{t}/{bucket}: offsets {offs} not contiguous"
+        )
+        idxs = [send_index[t][r["payload"]] for r in rs]
+        assert idxs == sorted(idxs), (
+            f"{t}/{bucket}: produce order violated: {idxs}"
+        )
+
+    fa.stop()
+    if fc is not None:
+        fc.stop()
