@@ -89,6 +89,7 @@ HEADLINE = [
     "ann_ivfpq_search",
     "chunk_for_retrieval",
     "graph_kcore",
+    "graph_kcore_converged",
     "bm25_topdocs",
     "boilerplate_strip",
     "semdedup_prune",
@@ -186,6 +187,17 @@ def main() -> None:
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
+    # committed per-query record (VERDICT r6 item 5): the driver's tail
+    # capture keeps only the compact summary line once the per-query
+    # map outgrows its window, so round-over-round per-query diffs need
+    # a versioned file. Set BENCH_LOCAL_OUT=BENCH_LOCAL_r{N}.json at
+    # capture time and commit it; scripts/bench_guard.py --pin <file>
+    # compares a later run against it.
+    local_out = os.environ.get("BENCH_LOCAL_OUT")
+    if local_out:
+        with open(local_out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
     # compact headline line AFTER the full per-query line: the driver's
     # tail capture has a fixed window and the per-query line outgrew it
     # at 68 queries (BENCH_r05.json parsed: null) — a trailing summary

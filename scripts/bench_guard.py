@@ -10,6 +10,9 @@ pinned query goes DNF.
 Usage:
     python scripts/bench_guard.py            # check against the pin
     python scripts/bench_guard.py --update   # re-capture the pin
+    python scripts/bench_guard.py --pin BENCH_LOCAL_r07.json
+        # compare against a committed per-query record instead (set
+        # BENCH_GUARD_SF_DIR to the record's SF, e.g. /root/testdata/sf0.1)
 
 The pin should only be refreshed on an otherwise-idle machine (`--update`
 while a pytest run is live bakes contention into the baseline and makes
@@ -55,7 +58,13 @@ def run_bench() -> dict:
 
 
 def main() -> int:
-    update = "--update" in sys.argv[1:]
+    args = sys.argv[1:]
+    update = "--update" in args
+    pin_path = PIN_PATH
+    if "--pin" in args:
+        # compare against an arbitrary committed per-query record
+        # (BENCH_LOCAL_r{N}.json) — same "queries" map as the pin
+        pin_path = os.path.join(REPO, args[args.index("--pin") + 1])
     result = run_bench()
     timings: dict[str, float] = result["queries"]
 
@@ -71,9 +80,9 @@ def main() -> int:
         print(f"pinned {len(timings)} queries to {PIN_PATH}")
         return 0
 
-    if not os.path.exists(PIN_PATH):
-        raise SystemExit(f"no pin at {PIN_PATH}; run with --update first")
-    with open(PIN_PATH) as f:
+    if not os.path.exists(pin_path):
+        raise SystemExit(f"no pin at {pin_path}; run with --update first")
+    with open(pin_path) as f:
         pin = json.load(f)
 
     # Environment normalization: the guard exists to catch PER-QUERY
