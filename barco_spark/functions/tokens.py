@@ -316,3 +316,109 @@ def spark_bucket_py(key: str, num_buckets: int) -> int:
     h = spark_hash32_py(key.encode("utf-8"))
     r = h % num_buckets if num_buckets > 0 else 0
     return r if r >= 0 else r + num_buckets
+
+
+def murmur3_tail_oracle_ctes(
+    keys_cte: str = "keys",
+    key_col: str = "pk",
+    brokers: int = 3,
+    ranges: int = 4,
+) -> str:
+    """DuckDB-SQL Cassandra Murmur3 (P1) + ring bucket (P2) as chained
+    CTEs — the oracle half of ``events_exact_tokens``.
+
+    Pure-SQL re-derivation of ``murmur3_token_py`` for keys of <= 15
+    ASCII bytes (the tail-only path: no 16-byte blocks, and ``ord`` of
+    a single-byte char IS the byte).  Every 64-bit wrapping operation
+    is staged through HUGEINT (int128):
+
+    - wrapping multiply a*c (a < 2^64): 64x64 products overflow even
+      int128, so split a into 32-bit halves — a*c mod 2^64 =
+      ((a%2^32)*c + ((a>>32)*(c%2^32) mod 2^32)<<32) mod 2^64; both
+      partial products stay under 2^96.
+    - rotl(a,r) = ((a<<r) | (a>>64-r)) mod 2^64 (a<<r < 2^97, fits).
+    - xor/>> are native HUGEINT ops.
+
+    Each mul/rotl input must be a bare column (the expression expands
+    it 3x), so the pipeline is one CTE per step.  The final CTE,
+    ``mm_out``, yields (pk, token BIGINT, bucket INT) with the exact
+    GetPrimaryTokenIndex ring arithmetic (token.go:49-66).
+
+    Differential-fuzzed against murmur3_token_py in
+    tests/test_tokens.py; the pandas UDF remains the general path for
+    arbitrary-length / non-ASCII keys.
+    """
+    M = 1 << 64
+    C1 = 0x87C37B91114253D5
+    C2 = 0x4CF5AD432745937F
+    F1 = 0xFF51AFD7ED558CCD
+    F2 = 0xC4CEB9FE1A85EC53
+
+    def mul(a: str, c: int) -> str:
+        lo = f"(({a} % 4294967296) * {c}::HUGEINT) % {M}"
+        hi = f"((({a} // 4294967296) * {c % (1 << 32)}::HUGEINT) % 4294967296) * 4294967296"
+        return f"(({lo}) + ({hi})) % {M}"
+
+    def rotl(a: str, r: int) -> str:
+        return f"((({a}) << {r}) | (({a}) >> {64 - r})) % {M}"
+
+    def sbyte(i: int) -> str:
+        # i is 0-based; ord of the single-byte char, sign-extended to
+        # the 64-bit two's-complement value Cassandra uses (int8 cast)
+        o = f"ord(substr({key_col}, {i + 1}, 1))::HUGEINT"
+        return (
+            f"(CASE WHEN length({key_col}) <= {i} THEN 0::HUGEINT "
+            f"WHEN {o} >= 128 THEN {o} + {M - 256} ELSE {o} END)"
+        )
+
+    def xor_chain(terms: list[str]) -> str:
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"xor({out}, {t})"
+        return out
+
+    k1_terms = [f"(({sbyte(i)} << {8 * i}) % {M})" for i in range(8)]
+    k2_terms = [f"(({sbyte(i)} << {8 * (i - 8)}) % {M})" for i in range(8, 15)]
+
+    step = CHUNK_SIZE_UNIT * _ring_factor(brokers)
+    rsize = step // ranges
+
+    return f"""
+    mm0 AS (
+      SELECT {key_col}, length({key_col})::HUGEINT AS len,
+             {xor_chain(k1_terms)} AS k1r,
+             {xor_chain(k2_terms)} AS k2r
+      FROM {keys_cte}),
+    mm1 AS (SELECT *, {mul('k1r', C1)} AS k1a, {mul('k2r', C2)} AS k2a FROM mm0),
+    mm2 AS (SELECT *, {rotl('k1a', 31)} AS k1b, {rotl('k2a', 33)} AS k2b FROM mm1),
+    mm3 AS (SELECT *, {mul('k1b', C2)} AS k1c, {mul('k2b', C1)} AS k2c FROM mm2),
+    mm4 AS (SELECT *, xor(k1c, len) AS h1x, xor(k2c, len) AS h2x FROM mm3),
+    mm5 AS (SELECT *, (h1x + h2x) % {M} AS h1s FROM mm4),
+    mm6 AS (SELECT *, (h2x + h1s) % {M} AS h2s FROM mm5),
+    mm7 AS (SELECT *, xor(h1s, h1s >> 33) AS f1a, xor(h2s, h2s >> 33) AS f2a FROM mm6),
+    mm8 AS (SELECT *, {mul('f1a', F1)} AS f1b, {mul('f2a', F1)} AS f2b FROM mm7),
+    mm9 AS (SELECT *, xor(f1b, f1b >> 33) AS f1c, xor(f2b, f2b >> 33) AS f2c FROM mm8),
+    mm10 AS (SELECT *, {mul('f1c', F2)} AS f1d, {mul('f2c', F2)} AS f2d FROM mm9),
+    mm11 AS (SELECT *, xor(f1d, f1d >> 33) AS h1f, xor(f2d, f2d >> 33) AS h2f FROM mm10),
+    mm12 AS (SELECT *, (h1f + h2f) % {M} AS h1o FROM mm11),
+    mm13 AS (
+      SELECT {key_col},
+             CAST(CASE WHEN h1o >= {1 << 63} THEN h1o - {M}::HUGEINT
+                       ELSE h1o END AS BIGINT) AS token,
+             -- ring offset = token - START_TOKEN (START = -2^63): in
+             -- unsigned form that is the sign bit flipped
+             (h1o + {1 << 63}::HUGEINT) % {M} AS u
+      FROM mm12),
+    mm14 AS (
+      SELECT {key_col}, token,
+             CASE WHEN u // {step} >= {brokers} THEN {brokers - 1}
+                  ELSE u // {step} END AS idx, u
+      FROM mm13),
+    mm_out AS (
+      SELECT {key_col}, token,
+             CAST(idx * {ranges} +
+                  CASE WHEN (u - idx * {step}::HUGEINT) // {rsize} >= {ranges}
+                       THEN 0
+                       ELSE (u - idx * {step}::HUGEINT) // {rsize} END
+                  AS INTEGER) AS bucket
+      FROM mm14)"""

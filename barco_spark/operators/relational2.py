@@ -352,13 +352,35 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_exact_tokens_oracle() -> str:
+    # Cassandra Murmur3 re-derived in pure DuckDB SQL (HUGEINT wrapping
+    # arithmetic, one CTE per hash step) — valid for ASCII keys <= 15
+    # bytes, which the integer-string user_id keys are at every SF.
+    # See murmur3_tail_oracle_ctes for the construction; fuzzed against
+    # the Python twin in tests/test_tokens.py.
+    from barco_spark.functions.tokens import murmur3_tail_oracle_ctes
+
+    ctes = murmur3_tail_oracle_ctes(keys_cte="keys", key_col="partition_key")
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS partition_key FROM events
+    ),
+    {ctes}
+    SELECT partition_key, token, bucket FROM mm_out
+    """
+
+
 @register(
     "events_exact_tokens",
-    None,  # Cassandra murmur3 not expressible in DuckDB; rows-only
+    _events_exact_tokens_oracle(),
     "broker",
     doc="P1/P2 exact path: partition keys routed with the bit-exact "
     "Cassandra murmur3 ring via an Arrow-batched pandas UDF "
-    "(vectors verified in tests/test_tokens.py).",
+    "(vectors verified in tests/test_tokens.py). ORACLE-PAIRED since "
+    "round 7: the oracle re-derives the full Murmur3 x64_128 h1 tail "
+    "path + GetPrimaryTokenIndex ring lookup in pure DuckDB SQL "
+    "(HUGEINT 64-bit wrapping arithmetic, 32-bit-split multiplies), "
+    "so the driver hash-compares token AND bucket bit-for-bit.",
 )
 def events_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barco_spark.functions.tokens import bucket_for_key_udf, murmur3_token_udf

@@ -119,3 +119,46 @@ def test_spark_hash32_matches_f_hash(spark):
     for row in df.collect():
         assert spark_hash32_py(row["k"].encode("utf-8")) == row["h"], row["k"]
         assert spark_bucket_py(row["k"], 12) == row["b"], row["k"]
+
+
+def test_murmur3_sql_oracle_matches_python_fuzz():
+    """The pure-DuckDB Murmur3 oracle (murmur3_tail_oracle_ctes) must
+    be bit-exact vs the Python twin for ANY ASCII key of 1..15 bytes —
+    token AND ring bucket. Hypothesis drives printable-ASCII keys
+    through every tail length, including the k2 path (len >= 9) and
+    high-ordinal bytes just under 0x80."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from barco_spark.functions.tokens import (
+        murmur3_tail_oracle_ctes,
+        murmur3_token_py,
+        token_to_bucket_py,
+    )
+
+    sql_tpl = (
+        "WITH keys AS (SELECT ? AS pk), "
+        + murmur3_tail_oracle_ctes()
+        + " SELECT token, bucket FROM mm_out"
+    )
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def check(key):
+        tok, bucket = con.execute(sql_tpl, [key]).fetchone()
+        exp_tok = murmur3_token_py(key.encode("ascii"))
+        assert tok == exp_tok, (key, tok, exp_tok)
+        assert bucket == token_to_bucket_py(exp_tok), key
+
+    try:
+        check()
+    finally:
+        con.close()
