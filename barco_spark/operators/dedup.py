@@ -220,7 +220,11 @@ def _band_candidates(sig: DataFrame, bucket_cap: int | None) -> DataFrame:
         )
 
     a = bands.alias("a")
-    b_ = bands.alias("b")
+    # corpus-sized self-join side: SHUFFLE_HASH so a pruned-parquet
+    # size estimate can never broadcast the whole band table (see the
+    # verify-join comment in _lsh_pairs — the graph_kcore 500k
+    # driver-OOM class)
+    b_ = bands.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b_,
@@ -265,7 +269,19 @@ def _lsh_pairs(
     x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    joined = cand.join(x, "doc_a").join(y, "doc_b")
+    # The verify-join sides are CORPUS-sized (one shingle-array row per
+    # doc) and must never be broadcast: Catalyst's static estimate is
+    # the pruned zstd parquet bytes, which understate the deserialized
+    # array relation ~15x — measured at 500k synthetic docs, a "fits
+    # 64 MB" estimate built a >1 GB driver HashedRelation and OOM'd the
+    # 8g driver. SHUFFLE_HASH keeps the plan deterministic at every
+    # scale: hash-partition both sides on doc id and build the hinted
+    # signature side per partition (corpus/P rows — MBs, executor-
+    # local) — no sort, no driver relation, and the build shrinks as
+    # parallelism grows.
+    joined = cand.join(x.hint("shuffle_hash"), "doc_a").join(
+        y.hint("shuffle_hash"), "doc_b"
+    )
     if metric == "containment":
         # asymmetric: how much of the SMALLER doc's shingle set the
         # other one covers — catches quotes/subsets that Jaccard misses
@@ -429,7 +445,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " end"
     )
     cand = (
-        a.join(b, ["blk_idx", "blk_val"])
+        # corpus-sized pigeonhole side: never broadcast (see _lsh_pairs)
+        a.join(b.hint("shuffle_hash"), ["blk_idx", "blk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(F.col("blk_idx") == first_eq)
     )
@@ -507,7 +524,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("wset_a", "wset_b"))
     union = F.size("wset_a") + F.size("wset_b") - inter
     return (
-        a.join(b, "block")
+        # word-set ARRAY payload on both sides — the worst deserialized/
+        # parquet size ratio of the family; never broadcast (see
+        # _lsh_pairs)
+        a.join(b.hint("shuffle_hash"), "block")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -834,8 +854,10 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = p.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
     dist = F.levenshtein(F.col("pa"), F.col("pb"), _FUZZY_MAX_DIST)
     return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
+        # text-prefix payload, corpus-sized sides: never broadcast
+        # (see _lsh_pairs)
+        cand.join(x.hint("shuffle_hash"), "doc_a")
+        .join(y.hint("shuffle_hash"), "doc_b")
         .select("doc_a", "doc_b", dist.cast("bigint").alias("dist"))
         .filter(F.col("dist") >= 0)
     )

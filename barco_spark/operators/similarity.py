@@ -264,7 +264,12 @@ def _cell_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
     )
     return (
-        a.join(b, "cell")
+        # both sides are corpus-sized embedding relations: never let a
+        # pruned-parquet size estimate broadcast one of them (the
+        # deserialized array relation is ~15x the zstd bytes — the
+        # graph_kcore 500k driver-OOM class of failure). SHUFFLE_HASH
+        # pins the executor-local per-cell build at every scale.
+        a.join(b.hint("shuffle_hash"), "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",

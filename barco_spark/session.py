@@ -44,6 +44,14 @@ def get_spark(
         # TIMESTAMP_NTZ: unix_micros()/window() sites and the DuckDB
         # oracle both treat stored micros as UTC epoch micros.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # NOTE: a 64 MB threshold is sized against PARQUET bytes, but
+        # the driver must hold the DESERIALIZED relation — array/text
+        # payloads (LSH shingle signatures) deserialize ~15x their
+        # pruned zstd estimate, so corpus-sized join sides in the
+        # dedup/similarity family carry explicit SHUFFLE_HASH hints
+        # instead of trusting estimates (measured: graph_kcore at 500k
+        # synthetic docs OOM'd the 8g driver on a "fits 64 MB"
+        # broadcast before the hints; 212 s after).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
