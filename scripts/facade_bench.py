@@ -29,7 +29,8 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _req(port, method, path, body=None, ctype="text/plain", accept=None, raw=False):
+def _req(port, method, path, body=None, ctype="text/plain", accept=None, raw=False,
+         headers=None):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}{path}",
         data=body.encode() if body is not None else None,
@@ -37,6 +38,8 @@ def _req(port, method, path, body=None, ctype="text/plain", accept=None, raw=Fal
     )
     if body is not None:
         req.add_header("Content-Type", ctype)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
     if accept is not None:
         # the facade's poll default is the reference's BINARY item
         # stream (round 6); the JSON path needs an explicit Accept
@@ -46,15 +49,27 @@ def _req(port, method, path, body=None, ctype="text/plain", accept=None, raw=Fal
         return resp.status, (data if raw else data.decode())
 
 
-def bench_produce(server, producers: int, per_producer: int) -> dict:
+def bench_produce(
+    server,
+    producers: int,
+    per_producer: int,
+    topic: str = "bench_t",
+    headers: dict | None = None,
+    flush_server=None,
+) -> dict:
     payload = "x" * 1024  # 1 KiB, matching throughput.py's message size
     errors: list[Exception] = []
+    flush_server = flush_server or server
 
     def run(pid: int) -> None:
         try:
             for _ in range(per_producer):
                 code, _ = _req(
-                    server.port, "POST", "/v1/topic/bench_t/messages", body=payload
+                    server.port,
+                    "POST",
+                    f"/v1/topic/{topic}/messages",
+                    body=payload,
+                    headers=headers,
                 )
                 assert code == 200
         except Exception as ex:  # pragma: no cover
@@ -74,9 +89,40 @@ def bench_produce(server, producers: int, per_producer: int) -> dict:
         "requests": total,
         "seconds": round(dt, 2),
         "requests_per_sec": round(total / dt, 1),
-        "spark_flushes": server.coalescer.flushes,
-        "merge_factor": round(total / max(server.coalescer.flushes, 1), 1),
+        "spark_flushes": flush_server.coalescer.flushes,
+        "merge_factor": round(total / max(flush_server.coalescer.flushes, 1), 1),
     }
+
+
+def bench_forwarded_produce(spark, root: str, producers: int, per_producer: int) -> dict:
+    """S4 server-side forwarding cost: same request-per-event workload,
+    but every request hits the NON-leader facade with X-No-Redirect so
+    the facade proxies it to the leader (routing route) — one extra
+    local HTTP hop per request. Compare requests_per_sec with the
+    direct `produce` stage to price the hop."""
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    fa = BrokerHttpServer(EventLog(spark, root + "/fwdlog"))
+    fb = BrokerHttpServer(EventLog(spark, root + "/fwdlog"))
+    fa.start(), fb.start()
+    try:
+        leader_id = fa.registry.leader_for("fwd_t")[0]
+        leader, follower = (
+            (fa, fb) if leader_id == fa.registry.facade_id else (fb, fa)
+        )
+        out = bench_produce(
+            follower,
+            producers,
+            per_producer,
+            topic="fwd_t",
+            headers={"X-No-Redirect": "1"},
+            flush_server=leader,
+        )
+        out["forwarded"] = int(follower.metrics["rerouted_sent"].value)
+        return out
+    finally:
+        fa.stop(), fb.stop()
 
 
 def bench_poll(server, log, rows: int, polls: int) -> dict:
@@ -182,7 +228,11 @@ def main() -> None:
             poll = bench_poll(server, log, args.rows, args.polls)
         finally:
             server.stop()
-    print(json.dumps({"produce": produce, "poll": poll}))
+        forwarded = bench_forwarded_produce(
+            spark, root, args.producers, args.per_producer
+        )
+    print(json.dumps({"produce": produce, "poll": poll,
+                      "forwarded_produce": forwarded}))
 
 
 if __name__ == "__main__":
