@@ -422,3 +422,30 @@ def test_events_twap_single_shuffle_window_then_agg(spark, sf_dir):
     (user_id, event_type) partitioning — one exchange total."""
     df = QUERIES["events_twap"].build(spark, sf_dir)
     assert shuffle_count(df) == 1
+
+
+def test_pair_family_verify_joins_never_broadcast(spark, sf_dir):
+    """The round-7 driver-OOM fix: corpus-sized pair-join sides
+    (shingle/embedding arrays, word sets, text prefixes) carry
+    SHUFFLE_HASH hints, because Catalyst's static estimate is the
+    column-pruned parquet bytes and the deserialized array relation is
+    ~15x that — a 'fits 64 MB' broadcast built a >1 GB driver
+    HashedRelation at 500k docs. The hinted joins must plan as
+    ShuffledHashJoin at EVERY scale; a BroadcastHashJoin whose build
+    side is the corpus would regress the fix silently on small test
+    data and OOM in production."""
+    from barco_spark.plans import explain_str
+
+    cases = {
+        # query -> minimum ShuffledHashJoin count (the hinted sites)
+        "dedup_minhash_lsh": 3,  # band self-join + both verify sides
+        "dedup_simhash_pairs": 1,  # pigeonhole block join
+        "dedup_ngram_jaccard": 1,  # word-set block join
+        "fuzzy_match_blocked": 2,  # both prefix-verify sides
+        "dedup_embedding_cosine": 1,  # cell join
+    }
+    for name, min_shj in cases.items():
+        plan = explain_str(QUERIES[name].build(spark, sf_dir))
+        assert plan.count("ShuffledHashJoin") >= min_shj, (
+            f"{name}: expected >= {min_shj} ShuffledHashJoin, plan:\n{plan}"
+        )
