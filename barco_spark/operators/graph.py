@@ -114,18 +114,25 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = edges.coalesce(8).persist()
         edges.count()  # materialize from the wide cache, then free it
         wide.unpersist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # nodes and the degree-annotated edge list are ITERATION-INVARIANT:
+    # persist them once so each of the N_ITER rounds is only
+    # (rank join + dst agg + left join), not a re-run of the distinct/
+    # degree/join derivations against the edge cache (3x job overhead
+    # at bench scale, 3x cache scans at any scale)
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    n_nodes = nodes.count()  # scalar: node count of the PAIR graph
+    n_nodes = nodes.count()  # scalar; also materializes the node cache
     # rank table is one row per NODE: broadcast it only when measurably
     # small — at petabyte pair graphs it stays a shuffled hash join
     bcast_rank = n_nodes < 500_000
     base = (15 * SCALE // 100) // n_nodes
     p = nodes.select("node", F.lit(SCALE // n_nodes).alias("p"))
-    src_deg = edges.join(deg, edges.src == deg.node).select(
-        "src", "dst", "deg"
+    src_deg = (
+        edges.join(deg, edges.src == deg.node)
+        .select("src", "dst", "deg")
+        .persist()
     )
     for _ in range(N_ITER):
         pj = F.broadcast(p) if bcast_rank else p
