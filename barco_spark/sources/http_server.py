@@ -10,7 +10,15 @@ Routes mirror the reference's URL constants
   internal/producing/models.go:44-87; producing/server.go:126-190)
 - ``PUT|POST /v1/consumer/register``        -> register
   (``?consumerId=&group=&topic=...&onNewGroup=earliest|latest``,
-  internal/consuming/server.go:203-291)
+  internal/consuming/server.go:203-291). With NO ``consumerId`` query
+  param the register is CONNECTION-BOUND exactly like the reference's
+  default client mode (server.go:255-259): the payload is a JSON
+  ConsumerInfo body ``{id, group, topics, onNewGroup}``
+  (models.go:26-34), identity travels with the HTTP/1.1 keep-alive
+  connection (polls may omit ``consumerId``), and tearing the
+  connection down unregisters the consumer IMMEDIATELY — its buckets
+  re-deal to survivors without waiting for the R13 inactivity timeout
+  (server.go:140-143,476).
 - ``POST /v1/consumer/poll``                -> poll of the consumer's
   owned buckets (server.go:389-419). DEFAULT response is the
   compressed binary item stream (O1: uint16 count +
@@ -89,6 +97,23 @@ from barco_spark.sources.membership import (
 )
 
 _TOPIC_MSG_RE = re.compile(r"^/v1/topic/([^/]+)/messages$")
+
+
+def _parse_reset_policy(v) -> str:
+    """ConsumerInfo.onNewGroup -> 'earliest'|'latest'. Accepts the
+    reference's enum int (0=StartFromLatest, 1=StartFromEarliest,
+    models_offset.go:96-101), its string forms
+    (ParseOffsetResetPolicy, models_offset.go:103-111), and the query-
+    param spellings; absent defaults to latest like the reference."""
+    if v is None:
+        return "latest"
+    if v in (0, "startFromLatest", "latest"):
+        return "latest"
+    if v in (1, "startFromEarliest", "earliest"):
+        return "earliest"
+    raise ValueError("Invalid offset reset policy value")
+
+
 # the reference's leader-forwarding listener route
 # (RoutingMessageUrl, internal/conf/constants.go:51; listener
 # internal/producing/server.go:116-124)
@@ -175,9 +200,28 @@ class BrokerHttpServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: required for CONNECTION-BOUND
+            # consumers (the reference binds a consumer's lifetime to
+            # its connection, consuming/server.go:115-170); every
+            # response path sets Content-Length (or is 204/304) so
+            # pipelined clients never stall
+            protocol_version = "HTTP/1.1"
+
             # quiet: tests and embedding apps don't want stderr access logs
             def log_message(self, fmt, *args):  # noqa: N802
                 pass
+
+            def finish(self):  # noqa: N802
+                # connection teardown = goodbye for connection-bound
+                # consumers (reference: TrackedConnection close ->
+                # unRegister, consuming/server.go:140-143,476): their
+                # buckets re-deal to survivors immediately, not after
+                # the R13 inactivity timeout
+                try:
+                    super().finish()
+                finally:
+                    for cid in getattr(self, "_bound_cids", ()):  # noqa: B007
+                        outer._drop_connection_bound(cid)
 
             def _respond(
                 self,
@@ -503,15 +547,55 @@ class BrokerHttpServer:
         handler.end_headers()
         handler.wfile.write(data)
 
+    def _drop_connection_bound(self, cid: str) -> None:
+        """Unregister a connection-bound consumer whose socket closed
+        (reference: TrackedConnection close callback -> unRegister,
+        consuming/server.go:140-143,476): remove from the shared store
+        and re-deal its buckets through the same debounced rebalance
+        any departure takes. Offsets are group-level and already
+        auto-committed per poll, so the survivor resumes exactly where
+        the group left off."""
+        with self._lock:
+            if cid not in self._consumers:
+                return  # goodbye'd or evicted before the socket closed
+            group, _topics = self._consumers.pop(cid)
+            self.store.remove(group, cid)
+            self.membership.leave(group, cid)
+
     def _handle_register(self, handler, q: dict) -> None:
         cid = q.get("consumerId", [""])[0]
-        group = q.get("group", ["default"])[0] or "default"
-        topics = q.get("topic", [])
-        if not cid or not topics:
-            raise ValueError("consumerId and topic are required")
-        reset = q.get("onNewGroup", ["latest"])[0]
-        if reset not in ("earliest", "latest"):
-            raise ValueError("Invalid offset reset policy value")
+        if cid:
+            group = q.get("group", ["default"])[0] or "default"
+            topics = q.get("topic", [])
+            if not topics:
+                raise ValueError("consumerId and topic are required")
+            reset = q.get("onNewGroup", ["latest"])[0]
+            if reset not in ("earliest", "latest"):
+                raise ValueError("Invalid offset reset policy value")
+        else:
+            # CONNECTION-BOUND register (the reference's default client
+            # mode, consuming/server.go:255-259): no consumerId query
+            # param, identity travels with the connection, and the
+            # registration payload is a JSON ConsumerInfo body
+            # {id, group, topics, onNewGroup} (models.go:26-34). The
+            # connection's teardown unregisters the consumer (see
+            # Handler.finish); polls on this connection may omit
+            # consumerId entirely.
+            try:
+                info = json.loads(self._read_body(handler))
+            except (ValueError, json.JSONDecodeError):
+                raise ValueError("Invalid ConsumerInfo payload")
+            cid = str(info.get("id") or "")
+            group = str(info.get("group") or "") or "default"
+            topics = list(info.get("topics") or [])
+            if not cid or not topics:
+                raise ValueError("Consumer id and topics can not be empty")
+            reset = _parse_reset_policy(info.get("onNewGroup"))
+            bound = getattr(handler, "_bound_cids", None)
+            if bound is None:
+                bound = set()
+                handler._bound_cids = bound
+            bound.add(cid)
         # whole check-and-insert under one lock: two concurrent registers
         # for the same consumerId must not both pass the existence check
         # and double-join the membership. Sync with the shared store
@@ -537,8 +621,15 @@ class BrokerHttpServer:
             self.membership.join(group, cid)
         handler._respond(200, "OK")
 
-    def _require_consumer(self, q: dict) -> tuple[str, str, list[str]]:
+    def _require_consumer(self, q: dict, handler=None) -> tuple[str, str, list[str]]:
         cid = q.get("consumerId", [""])[0]
+        if not cid and handler is not None:
+            # connection-bound consumer: identity travels with the
+            # connection, not the query string (consuming/server.go:
+            # 308-330 resolves the tracked connection's id)
+            bound = getattr(handler, "_bound_cids", ())
+            if len(bound) == 1:
+                cid = next(iter(bound))
         if not cid:
             raise ValueError("Unregistered consumer")
         if cid not in self._consumers:
@@ -603,7 +694,7 @@ class BrokerHttpServer:
         # mutates assignment on expiry)
         self.registry.heartbeat()  # a polling facade is a live facade
         with self._lock:
-            cid, group, topics = self._require_consumer(q)
+            cid, group, topics = self._require_consumer(q, handler)
             # this poll IS activity: touch before the sweep so a
             # returning consumer can never evict itself
             self.store.touch(group, cid)
@@ -654,7 +745,7 @@ class BrokerHttpServer:
 
     def _handle_commit(self, handler, q: dict) -> None:
         with self._lock:
-            _cid, group, topics = self._require_consumer(q)
+            _cid, group, topics = self._require_consumer(q, handler)
             committed = {
                 topic: self.log.commit_served(group, topic) for topic in topics
             }
@@ -662,7 +753,7 @@ class BrokerHttpServer:
 
     def _handle_goodbye(self, handler, q: dict) -> None:
         with self._lock:
-            cid, group, topics = self._require_consumer(q)
+            cid, group, topics = self._require_consumer(q, handler)
             for topic in topics:
                 self.log.goodbye(group, topic)
             del self._consumers[cid]

@@ -1236,3 +1236,96 @@ def test_topology_resize_under_live_traffic(spark, tmp_path):
     fa.stop()
     if fc is not None:
         fc.stop()
+
+
+def test_connection_bound_consumer_evicted_on_disconnect(spark, tmp_path):
+    """Connection-bound consumers, the reference's default client mode
+    (consuming/server.go:115-170,255-259): register with NO consumerId
+    query param and a JSON ConsumerInfo body over an HTTP/1.1
+    keep-alive connection; identity travels with the connection (polls
+    omit consumerId); closing the socket unregisters the consumer and
+    its buckets re-deal to survivors IMMEDIATELY — no R13 inactivity
+    wait. Closes the r5/r6 'connection-bound consumers' delta."""
+    import http.client
+    import json as _json
+    import time as _t
+
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    srv = BrokerHttpServer(EventLog(spark, str(tmp_path / "log")))
+    srv.start()
+    try:
+        for i in range(6):
+            code, _ = _req(
+                srv, "POST", f"/v1/topic/t/messages?partitionKey=k{i}", body=f"m{i}"
+            )
+            assert code == 200
+        # stateless consumer A shares the group
+        code, _ = _req(
+            srv,
+            "PUT",
+            "/v1/consumer/register?consumerId=ca&group=g&topic=t"
+            "&onNewGroup=earliest",
+            body=" ",
+        )
+        assert code == 200
+        all_buckets = set(srv.membership.buckets_for("g", "ca"))
+        assert all_buckets  # sole member owns everything
+
+        # connection-bound consumer B: JSON ConsumerInfo, reference
+        # enum spelling for the reset policy, one keep-alive connection
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+        info = _json.dumps(
+            {"id": "cb", "group": "g", "topics": ["t"],
+             "onNewGroup": "startFromEarliest"}
+        )
+        conn.request("PUT", "/v1/consumer/register", body=info)
+        resp = conn.getresponse()
+        assert (resp.status, resp.read()) == (200, b"OK")
+        # poll WITHOUT consumerId on the same connection: identity is
+        # the connection
+        conn.request(
+            "POST", "/v1/consumer/poll", body=" ",
+            headers={"Accept": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status in (200, 204)
+        resp.read()
+        # group now has two members; the deal-out split
+        cb_buckets = set(srv.membership.buckets_for("g", "cb"))
+        ca_buckets = set(srv.membership.buckets_for("g", "ca"))
+        assert cb_buckets and ca_buckets
+        assert cb_buckets | ca_buckets == all_buckets
+        assert not (cb_buckets & ca_buckets)
+
+        # kill the socket: cb must unregister promptly (no 2-min R13)
+        conn.close()
+        deadline = _t.monotonic() + 5
+        while _t.monotonic() < deadline:
+            if "cb" not in srv._consumers:
+                break
+            _t.sleep(0.05)
+        assert "cb" not in srv._consumers
+        # survivor owns everything again and can drain it
+        assert set(srv.membership.buckets_for("g", "ca")) == all_buckets
+        code, body = _req(
+            srv, "POST", "/v1/consumer/poll?consumerId=ca&maxRecords=100",
+            body=" ",
+        )
+        assert code in (200, 204)
+    finally:
+        srv.stop()
+
+
+def test_connection_bound_register_rejects_bad_payload(server):
+    """No consumerId and a non-JSON body -> the reference's 'Invalid
+    ConsumerInfo payload' 400 (server.go:255-258); missing id/topics ->
+    'Consumer id and topics can not be empty' (server.go:296-299)."""
+    code, body = _req(server, "PUT", "/v1/consumer/register", body="not json")
+    assert (code, "Invalid ConsumerInfo payload" in body) == (400, True)
+    code, body = _req(
+        server, "PUT", "/v1/consumer/register",
+        body='{"group": "g", "topics": []}', ctype="application/json",
+    )
+    assert code == 400 and "can not be empty" in body
