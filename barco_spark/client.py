@@ -108,6 +108,78 @@ class BarcoProducer:
         return json.loads(body)
 
 
+class BarcoBoundConsumer:
+    """Connection-bound consumer client — the reference's DEFAULT
+    client mode (consuming/server.go:255-259): one keep-alive
+    connection carries the identity, registration is a JSON
+    ConsumerInfo body, polls omit ``consumerId``, and ``close()``
+    (or a crash dropping the socket) unregisters server-side
+    immediately. Use as a context manager; binary polls by default."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        consumer_id: str,
+        group: str,
+        topic: str,
+        on_new_group: str = "startFromEarliest",
+        json_mode: bool = False,
+    ):
+        import http.client
+
+        self.json_mode = json_mode
+        self._conn = http.client.HTTPConnection(host, port, timeout=_TIMEOUT_S)
+        body = json.dumps(
+            {
+                "id": consumer_id,
+                "group": group,
+                "topics": [topic],
+                "onNewGroup": on_new_group,
+            }
+        )
+        self._conn.request("PUT", "/v1/consumer/register", body=body)
+        resp = self._conn.getresponse()
+        payload = resp.read()
+        if resp.status != 200:
+            raise BarcoClientError(resp.status, payload.decode(errors="replace"))
+
+    def poll(self, max_records: int = 1000) -> list[dict]:
+        headers = {"Accept": "application/json"} if self.json_mode else {}
+        self._conn.request(
+            "POST",
+            f"/v1/consumer/poll?maxRecords={max_records}",
+            body=" ",
+            headers=headers,
+        )
+        resp = self._conn.getresponse()
+        body = resp.read()
+        if resp.status == 204:
+            return []
+        if resp.status != 200:
+            raise BarcoClientError(resp.status, body.decode(errors="replace"))
+        if self.json_mode:
+            return json.loads(body)
+        return decode_poll_response(body)
+
+    def payloads(self, max_records: int = 1000) -> list[str]:
+        items = self.poll(max_records)
+        if self.json_mode:
+            return [v for item in items for v in item["values"]]
+        return [r["payload"] for item in items for r in item["records"]]
+
+    def close(self) -> None:
+        """Drop the connection: the facade unregisters this consumer
+        and re-deals its buckets immediately."""
+        self._conn.close()
+
+    def __enter__(self) -> "BarcoBoundConsumer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 class BarcoConsumer:
     """Register/poll/commit/goodbye client; binary polls by default."""
 

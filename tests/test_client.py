@@ -126,3 +126,38 @@ def test_evicted_consumer_transparently_reregisters(spark, tmp_path):
         assert sorted(got2) == ["b0", "b1"]  # resumed, not redelivered
     finally:
         s.stop()
+
+
+def test_bound_consumer_client_roundtrip_and_disconnect(spark, tmp_path):
+    """BarcoBoundConsumer speaks the reference's connection-bound
+    protocol end-to-end: JSON ConsumerInfo register on a keep-alive
+    connection, consumerId-less binary polls, and close() re-deals the
+    buckets to survivors immediately."""
+    import time as _t
+
+    from barco_spark.client import BarcoBoundConsumer, BarcoProducer
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+
+    srv = BrokerHttpServer(EventLog(spark, str(tmp_path / "log")))
+    srv.start()
+    try:
+        p = BarcoProducer(f"http://127.0.0.1:{srv.port}")
+        for i in range(6):
+            assert p.produce("t", f"m{i}", key=f"k{i}")["produced"] == 1
+        with BarcoBoundConsumer(
+            "127.0.0.1", srv.port, "bc1", "g", "t"
+        ) as c:
+            got: list[str] = []
+            deadline = _t.monotonic() + 30
+            while len(got) < 6 and _t.monotonic() < deadline:
+                got.extend(c.payloads())
+            assert sorted(got) == [f"m{i}" for i in range(6)]
+            assert "bc1" in srv._consumers
+        # context exit closed the socket -> immediate unregister
+        deadline = _t.monotonic() + 5
+        while "bc1" in srv._consumers and _t.monotonic() < deadline:
+            _t.sleep(0.05)
+        assert "bc1" not in srv._consumers
+    finally:
+        srv.stop()
