@@ -153,7 +153,21 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def calibrate_shuffle() -> float:
+        # second probe WITH an exchange: round 7 caught a host state
+        # where the pure-arithmetic calib read FAST (0.216 vs 0.280)
+        # while every scan/shuffle-heavy query ran +23% slow — I/O and
+        # memory-bandwidth interference is invisible to a CPU loop
+        # (SCALING.md round-7 addendum). Kept separate so calib_sec
+        # stays comparable across all rounds.
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr(
+            "(id * 2654435761) % 65536 AS k", "id AS v"
+        ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     calib = round(min(calibrate(), calibrate()), 4)
+    calib_shuffle = round(min(calibrate_shuffle(), calibrate_shuffle()), 4)
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -180,6 +194,9 @@ def main() -> None:
         # fixed-workload machine-speed reference (see calibrate());
         # compare across BENCH_r*.json to normalize host drift
         "calib_sec": calib,
+        # exchange-bearing probe: catches I/O-side interference the
+        # CPU-bound calib is blind to (new in round 7)
+        "calib_shuffle_sec": calib_shuffle,
         "n_queries": len(HEADLINE),
         "n_ok": len(timings),
         "n_dnf": len(failures),
@@ -210,6 +227,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "calib_sec": calib,
+        "calib_shuffle_sec": calib_shuffle,
         "n_queries": len(HEADLINE),
         "n_ok": len(timings),
         "n_dnf": len(failures),

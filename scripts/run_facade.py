@@ -10,6 +10,11 @@ by environment:
                pyarrow.fs-supported scheme:// URI works)
 - FACADE_PORT  HTTP port (default 9250, the reference's producer port)
 - FACADE_TTL_S facade-registry heartbeat TTL for multi-facade roots
+- FORWARD_PRODUCE=1  proxy mis-routed produces to the topic leader
+               server-side for every client (gossiper.SendToLeader
+               behavior) instead of only on X-No-Redirect; default
+               off (307 redirects, zero proxy overhead for
+               leader-aware clients)
 """
 
 from __future__ import annotations
@@ -30,8 +35,11 @@ def main() -> None:
     root = os.environ.get("LOG_ROOT", "/var/lib/barco/log")
     port = int(os.environ.get("FACADE_PORT", "9250"))
     ttl = float(os.environ.get("FACADE_TTL_S", "10"))
+    fwd = os.environ.get("FORWARD_PRODUCE", "") in ("1", "true", "yes")
     log = EventLog(get_spark(app_name="barco-facade"), root)
-    srv = BrokerHttpServer(log, host="0.0.0.0", port=port, facade_ttl_s=ttl)
+    srv = BrokerHttpServer(
+        log, host="0.0.0.0", port=port, facade_ttl_s=ttl, forward_produce=fwd
+    )
     srv.start()
     print(f"facade listening on :{srv.port} root={root}", flush=True)
 
