@@ -1329,3 +1329,24 @@ def test_connection_bound_register_rejects_bad_payload(server):
         body='{"group": "g", "topics": []}', ctype="application/json",
     )
     assert code == 400 and "can not be empty" in body
+
+
+def test_parse_reset_policy_reference_spellings():
+    """ConsumerInfo.onNewGroup accepts the reference's enum ints
+    (0=StartFromLatest, 1=StartFromEarliest, models_offset.go:96-101),
+    its string forms (models_offset.go:103-111), and the query-param
+    spellings; anything else is the reference's 400."""
+    import pytest
+
+    from barco_spark.sources.http_server import _parse_reset_policy
+
+    assert _parse_reset_policy(None) == "latest"
+    assert _parse_reset_policy(0) == "latest"
+    assert _parse_reset_policy("startFromLatest") == "latest"
+    assert _parse_reset_policy("latest") == "latest"
+    assert _parse_reset_policy(1) == "earliest"
+    assert _parse_reset_policy("startFromEarliest") == "earliest"
+    assert _parse_reset_policy("earliest") == "earliest"
+    for bad in (2, "newest", "", "EARLIEST"):
+        with pytest.raises(ValueError):
+            _parse_reset_policy(bad)
