@@ -79,6 +79,7 @@ re-deal to survivors after its heartbeat TTL expires.
 
 from __future__ import annotations
 
+import itertools
 import json
 import re
 import threading
@@ -147,6 +148,14 @@ class BrokerHttpServer:
             log.buckets, debounce_s=rebalance_debounce_s
         )
         self._lock = threading.Lock()
+        # Connection-bound ownership (the reference tracks consumers BY
+        # CONNECTION id, not consumer id — consumer_state.go:68-101: a
+        # consumer may be carried by several live connections and
+        # RemoveConnection removes only its own). cid -> set of
+        # connection tokens; a socket teardown unregisters the consumer
+        # only when it owned a live binding AND it was the last one.
+        self._bound_conns: dict[str, set[int]] = {}
+        self._conn_tokens = itertools.count(1)
         # C9: Prometheus registry with the reference's broker metric
         # names (internal/metrics/metrics.go:13-87), served live on
         # GET /metrics (the reference serves promhttp on port 9253;
@@ -220,8 +229,43 @@ class BrokerHttpServer:
                 try:
                     super().finish()
                 finally:
-                    for cid in getattr(self, "_bound_cids", ()):  # noqa: B007
-                        outer._drop_connection_bound(cid)
+                    token = getattr(self, "_conn_token", None)
+                    if token is not None:
+                        for cid in getattr(self, "_bound_cids", ()):  # noqa: B007
+                            outer._drop_connection_bound(cid, token)
+
+            def parse_request(self):  # noqa: N802
+                # keep-alive hygiene: remember how many request-body
+                # bytes this request declared so send_response can
+                # drain whatever the handler didn't consume (a poll /
+                # commit / goodbye / 404 never reads its body; leftover
+                # bytes would prepend the NEXT request line on this
+                # connection and corrupt it)
+                ok = super().parse_request()
+                if ok:
+                    try:
+                        self._body_unread = int(
+                            self.headers.get("Content-Length", 0) or 0
+                        )
+                    except (TypeError, ValueError):
+                        self._body_unread = 0
+                    if self.headers.get("Transfer-Encoding"):
+                        # chunked bodies can't be drained by length; the
+                        # reference rejects them outright
+                        # (producing/server.go:146-152) — don't reuse
+                        # the connection
+                        self.close_connection = True
+                return ok
+
+            def send_response(self, code, message=None):  # noqa: N802
+                remaining = getattr(self, "_body_unread", 0)
+                if remaining > 0:
+                    self._body_unread = 0
+                    try:
+                        self.rfile.read(remaining)
+                    except OSError:
+                        self.close_connection = True
+                super().send_response(code, message)
 
             def _respond(
                 self,
@@ -360,7 +404,9 @@ class BrokerHttpServer:
             raise ValueError(
                 "Content length must be defined and greater than 0"
             )
-        return handler.rfile.read(length).decode("utf-8")
+        data = handler.rfile.read(length)
+        handler._body_unread = 0  # fully consumed; nothing to drain
+        return data.decode("utf-8")
 
     def _lag_samples(self) -> list[tuple[dict, float]]:
         """Per-bucket lag for every registered (group, topic), computed
@@ -536,9 +582,23 @@ class BrokerHttpServer:
                     ex.headers.get("Content-Type", "text/plain"),
                 )
                 return
-            except OSError as ex:  # connection refused / timeout
+            except OSError as ex:  # connection refused / timeout / reset
                 last_err = str(ex)
-                continue
+                reason = getattr(ex, "reason", ex)
+                if isinstance(reason, ConnectionRefusedError):
+                    # nothing reached the leader — a retry cannot
+                    # duplicate; re-resolve (a crashed leader's
+                    # registry entry expires and rendezvous moves)
+                    continue
+                # timeout or reset AFTER the request was sent: the
+                # leader may have already applied the write, so an
+                # in-proxy retry would duplicate records invisibly
+                # under the single 200 the client sees. Surface 503 +
+                # Retry-After instead — the CLIENT owns the retry
+                # decision, the same at-least-once contract the
+                # reference's gossip forward has (producing/
+                # server.go:158-166 propagates the error to the caller)
+                break
         data = f"produce forward failed: {last_err}".encode()
         handler.send_response(503)
         handler.send_header("Retry-After", "1")
@@ -547,23 +607,57 @@ class BrokerHttpServer:
         handler.end_headers()
         handler.wfile.write(data)
 
-    def _drop_connection_bound(self, cid: str) -> None:
+    def _drop_connection_bound(self, cid: str, token: int) -> None:
         """Unregister a connection-bound consumer whose socket closed
         (reference: TrackedConnection close callback -> unRegister,
         consuming/server.go:140-143,476): remove from the shared store
         and re-deal its buckets through the same debounced rebalance
         any departure takes. Offsets are group-level and already
         auto-committed per poll, so the survivor resumes exactly where
-        the group left off."""
+        the group left off.
+
+        Ownership-checked like the reference's RemoveConnection
+        (consumer_state.go:84-101, keyed by CONNECTION id): the closing
+        socket must own a live binding for ``cid``, and the consumer is
+        unregistered only when it was the LAST such binding — so a
+        rejected duplicate register, or an old socket's teardown racing
+        a reconnect-with-the-same-id, can never drop the healthy
+        consumer on another connection."""
         with self._lock:
+            owners = self._bound_conns.get(cid)
+            if owners is None or token not in owners:
+                return  # this connection never (successfully) bound cid
+            owners.discard(token)
+            if owners:
+                return  # another live connection still carries cid
+            del self._bound_conns[cid]
             if cid not in self._consumers:
                 return  # goodbye'd or evicted before the socket closed
             group, _topics = self._consumers.pop(cid)
             self.store.remove(group, cid)
             self.membership.leave(group, cid)
 
+    def _bind_connection(self, handler, cid: str) -> None:
+        """Record that ``handler``'s connection carries connection-bound
+        consumer ``cid`` (reference AddConnection,
+        consumer_state.go:68-82). Caller holds ``self._lock`` and has
+        already accepted the registration — a rejected register never
+        binds, so its socket's teardown cannot touch a healthy consumer
+        registered on another connection."""
+        token = getattr(handler, "_conn_token", None)
+        if token is None:
+            token = next(self._conn_tokens)
+            handler._conn_token = token
+        bound = getattr(handler, "_bound_cids", None)
+        if bound is None:
+            bound = set()
+            handler._bound_cids = bound
+        bound.add(cid)
+        self._bound_conns.setdefault(cid, set()).add(token)
+
     def _handle_register(self, handler, q: dict) -> None:
         cid = q.get("consumerId", [""])[0]
+        bound_register = False
         if cid:
             group = q.get("group", ["default"])[0] or "default"
             topics = q.get("topic", [])
@@ -591,11 +685,10 @@ class BrokerHttpServer:
             if not cid or not topics:
                 raise ValueError("Consumer id and topics can not be empty")
             reset = _parse_reset_policy(info.get("onNewGroup"))
-            bound = getattr(handler, "_bound_cids", None)
-            if bound is None:
-                bound = set()
-                handler._bound_cids = bound
-            bound.add(cid)
+            # binding happens INSIDE the locked block below, and only
+            # once the registration is accepted — never on the
+            # divergent-parameters 400 path
+            bound_register = True
         # whole check-and-insert under one lock: two concurrent registers
         # for the same consumerId must not both pass the existence check
         # and double-join the membership. Sync with the shared store
@@ -613,12 +706,21 @@ class BrokerHttpServer:
                     raise ValueError(
                         "Consumer already registered with different parameters"
                     )
+                # reconnect / extra connection for a live consumer: the
+                # reference happily AddConnection()s the same
+                # ConsumerInfo again (consumer_state.go:68-82), so the
+                # NEW connection also carries cid — the OLD socket's
+                # later teardown releases only its own binding
+                if bound_register:
+                    self._bind_connection(handler, cid)
                 handler._respond(200, "Already registered")
                 return
             self.log.register(group, topics, reset=reset)
             self._consumers[cid] = (group, topics)
             self.store.put(group, cid, topics)
             self.membership.join(group, cid)
+            if bound_register:
+                self._bind_connection(handler, cid)
         handler._respond(200, "OK")
 
     def _require_consumer(self, q: dict, handler=None) -> tuple[str, str, list[str]]:
@@ -687,6 +789,10 @@ class BrokerHttpServer:
                 group_known, _topics = self._consumers.pop(cid)
                 self.store.remove(group_known, cid)
                 self.membership.leave(group_known, cid)
+                # deliberate removal voids any lingering connection
+                # bindings: a later socket teardown must not touch a
+                # RE-registered consumer with the same id
+                self._bound_conns.pop(cid, None)
 
     def _handle_poll(self, handler, q: dict) -> None:
         # one lock acquisition covers assignment lookup AND the poll so
@@ -759,4 +865,7 @@ class BrokerHttpServer:
             del self._consumers[cid]
             self.store.remove(group, cid)
             self.membership.leave(group, cid)
+            # goodbye voids any connection bindings for this id (same
+            # rationale as eviction: re-registration must start clean)
+            self._bound_conns.pop(cid, None)
         handler._respond(200, "Bye")

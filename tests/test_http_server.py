@@ -1350,3 +1350,157 @@ def test_parse_reset_policy_reference_spellings():
     for bad in (2, "newest", "", "EARLIEST"):
         with pytest.raises(ValueError):
             _parse_reset_policy(bad)
+
+
+def test_rejected_bound_register_cannot_drop_healthy_consumer(server):
+    """Connection ownership exactly like the reference's per-connection
+    tracking ids (consumer_state.go:68-101: AddConnection keys by
+    CONNECTION id; RemoveConnection removes only its own): a second
+    connection that tries to register the same consumer id with
+    DIFFERENT parameters gets the 400 — and closing that rejected
+    connection must NOT unregister the healthy consumer bound on the
+    original connection."""
+    import http.client
+    import json as _json
+    import time as _t
+
+    srv = server
+    code, _ = _req(srv, "POST", "/v1/topic/t/messages?partitionKey=k", body="m")
+    assert code == 200
+
+    conn_a = http.client.HTTPConnection("127.0.0.1", srv.port)
+    try:
+        conn_a.request(
+            "PUT", "/v1/consumer/register",
+            body=_json.dumps({"id": "cb", "group": "g", "topics": ["t"]}),
+        )
+        resp = conn_a.getresponse()
+        assert (resp.status, resp.read()) == (200, b"OK")
+
+        # conn B: same id, DIFFERENT topics -> the reference's 400
+        conn_b = http.client.HTTPConnection("127.0.0.1", srv.port)
+        conn_b.request(
+            "PUT", "/v1/consumer/register",
+            body=_json.dumps({"id": "cb", "group": "g", "topics": ["other"]}),
+        )
+        resp = conn_b.getresponse()
+        body = resp.read().decode()
+        assert resp.status == 400 and "different parameters" in body
+        conn_b.close()
+
+        # the rejected connection's teardown must not touch cb
+        _t.sleep(0.3)
+        assert "cb" in srv._consumers
+        # and cb still polls fine on its own connection (identity = conn)
+        conn_a.request(
+            "POST", "/v1/consumer/poll", body=" ",
+            headers={"Accept": "application/json"},
+        )
+        resp = conn_a.getresponse()
+        assert resp.status in (200, 204)
+        resp.read()
+    finally:
+        conn_a.close()
+    # cleanup: cb unregisters when ITS connection closes
+    deadline = _t.monotonic() + 5
+    while _t.monotonic() < deadline and "cb" in srv._consumers:
+        _t.sleep(0.05)
+    assert "cb" not in srv._consumers
+
+
+def test_bound_reconnect_survives_old_socket_teardown(server):
+    """Reconnect-with-the-same-id: the reference lets the same
+    ConsumerInfo ride multiple connections (AddConnection,
+    consumer_state.go:68-82) and unregisters only when the LAST one
+    closes. The old socket's teardown racing after a re-register must
+    not drop the fresh registration."""
+    import http.client
+    import json as _json
+    import time as _t
+
+    srv = server
+    code, _ = _req(srv, "POST", "/v1/topic/t/messages?partitionKey=k", body="m")
+    assert code == 200
+    info = _json.dumps({"id": "cb", "group": "g", "topics": ["t"]})
+
+    conn_a = http.client.HTTPConnection("127.0.0.1", srv.port)
+    conn_a.request("PUT", "/v1/consumer/register", body=info)
+    assert conn_a.getresponse().read() == b"OK"
+
+    # client reconnects (e.g. after a network blip) BEFORE the server
+    # notices conn A died; same id, same params -> accepted and bound
+    conn_b = http.client.HTTPConnection("127.0.0.1", srv.port)
+    conn_b.request("PUT", "/v1/consumer/register", body=info)
+    resp = conn_b.getresponse()
+    assert resp.status == 200
+    resp.read()
+
+    # NOW the old socket's finish() fires — it must release only its
+    # own binding, not the fresh one
+    conn_a.close()
+    _t.sleep(0.3)
+    assert "cb" in srv._consumers
+    # polls on the surviving connection keep working (no 400)
+    conn_b.request(
+        "POST", "/v1/consumer/poll", body=" ",
+        headers={"Accept": "application/json"},
+    )
+    resp = conn_b.getresponse()
+    assert resp.status in (200, 204)
+    resp.read()
+
+    conn_b.close()
+    deadline = _t.monotonic() + 5
+    while _t.monotonic() < deadline and "cb" in srv._consumers:
+        _t.sleep(0.05)
+    assert "cb" not in srv._consumers
+
+
+def test_keepalive_body_is_drained_on_every_path(server):
+    """HTTP/1.1 keep-alive hygiene: handlers that never read their
+    request body (poll/commit/goodbye/404/query-param register) must
+    drain it before responding, or the leftover bytes prepend the next
+    request line on the same connection (reference clients send real
+    JSON bodies on every route, consuming/server.go:308-330)."""
+    import http.client
+    import json as _json
+
+    srv = server
+    code, _ = _req(srv, "POST", "/v1/topic/t/messages?partitionKey=k", body="m")
+    assert code == 200
+
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+    try:
+        # query-param register with a MULTI-byte body (never read by the
+        # handler) on a keep-alive connection
+        conn.request(
+            "PUT",
+            "/v1/consumer/register?consumerId=ck&group=g&topic=t"
+            "&onNewGroup=earliest",
+            body=_json.dumps({"ignored": "payload"}),
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        # poll with a real body on the SAME connection
+        conn.request(
+            "POST", "/v1/consumer/poll?consumerId=ck", body='{"hint": 1}',
+            headers={"Accept": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status in (200, 204)  # 501 here = body bytes leaked
+        resp.read()
+        # commit with a body, then a 404 route with a body, then GET
+        conn.request("POST", "/v1/consumer/commit?consumerId=ck", body="xx")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+        conn.request("POST", "/v1/nope", body="leftover-bytes")
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        conn.request("GET", "/status")
+        resp = conn.getresponse()
+        assert (resp.status, resp.read()) == (200, b"OK")
+    finally:
+        conn.close()
