@@ -153,7 +153,21 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("p"),
         )
-    return p.select(F.col("node").alias("doc_id"), F.col("p").alias("rank_fp"))
+    # Cache release (the _kcore_peel discipline): the returned frame
+    # depends lazily on all three iteration caches, so eagerly
+    # materialize the FINAL ranks (one row per node — the smallest
+    # relation here) via localCheckpoint, then free the edge/node/degree
+    # blocks.  Library and long-lived-session callers thus hold one
+    # node-sized checkpoint (released at the next free_persistent_rdds
+    # sweep or session boundary) instead of leaking three edge-scale
+    # caches per invocation.
+    out = p.select(
+        F.col("node").alias("doc_id"), F.col("p").alias("rank_fp")
+    ).localCheckpoint()
+    src_deg.unpersist()
+    nodes.unpersist()
+    edges.unpersist()
+    return out
 
 
 @register(

@@ -48,3 +48,29 @@ def test_kcore_registered_variant_is_converged(spark, sf_dir):
     a = sorted(tuple(r) for r in graph_kcore_converged(spark, sf_dir).collect())
     b, _ = _kcore_peel(spark, sf_dir, rounds=None)
     assert a == sorted(tuple(r) for r in b.collect())
+
+
+def test_pagerank_releases_iteration_caches(spark, sf_dir):
+    """pagerank persists three iteration-invariant relations (edges,
+    nodes, src+degree); a library caller must not leak them — after the
+    call returns, the only live storage is the node-sized checkpoint
+    backing the RESULT, and dropping that returns the session to its
+    starting block set."""
+    from barco_spark.operators.dedup import _lsh_pairs
+    from barco_spark.operators.graph import pagerank_similarity_graph
+    from barco_spark.session import persistent_rdd_ids, unpersist_rdds
+
+    # prime the DELIBERATELY shared signature cache (_lsh_pairs persists
+    # sig for reuse across the dedup family; the session sweep owns it)
+    # so `before` includes it and the assertion isolates pagerank's own
+    # iteration caches
+    _lsh_pairs(spark, sf_dir).count()
+    before = persistent_rdd_ids(spark)
+    out = pagerank_similarity_graph(spark, sf_dir)
+    assert out.count() > 0
+    live = persistent_rdd_ids(spark) - before
+    # the result checkpoint is the ONLY surviving persist; the three
+    # iteration caches (edges / nodes / src_deg) were released in-op
+    assert len(live) <= 1, f"leaked persisted RDDs: {sorted(live)}"
+    unpersist_rdds(spark, live)
+    assert persistent_rdd_ids(spark) - before == set()
