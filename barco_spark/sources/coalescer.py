@@ -90,22 +90,30 @@ class ProduceCoalescer:
         EventLog.produce's NDJSON handling (split on newline, drop
         empty lines; a non-NDJSON body with embedded newlines stays ONE
         record — internal/producing/models.go:33-35)."""
+        if ndjson:
+            lines = [ln for ln in body.split("\n") if ln]
+        else:
+            lines = [body]
+        return ProduceCoalescer.records_from_texts(lines, key, ts_us)
+
+    @staticmethod
+    def records_from_texts(
+        texts: list[str], key: str | None, ts_us: int | None
+    ) -> list[tuple[str | None, str, datetime | None]]:
+        """Stamp pre-split message texts into log records (shared by the
+        line-split and producer.frames paths)."""
         ts = None
         if ts_us is not None:
             ts = datetime.fromtimestamp(
                 ts_us // 1_000_000, tz=timezone.utc
             ) + timedelta(microseconds=ts_us % 1_000_000)
-        if ndjson:
-            lines = [ln for ln in body.split("\n") if ln]
-        else:
-            lines = [body]
         if ts is None:
             # arrival time is stamped HERE, not at flush time, so a
             # coalesced record carries the moment its request arrived
             # (the reference stamps on request receipt,
             # producing/server.go:178-183)
             ts = datetime.now(timezone.utc)
-        return [(key, ln, ts) for ln in lines]
+        return [(key, t, ts) for t in texts]
 
     def submit(
         self, topic: str, records: list[tuple[str | None, str, datetime | None]]

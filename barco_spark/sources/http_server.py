@@ -96,6 +96,7 @@ from barco_spark.sources.membership import (
     MembershipStore,
     ProduceFencedError,
 )
+from barco_spark.sources.wire import MIME_PRODUCER_FRAMES, parse_framed_payloads
 
 _TOPIC_MSG_RE = re.compile(r"^/v1/topic/([^/]+)/messages$")
 
@@ -399,6 +400,9 @@ class BrokerHttpServer:
     # -- handlers -------------------------------------------------------
     def _read_body(self, handler) -> str:
         # the reference rejects chunked bodies too (producing/server.go:146-152)
+        return self._read_body_bytes(handler).decode("utf-8")
+
+    def _read_body_bytes(self, handler) -> bytes:
         length = int(handler.headers.get("Content-Length", 0) or 0)
         if length <= 0:
             raise ValueError(
@@ -406,7 +410,7 @@ class BrokerHttpServer:
             )
         data = handler.rfile.read(length)
         handler._body_unread = 0  # fully consumed; nothing to drain
-        return data.decode("utf-8")
+        return data
 
     def _lag_samples(self) -> list[tuple[dict, float]]:
         """Per-bucket lag for every registered (group, topic), computed
@@ -442,9 +446,18 @@ class BrokerHttpServer:
     def _handle_produce(
         self, handler, topic: str, q: dict, routed: bool = False
     ) -> None:
-        body = self._read_body(handler)
+        # per-line split is gated SOLELY on the NDJSON content type, like
+        # the reference (internal/producing/models.go:33-35): a single
+        # application/json message with embedded newlines (pretty-printed
+        # JSON) stays ONE record. The producer.frames type is the
+        # reference's inter-broker routing format ({u32 len}{bytes}...,
+        # types/models.go:14) — what a peer's binary server forwards.
+        ctype = handler.headers.get("Content-Type", "").split(";")[0].strip()
+        framed = ctype == MIME_PRODUCER_FRAMES
+        raw = self._read_body_bytes(handler)
+        body = None if framed else raw.decode("utf-8")
         self.metrics["producer_requests"].inc()
-        self.metrics["producer_body_bytes"].inc(len(body.encode("utf-8")))
+        self.metrics["producer_body_bytes"].inc(len(raw))
         # validate before queueing so a bad topic answers 400 instantly
         # instead of failing a whole coalesced window
         if not topic or len(topic) > self.log.config.max_topic_length:
@@ -468,7 +481,7 @@ class BrokerHttpServer:
                 self.forward_produce
                 or handler.headers.get("X-No-Redirect") is not None
             ):
-                self._forward_produce(handler, topic, body)
+                self._forward_produce(handler, topic, raw)
                 return
             # routed requests never forward again (no proxy loops): a
             # routing POST that lands on a non-leader — leadership
@@ -485,11 +498,6 @@ class BrokerHttpServer:
         if routed:
             self.metrics["rerouted_received"].inc()
         key = q.get("partitionKey", [None])[0]
-        # per-line split is gated SOLELY on the NDJSON content type, like
-        # the reference (internal/producing/models.go:33-35): a single
-        # application/json message with embedded newlines (pretty-printed
-        # JSON) stays ONE record
-        ctype = handler.headers.get("Content-Type", "").split(";")[0].strip()
         ndjson = ctype == "application/x-ndjson"
         # optional producer-supplied timestamp in epoch micros, like the
         # reference (producing/server.go:178-183); integer split keeps
@@ -501,7 +509,14 @@ class BrokerHttpServer:
                 ts_us = int(ts_raw)
             except ValueError:
                 raise ValueError("timestamp must be integer epoch micros")
-        records = ProduceCoalescer.parse_records(body, key, ndjson, ts_us)
+        if framed:
+            try:
+                texts = [p.decode("utf-8") for p in parse_framed_payloads(raw)]
+            except (ValueError, UnicodeDecodeError) as ex:
+                raise ValueError(f"invalid producer.frames body: {ex}")
+            records = ProduceCoalescer.records_from_texts(texts, key, ts_us)
+        else:
+            records = ProduceCoalescer.parse_records(body, key, ndjson, ts_us)
         if not records:  # NDJSON body of only blank lines
             handler._respond(200, json.dumps({"produced": 0}), "application/json")
             return
@@ -528,7 +543,7 @@ class BrokerHttpServer:
         n = self.coalescer.produce_sync(topic, records)
         handler._respond(200, json.dumps({"produced": n}), "application/json")
 
-    def _forward_produce(self, handler, topic: str, body: str) -> None:
+    def _forward_produce(self, handler, topic: str, body: bytes) -> None:
         """Proxy a mis-routed produce to the topic leader server-side
         (S4, gossiper.SendToLeader, producing/server.go:158-166): the
         client gets the LEADER's final answer, never a redirect.
@@ -545,7 +560,7 @@ class BrokerHttpServer:
 
         url = urlparse(handler.path)
         qs = f"?{url.query}" if url.query else ""
-        payload = body.encode("utf-8")
+        payload = body
         ctype = handler.headers.get("Content-Type", "text/plain")
         last_err = "no live leader"
         for attempt in range(3):

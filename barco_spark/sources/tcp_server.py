@@ -11,6 +11,11 @@ Mirrors internal/producing/binary_server.go:
 - anything else (bad CRC, wrong version, unknown op, non-startup first
   frame) gets an ``errorOp`` response and the connection closes
   (binary_server.go:76-118)
+- with a shared ``FacadeRegistry``, a frame for a topic a PEER facade
+  leads is routed to that leader's HTTP routing endpoint as-is
+  (producer.frames body + partitionKey query param), exactly the
+  reference's binary reroute (binary_server.go:230-247 ->
+  gossiper.SendToLeader, gossip.go:257-300)
 
 Coalescing: the reference appends produce frames to a per-(topic,
 token, range) coalescer and acks after the group write
@@ -42,15 +47,18 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql import functions as F
 
 from barco_spark.sources.eventlog import EventLog
+from barco_spark.sources.membership import ProduceFencedError
 from barco_spark.sources.wire import (
     HEADER_SIZE,
     HEARTBEAT_OP,
+    MIME_PRODUCER_FRAMES,
     PRODUCE_OP,
     PRODUCE_RESPONSE_OP,
     READY_OP,
     STARTUP_OP,
     encode_error_frame,
     encode_frame,
+    encode_framed_payloads,
     parse_header,
     parse_produce_body,
 )
@@ -72,7 +80,21 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
 
 
 class BinaryProducerServer:
-    """Threaded TCP listener bound to one EventLog."""
+    """Threaded TCP listener bound to one EventLog.
+
+    With ``registry`` (a ``FacadeRegistry``, normally SHARED with the
+    co-located HTTP facade so both speak with one leadership identity),
+    the server checks topic leadership per produce frame and routes
+    mis-routed frames to the leader's HTTP routing endpoint as-is —
+    the reference's binary-path reroute (binary_server.go:236-247
+    feeding gossiper.SendToLeader, integration shape
+    internal/test/integration/roundtrip_test.go:506).  Without a
+    registry it is a single-facade listener (always its own leader).
+
+    Pass the co-located facade's ``lock`` when sharing an EventLog so
+    binary and HTTP writes serialize on ONE lock (two locks over one
+    log would race the offset watermark).
+    """
 
     def __init__(
         self,
@@ -80,10 +102,14 @@ class BinaryProducerServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_group_frames: int = 10_000,
+        registry=None,
+        lock: threading.Lock | None = None,
     ) -> None:
         self.log = log
         self.max_group_frames = max_group_frames
-        self._lock = threading.Lock()  # single-writer-per-topic contract
+        self.registry = registry
+        # single-writer-per-topic contract
+        self._lock = lock if lock is not None else threading.Lock()
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -219,10 +245,19 @@ class BinaryProducerServer:
     def _flush_group(
         self, sock: socket.socket, group: list[tuple[int, int, bytes]]
     ) -> None:
-        """One produce batch per topic for the whole group, then acks."""
+        """One produce batch per topic for the whole group, then acks.
+        Frames whose topic a PEER facade leads never enter the local
+        batch — they are routed to the leader per frame, exactly like
+        the reference's per-message leader check
+        (binary_server.go:230-247)."""
         by_topic: dict[str, list[tuple]] = {}
+        # topic -> [(ack index, stream id)]: lets a produce fence
+        # refusal convert exactly the affected frames' acks to errors
+        topic_acks: dict[str, list[tuple[int, int]]] = {}
         acks: list[bytes] = []
         now = datetime.now(timezone.utc)
+        if self.registry is not None:
+            self.registry.heartbeat()
         for flags, stream_id, body in group:
             try:
                 msgs = list(parse_produce_body(flags, stream_id, body))
@@ -248,13 +283,98 @@ class BinaryProducerServer:
                 # for the already-parsed frames in the group
                 acks.append(encode_error_frame(stream_id, str(ex)))
                 continue
+            # one topic per frame by wire layout (key+topic precede the
+            # payload sequence)
+            topic = msgs[0]["topic"] if msgs else ""
+            if msgs and self.registry is not None:
+                leader_id, _h, _p = self.registry.leader_for(topic)
+                if leader_id != self.registry.facade_id:
+                    acks.append(self._route_frame(topic, msgs, stream_id))
+                    continue
             for m, row in zip(msgs, rows):
                 by_topic.setdefault(m["topic"], []).append(row)
+            topic_acks.setdefault(topic, []).append((len(acks), stream_id))
             acks.append(encode_frame(PRODUCE_RESPONSE_OP, stream_id))
         with self._lock:
             for topic, rows in by_topic.items():
+                if self.registry is not None:
+                    # same object-store write fence the HTTP leader path
+                    # takes: prove leadership in the store's clock frame
+                    # before writing
+                    try:
+                        self.registry.produce_fence(topic)
+                    except ProduceFencedError as ex:
+                        for idx, sid in topic_acks.get(topic, ()):
+                            acks[idx] = encode_error_frame(sid, str(ex))
+                        continue
                 df = self.log.spark.createDataFrame(
                     rows, "partition_key string, payload string, timestamp timestamp"
                 ).withColumn("timestamp", F.col("timestamp"))
                 self.log.produce(topic, df)
         sock.sendall(b"".join(acks))
+
+    def _route_frame(
+        self, topic: str, msgs: list[dict], stream_id: int
+    ) -> bytes:
+        """Forward one mis-routed produce frame to the topic leader's
+        routing endpoint AS-IS — the payload region repacked as the
+        reference's producer.frames body (types/models.go:14), the key
+        as a query param — mirroring gossiper.SendToLeader
+        (binary_server.go:236-247, gossip.go:257-300).  Returns the ack
+        frame for the client: produceResponseOp on the leader's 200,
+        errorOp otherwise (newRoutingErrorResponse).  The producer
+        timestamp rides a query param (the HTTP produce surface's
+        ``?timestamp=`` micros; the reference re-stamps on the leader —
+        preserving it is strictly more faithful to the producer).
+
+        Retries mirror _forward_produce: re-resolve the leader per
+        attempt, retry only on 307 (leadership moved) or connection
+        refusal (nothing reached the leader); a timeout/reset AFTER the
+        send may already be applied, so it surfaces as an error frame
+        and the CLIENT owns the at-least-once retry decision."""
+        import time as _time
+        import urllib.error
+        import urllib.request
+        from urllib.parse import quote, urlencode
+
+        payload = encode_framed_payloads([m["payload"] for m in msgs])
+        params = {}
+        if msgs[0]["partition_key"]:
+            params["partitionKey"] = msgs[0]["partition_key"]
+        if msgs[0]["timestamp_us"] is not None:
+            params["timestamp"] = str(msgs[0]["timestamp_us"])
+        qs = f"?{urlencode(params)}" if params else ""
+        last_err = "no live leader"
+        for attempt in range(3):
+            if attempt:
+                _time.sleep(0.2)
+            _lid, lhost, lport = self.registry.leader_for(topic)
+            target = (
+                f"http://{lhost}:{lport}/v1/routing/topic/"
+                f"{quote(topic, safe='')}/messages{qs}"
+            )
+            req = urllib.request.Request(
+                target, data=payload, method="POST",
+                headers={"Content-Type": MIME_PRODUCER_FRAMES},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=10.0) as resp:
+                    resp.read()
+                    return encode_frame(PRODUCE_RESPONSE_OP, stream_id)
+            except urllib.error.HTTPError as ex:
+                if ex.code == 307:
+                    last_err = "leadership moved during forward"
+                    continue  # re-resolve and retry
+                detail = ex.read().decode("utf-8", "replace")[:200]
+                return encode_error_frame(
+                    stream_id, f"routing error: {ex.code} {detail}"
+                )
+            except OSError as ex:
+                last_err = str(ex)
+                reason = getattr(ex, "reason", ex)
+                if isinstance(reason, ConnectionRefusedError):
+                    continue  # nothing reached the leader; safe retry
+                break  # may already be applied — no invisible duplicate
+        return encode_error_frame(
+            stream_id, f"produce routing failed: {last_err}"
+        )

@@ -132,6 +132,36 @@ def parse_produce_body(flags: int, stream_id: int, body: bytes) -> Iterator[dict
         b += mlen
 
 
+# The reference's inter-broker produce-routing content type: the body
+# is the produce frame's PAYLOAD REGION as-is — a sequence of
+# {uint32 length}{bytes} records (types/models.go:14; the gossiper
+# forwards exactly that region, producing/binary_server.go:236-247,
+# and the leader unpacks it in marshalFramedRecords, models.go:89-110)
+MIME_PRODUCER_FRAMES = "application/vnd.polar.producer.frames"
+
+
+def encode_framed_payloads(payloads: list[bytes]) -> bytes:
+    """Pack payloads into the producer.frames wire body."""
+    return b"".join(struct.pack(">I", len(p)) + p for p in payloads)
+
+
+def parse_framed_payloads(body: bytes) -> list[bytes]:
+    """Unpack a producer.frames body into its payloads
+    (models.go:89-110 marshalFramedRecords, minus the copy loops)."""
+    out: list[bytes] = []
+    b = 0
+    while b < len(body):
+        if b + 4 > len(body):
+            raise ValueError("truncated framed payload length")
+        (mlen,) = struct.unpack_from(">I", body, b)
+        b += 4
+        if b + mlen > len(body):
+            raise ValueError("truncated framed payload body")
+        out.append(bytes(body[b : b + mlen]))
+        b += mlen
+    return out
+
+
 # --------------------------------------------------------------------------
 # Producer framed request (S3)
 # --------------------------------------------------------------------------

@@ -1504,3 +1504,53 @@ def test_keepalive_body_is_drained_on_every_path(server):
         assert (resp.status, resp.read()) == (200, b"OK")
     finally:
         conn.close()
+
+
+def test_produce_accepts_producer_frames_content_type(server):
+    """The reference's inter-broker routing format
+    (MIMETypeProducerBinary = application/vnd.polar.producer.frames,
+    types/models.go:14): body = {u32 len}{bytes}... — each framed
+    payload is ONE record (models.go:89-110), newlines inside payloads
+    and all."""
+    from barco_spark.sources.wire import (
+        MIME_PRODUCER_FRAMES,
+        encode_framed_payloads,
+    )
+
+    body = encode_framed_payloads([b"r1", b"line1\nline2", b"r3"])
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/topic/t/messages?partitionKey=k",
+        data=body, method="POST",
+        headers={"Content-Type": MIME_PRODUCER_FRAMES},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read())["produced"] == 3
+
+    code, _ = _req(
+        server, "PUT",
+        "/v1/consumer/register?consumerId=c&group=g&topic=t&onNewGroup=earliest",
+        body=" ",
+    )
+    assert code == 200
+    code, got = _req(
+        server, "POST", "/v1/consumer/poll?consumerId=c&maxRecords=10", body=" "
+    )
+    payloads = sorted(
+        v for item in json.loads(got) for v in item["values"]
+    )
+    # the embedded newline did NOT split the framed record
+    assert payloads == ["line1\nline2", "r1", "r3"]
+
+    # truncated framing is the reference's 400, not a silent partial
+    bad = body[:-1]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/topic/t/messages",
+        data=bad, method="POST",
+        headers={"Content-Type": MIME_PRODUCER_FRAMES},
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as ex:
+        assert ex.code == 400 and b"producer.frames" in ex.read()

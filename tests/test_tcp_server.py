@@ -151,3 +151,111 @@ def test_binary_produce_preserves_microsecond_timestamp(served_log):
     assert got.replace(tzinfo=None) == expect.replace(tzinfo=None) or (
         got.microsecond == expect.microsecond
     )
+
+
+def test_binary_produce_routes_to_topic_leader(spark, tmp_path):
+    """Binary-protocol produce REROUTING (binary_server.go:230-247 ->
+    gossiper.SendToLeader, integration shape roundtrip_test.go:506): a
+    keyed binary producer pointed at the NON-leader facade still
+    succeeds — the binary server routes each mis-routed frame to the
+    leader's HTTP routing endpoint as a producer.frames body — and the
+    records land on the leader's log with contiguous per-bucket offsets
+    and per-key order, indistinguishable from direct produce."""
+    from collections import Counter, defaultdict
+
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+    from barco_spark.sources.tcp_server import BinaryProducerServer
+
+    root = str(tmp_path / "log")
+    fa = BrokerHttpServer(EventLog(spark, root))
+    fb = BrokerHttpServer(EventLog(spark, root))
+    fa.start(), fb.start()
+    leader_id = fa.registry.leader_for("t")[0]
+    leader, follower = (
+        (fa, fb) if leader_id == fa.registry.facade_id else (fb, fa)
+    )
+    # binary listener co-located with the FOLLOWER facade: shares its
+    # registry (one leadership identity) and its lock (one writer)
+    srv = BinaryProducerServer(
+        follower.log, registry=follower.registry, lock=follower._lock
+    )
+    srv.start()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port)) as sock:
+            sock.sendall(encode_frame(STARTUP_OP, stream_id=1))
+            assert _recv_frame(sock)[:2] == (1, READY_OP)
+            # pipelined keyed frames: multi-message, timestamped, and a
+            # second key — ALL for a topic the PEER leads
+            burst = (
+                encode_produce_frame("t", ["a1", "a2"], partition_key="ka",
+                                     stream_id=2)
+                + encode_produce_frame("t", ["a3"], partition_key="ka",
+                                       stream_id=3,
+                                       timestamp_us=1_700_000_000_000_123)
+                + encode_produce_frame("t", ["b1"], partition_key="kb",
+                                       stream_id=4)
+            )
+            sock.sendall(burst)
+            acks = sorted(_recv_frame(sock)[:2] for _ in range(3))
+            assert acks == [
+                (2, PRODUCE_RESPONSE_OP),
+                (3, PRODUCE_RESPONSE_OP),
+                (4, PRODUCE_RESPONSE_OP),
+            ]
+        # direct produce on the leader interleaves fine
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{leader.port}/v1/topic/t/messages"
+            "?partitionKey=ka",
+            data=b"a4", method="POST",
+            headers={"Content-Type": "text/plain"},
+        )
+        assert urllib.request.urlopen(req).status == 200
+
+        # reroute metrics: received on the leader's routing endpoint
+        assert leader.metrics["rerouted_received"].value >= 3
+
+        rows = spark.read.parquet(root + "/data").collect()
+        assert {r["payload"] for r in rows} == {"a1", "a2", "a3", "b1", "a4"}
+        # contiguous offsets per bucket — single-writer arithmetic held
+        per_bucket = Counter(r["bucket"] for r in rows)
+        for bucket, n in per_bucket.items():
+            offs = sorted(r["offset"] for r in rows if r["bucket"] == bucket)
+            assert offs == list(range(n))
+        # per-key ORDER: ka's payloads in send order by offset
+        by_key = defaultdict(list)
+        for r in sorted(rows, key=lambda r: (r["bucket"], r["offset"])):
+            by_key[r["partition_key"]].append(r["payload"])
+        assert by_key["ka"] == ["a1", "a2", "a3", "a4"]
+        # the producer timestamp survived the reroute (micro-exact)
+        ts = {r["payload"]: r["timestamp"] for r in rows}
+        assert ts["a3"].microsecond == 123
+        # locally-led topics still write directly (no self-routing):
+        # find a topic the FOLLOWER leads and produce it over binary
+        local_topic = next(
+            f"t{i}" for i in range(100)
+            if follower.registry.leader_for(f"t{i}")[0]
+            == follower.registry.facade_id
+        )
+        with socket.create_connection(("127.0.0.1", srv.port)) as sock:
+            sock.sendall(encode_frame(STARTUP_OP, stream_id=1))
+            assert _recv_frame(sock)[:2] == (1, READY_OP)
+            sock.sendall(encode_produce_frame(
+                local_topic, ["loc1"], partition_key="k", stream_id=5))
+            assert _recv_frame(sock)[:2] == (5, PRODUCE_RESPONSE_OP)
+        got = [
+            r["payload"]
+            for r in spark.read.parquet(root + "/data").collect()
+            if r["topic"] == local_topic
+        ] if "topic" in spark.read.parquet(root + "/data").columns else None
+        if got is None:
+            log2 = follower.log
+            log2.register("g2", [local_topic], reset="earliest")
+            got = [r["payload"] for r in log2.poll(
+                "g2", local_topic, max_records_per_bucket=10).collect()]
+        assert got == ["loc1"]
+    finally:
+        srv.stop()
+        fa.stop(), fb.stop()
