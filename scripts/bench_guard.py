@@ -1,11 +1,27 @@
 #!/usr/bin/env python
-"""Bench regression guard (VERDICT r3 item 6).
+"""Bench regression guard (VERDICT r3 item 6; hardened r8 items 1+4).
 
 Runs bench.py at sf0.01 and compares per-query wall times against the
 committed pin (BENCH_PIN_sf0.01.json). Fails (exit 1) when any query is
 slower than ``max(1.5x pin, pin + 0.35 s)`` — the absolute floor keeps
 sub-100ms queries from tripping the guard on scheduler noise — or when a
 pinned query goes DNF.
+
+Calib v2 (r8): the pure-arithmetic calib probe cannot see I/O
+interference (SCALING.md round-7 addendum), so bench.py also runs an
+exchange-bearing ``calib_shuffle_sec`` probe. The guard now REFUSES to
+certify a run whose shuffle calib deviates more than 25% from the
+pin's recorded value (exit 2, "capture not certifiable") — a noisy run
+can neither pass nor fail the per-query checks.
+
+Refresh sanity gate (r8): ``--update`` refuses to write a pin when
+ (a) any sf0.01 entry exceeds its committed sf0.1 time for the same
+     query (10x the data cannot be faster — a slower sf0.01 number is
+     baked-in contention; compares against the newest
+     BENCH_LOCAL_r*.json), or
+ (b) the capture's calibs sit >25% from the previous pin's recorded
+     calibs (the idle band).
+``--force`` overrides both (first-ever pin on a new host class).
 
 Usage:
     python scripts/bench_guard.py            # check against the pin
@@ -16,13 +32,16 @@ Usage:
 
 The pin should only be refreshed on an otherwise-idle machine (`--update`
 while a pytest run is live bakes contention into the baseline and makes
-every future check too lax).
+every future check too lax) — the sanity gate now enforces this
+mechanically instead of by docstring.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -31,6 +50,18 @@ PIN_PATH = os.path.join(REPO, "BENCH_PIN_sf0.01.json")
 SF_DIR = os.environ.get("BENCH_GUARD_SF_DIR", "/root/testdata/sf0.01")
 TOL_RATIO = 1.5
 TOL_ABS = 0.35  # seconds; noise floor for fast queries
+CALIB_BAND = 0.25  # max fractional calib deviation for a certifiable run
+UPDATE_RUNS = 3  # pin = per-query min over this many idle captures
+# sf0.01 must not exceed sf0.1 for the same query tree beyond noise.
+# Bound chosen from measured behavior: scale-FLAT queries (constant-
+# overhead ANN searches / kmeans / tiny samplers) legitimately run
+# ~equal at both SFs and cross-record host-state noise is ±30%
+# (observed ratios up to 1.66 on back-to-back idle captures), while
+# the r7 contamination class this gate exists to catch was 2.9-3.9x
+# (text_metrics 0.755 vs 0.197, kmeans 2.73 vs 0.93). 1.5x + 0.1 s
+# separates the two with margin on both sides.
+SF01_VS_SF01_RATIO = 1.5
+SF01_VS_SF01_ABS = 0.10
 
 
 def run_bench() -> dict:
@@ -57,34 +88,75 @@ def run_bench() -> dict:
     raise SystemExit("bench.py produced no JSON line")
 
 
-def main() -> int:
-    args = sys.argv[1:]
-    update = "--update" in args
-    pin_path = PIN_PATH
-    if "--pin" in args:
-        # compare against an arbitrary committed per-query record
-        # (BENCH_LOCAL_r{N}.json) — same "queries" map as the pin
-        pin_path = os.path.join(REPO, args[args.index("--pin") + 1])
-    result = run_bench()
+def latest_sf01_record() -> dict | None:
+    """Newest committed BENCH_LOCAL_r{N}.json (the builder's sf0.1
+    per-query capture of the same tree) — the physical upper bound for
+    sf0.01 times."""
+    best_n, best = -1, None
+    for path in glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best_n, best = n, path
+    if best is None:
+        return None
+    with open(best) as f:
+        rec = json.load(f)
+    rec["_path"] = os.path.basename(best)
+    return rec
+
+
+def refresh_rejections(
+    result: dict, old_pin: dict | None, sf01_record: dict | None
+) -> list[str]:
+    """Sanity gate for --update: reasons this capture must NOT become
+    the pin. Pure function (tested in tests/test_bench_guard.py)."""
+    reasons: list[str] = []
     timings: dict[str, float] = result["queries"]
+    if sf01_record and sf01_record.get("sf") == 0.1:
+        big = sf01_record.get("queries", {})
+        for name, t001 in sorted(timings.items()):
+            t01 = big.get(name)
+            if t01 is None or t01 <= 0:
+                continue
+            if t001 > t01 * SF01_VS_SF01_RATIO + SF01_VS_SF01_ABS:
+                reasons.append(
+                    f"{name}: sf0.01 {t001:.3f}s exceeds committed sf0.1 "
+                    f"{t01:.3f}s ({sf01_record['_path']}) — contention baked in"
+                )
+    if old_pin:
+        for key in ("calib_sec", "calib_shuffle_sec"):
+            old = old_pin.get(key)
+            new = result.get(key)
+            if old and new and abs(new / old - 1.0) > CALIB_BAND:
+                reasons.append(
+                    f"{key}: capture {new:.4f}s vs pin idle band "
+                    f"{old:.4f}s ±{CALIB_BAND:.0%} — machine not idle or "
+                    f"changed; re-capture idle or --force"
+                )
+    return reasons
 
-    if update:
-        pin = {
-            "sf": result["sf"],
-            "queries": timings,
-            "total": result["value"],
-        }
-        with open(PIN_PATH, "w") as f:
-            json.dump(pin, f, indent=1, sort_keys=True)
-            f.write("\n")
-        print(f"pinned {len(timings)} queries to {PIN_PATH}")
-        return 0
 
-    if not os.path.exists(pin_path):
-        raise SystemExit(f"no pin at {pin_path}; run with --update first")
-    with open(pin_path) as f:
-        pin = json.load(f)
+def calib_flag(result: dict, pin: dict) -> str | None:
+    """Calib v2: a run whose exchange-bearing calib probe sits outside
+    the pin's idle band cannot certify per-query timings either way.
+    Pure function (tested)."""
+    pin_cs = pin.get("calib_shuffle_sec")
+    cur_cs = result.get("calib_shuffle_sec")
+    if pin_cs and cur_cs and abs(cur_cs / pin_cs - 1.0) > CALIB_BAND:
+        return (
+            f"calib_shuffle_sec {cur_cs:.4f}s deviates "
+            f"{abs(cur_cs / pin_cs - 1.0):.0%} from the pin's {pin_cs:.4f}s "
+            f"(band {CALIB_BAND:.0%}): shuffle/IO interference — this run "
+            f"cannot certify per-query timings (not a code regression)"
+        )
+    return None
 
+
+def evaluate(timings: dict[str, float], pin: dict) -> list[str]:
+    """Per-query regression check against the pin. Pure function."""
     # Environment normalization: the guard exists to catch PER-QUERY
     # regressions caused by code changes, not uniform machine drift
     # (shared host, noisy neighbors). The median current/pin ratio over
@@ -114,6 +186,81 @@ def main() -> int:
             regressions.append(
                 f"{name}: {cur:.3f}s > limit {limit:.3f}s (pin {base:.3f}s, drift x{drift:.2f})"
             )
+    return regressions
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    update = "--update" in args
+    force = "--force" in args
+    pin_path = PIN_PATH
+    if "--pin" in args:
+        # compare against an arbitrary committed per-query record
+        # (BENCH_LOCAL_r{N}.json) — same "queries" map as the pin
+        pin_path = os.path.join(REPO, args[args.index("--pin") + 1])
+    result = run_bench()
+    timings: dict[str, float] = result["queries"]
+
+    if update:
+        old_pin = None
+        if os.path.exists(PIN_PATH):
+            with open(PIN_PATH) as f:
+                old_pin = json.load(f)
+        # A single fresh-JVM run carries per-query jitter up to ~3x on
+        # occasional entries (JIT/GC/first-touch) even on an idle host
+        # — measured while re-capturing the r8 pin. The pin is the
+        # per-query MIN over UPDATE_RUNS runs: the standard wall-clock
+        # noise estimator, and the right baseline for a guard whose
+        # check side already tolerates 1.5x + drift.
+        runs = [result] + [run_bench() for _ in range(UPDATE_RUNS - 1)]
+        result = {
+            "sf": result["sf"],
+            "value": min(r["value"] for r in runs),
+            "queries": {
+                name: min(r["queries"][name] for r in runs
+                          if name in r["queries"])
+                for name in set().union(*(r["queries"] for r in runs))
+            },
+            "calib_sec": min(r.get("calib_sec") or 9e9 for r in runs),
+            "calib_shuffle_sec": min(
+                r.get("calib_shuffle_sec") or 9e9 for r in runs
+            ),
+        }
+        reasons = refresh_rejections(result, old_pin, latest_sf01_record())
+        if reasons and not force:
+            print("PIN REFRESH REJECTED (capture not idle-clean):")
+            for r in reasons:
+                print("  " + r)
+            print("fix the environment and retry, or --force to override")
+            return 1
+        if reasons:
+            print(f"--force: overriding {len(reasons)} sanity rejections")
+        pin = {
+            "sf": result["sf"],
+            "queries": timings,
+            "total": result["value"],
+            # idle-band metadata: both calib probes at capture time
+            "calib_sec": result.get("calib_sec"),
+            "calib_shuffle_sec": result.get("calib_shuffle_sec"),
+        }
+        with open(PIN_PATH, "w") as f:
+            json.dump(pin, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"pinned {len(timings)} queries to {PIN_PATH}")
+        return 0
+
+    if not os.path.exists(pin_path):
+        raise SystemExit(f"no pin at {pin_path}; run with --update first")
+    with open(pin_path) as f:
+        pin = json.load(f)
+
+    flag = calib_flag(result, pin)
+    if flag:
+        print("\nBENCH GUARD NOT CERTIFIABLE:")
+        print("  " + flag)
+        return 2
+
+    regressions = evaluate(timings, pin)
     new = sorted(set(timings) - set(pin["queries"]))
     if new:
         print(f"note: {len(new)} unpinned queries (run --update to pin): {new}")

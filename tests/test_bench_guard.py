@@ -1,0 +1,113 @@
+"""bench_guard logic: the per-query regression check, the calib-v2
+interference flag, and the --update refresh sanity gate. Pure-function
+tests — no Spark, no bench run."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "bench_guard",
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "bench_guard.py"),
+)
+bg = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bg)
+
+
+def _pin(queries, calib=0.20, calib_shuffle=0.40):
+    return {
+        "sf": 0.01,
+        "queries": queries,
+        "calib_sec": calib,
+        "calib_shuffle_sec": calib_shuffle,
+    }
+
+
+def test_evaluate_passes_within_tolerance():
+    pin = _pin({"q1": 1.0, "q2": 0.1})
+    assert bg.evaluate({"q1": 1.2, "q2": 0.3}, pin) == []
+
+
+def test_evaluate_flags_single_query_regression():
+    # uniform-drift normalization: median ratio ~1.0, q2 regressed 4x
+    pin = _pin({"q1": 1.0, "q2": 1.0, "q3": 1.0})
+    out = bg.evaluate({"q1": 1.0, "q2": 4.0, "q3": 1.05}, pin)
+    assert len(out) == 1 and out[0].startswith("q2:")
+
+
+def test_evaluate_normalizes_uniform_machine_drift():
+    # everything 1.8x slower = drift, not regression
+    pin = _pin({f"q{i}": 1.0 for i in range(5)})
+    cur = {f"q{i}": 1.8 for i in range(5)}
+    assert bg.evaluate(cur, pin) == []
+
+
+def test_evaluate_dnf_is_a_regression():
+    pin = _pin({"q1": 1.0, "q2": 1.0})
+    out = bg.evaluate({"q1": 1.0}, pin)
+    assert out and "DNF" in out[0]
+
+
+def test_calib_flag_rejects_slow_shuffle_record():
+    """VERDICT r8 item 4's synthetic slow-shuffle record: per-query
+    times look fine, but the exchange-bearing calib probe ran 60%
+    slower than the pin's idle band — the run must be refused as
+    not-certifiable, not passed (or failed) on contaminated numbers."""
+    pin = _pin({"q1": 1.0})
+    slow_shuffle_run = {
+        "queries": {"q1": 1.1},
+        "calib_sec": 0.20,  # arithmetic probe blind to I/O interference
+        "calib_shuffle_sec": 0.64,  # 1.6x the pin's 0.40
+    }
+    flag = bg.calib_flag(slow_shuffle_run, pin)
+    assert flag is not None and "cannot certify" in flag
+
+
+def test_calib_flag_accepts_idle_band():
+    pin = _pin({"q1": 1.0})
+    ok_run = {"queries": {"q1": 1.1}, "calib_sec": 0.21,
+              "calib_shuffle_sec": 0.45}
+    assert bg.calib_flag(ok_run, pin) is None
+
+
+def test_refresh_rejects_entry_exceeding_sf01_time():
+    """A pin candidate whose sf0.01 entry is SLOWER than the committed
+    sf0.1 capture of the same query is physically implausible (10x the
+    data) — the r7 contamination class, now rejected mechanically."""
+    result = {
+        # kmeans at 2.9x its sf0.1 time = the r7 contamination class;
+        # "flat" at 1.3x = a scale-flat query under normal cross-record
+        # noise, which must NOT be rejected
+        "queries": {"kmeans": 2.73, "flat": 0.40, "fast": 0.10},
+        "calib_sec": 0.20,
+        "calib_shuffle_sec": 0.40,
+    }
+    sf01 = {"sf": 0.1, "queries": {"kmeans": 0.93, "flat": 0.30,
+                                   "fast": 0.30},
+            "_path": "BENCH_LOCAL_r07.json"}
+    reasons = bg.refresh_rejections(result, None, sf01)
+    assert len(reasons) == 1 and reasons[0].startswith("kmeans:")
+
+
+def test_refresh_rejects_calib_outside_idle_band():
+    result = {
+        "queries": {"q": 0.5},
+        "calib_sec": 0.30,  # 1.5x the old pin's 0.20
+        "calib_shuffle_sec": 0.41,
+    }
+    old_pin = _pin({"q": 0.5})
+    reasons = bg.refresh_rejections(result, old_pin, None)
+    assert len(reasons) == 1 and "calib_sec" in reasons[0]
+
+
+def test_refresh_accepts_clean_capture():
+    result = {
+        "queries": {"q": 0.5, "r": 0.2},
+        "calib_sec": 0.21,
+        "calib_shuffle_sec": 0.43,
+    }
+    old_pin = _pin({"q": 0.6, "r": 0.25})
+    sf01 = {"sf": 0.1, "queries": {"q": 2.0, "r": 0.8},
+            "_path": "BENCH_LOCAL_r07.json"}
+    assert bg.refresh_rejections(result, old_pin, sf01) == []
