@@ -422,3 +422,100 @@ def murmur3_tail_oracle_ctes(
                        ELSE (u - idx * {step}::HUGEINT) // {rsize} END
                   AS INTEGER) AS bucket
       FROM mm14)"""
+
+
+def spark_hash32_oracle_ctes(
+    keys_cte: str = "keys",
+    key_col: str = "pk",
+    num_buckets: int = 12,
+    max_len: int = 15,
+) -> str:
+    """DuckDB-SQL twin of Spark's ``F.hash`` on a string column
+    (Murmur3_x86_32 over UTF-8 bytes, seed 42) + the keyed-bucket pmod
+    — the oracle half of ``consumer_lag_report`` (and any query that
+    needs the JVM fast path's ``pmod(hash(key), buckets)`` routing,
+    ``fast_bucket_expr``'s keyed branch, re-derived outside Spark).
+
+    Valid for ASCII keys of <= ``max_len`` bytes (integer-string ids at
+    every SF): ASCII bytes are < 0x80, so Spark's sign-extended tail
+    rounds reduce to the plain byte value. The hash is iterative —
+    ``len//4`` little-endian 4-byte block rounds, then one round PER
+    tail byte (Spark's variant; canonical murmur3 folds the tail
+    differently) — so the SQL unrolls ``ceil(max_len/4)+3`` rounds and
+    gates each on the key's length. All 32-bit wrapping arithmetic is
+    staged through HUGEINT (products < 2^64 overflow signed BIGINT).
+
+    Emits chained CTEs ending in ``sb_out(key_col, hash32, bucket)``.
+    Differential-fuzzed against ``spark_hash32_py`` / ``spark_bucket_py``
+    (themselves verified against ``F.hash``) in tests/test_tokens.py.
+    """
+    M = 1 << 32
+    C1, C2 = 0xCC9E2D51, 0x1B873593
+
+    def mul(a: str, c: int) -> str:
+        return f"(({a}) * {c}::HUGEINT) % {M}"
+
+    def rotl(a: str, r: int) -> str:
+        return f"((({a}) << {r}) | (({a}) >> {32 - r})) % {M}"
+
+    def byte(pos: str | int) -> str:
+        # 1-based substr; ASCII => ord IS the byte, no sign extension
+        # (position cast to BIGINT: len-derived offsets are HUGEINT)
+        return (
+            f"ord(substr({key_col}, CAST(({pos}) + 1 AS BIGINT), 1))::HUGEINT"
+        )
+
+    n_block_rounds = max_len // 4
+    n_rounds = n_block_rounds + 3  # at most 3 tail bytes
+    ctes = [
+        f"sb0 AS (SELECT {key_col}, length({key_col})::HUGEINT AS len, "
+        f"42::HUGEINT AS h0 FROM {keys_cte})"
+    ]
+    for j in range(n_rounds):
+        h, hn = f"h{j}", f"h{j + 1}"
+        # round j consumes: a 4-byte LE block when j < len//4, the
+        # (j - len//4)-th tail byte when j < len//4 + len%4, else nothing
+        block_word = " + ".join(
+            f"({byte(4 * j + b)} << {8 * b})" for b in range(4)
+        )
+        tail_pos = f"(3 * (len // 4) + {j})"  # = 4*(len//4) + (j - len//4)
+        ctes.append(
+            f"sb{j}w AS (SELECT *, CASE "
+            f"WHEN len // 4 > {j} THEN ({block_word}) % {M} "
+            f"WHEN (len // 4) + (len % 4) > {j} THEN {byte(tail_pos)} "
+            f"ELSE NULL END AS w{j} FROM sb{j})"
+        )
+        ctes.append(f"sb{j}a AS (SELECT *, {mul(f'w{j}', C1)} AS ka{j} FROM sb{j}w)")
+        ctes.append(f"sb{j}b AS (SELECT *, {rotl(f'ka{j}', 15)} AS kb{j} FROM sb{j}a)")
+        ctes.append(f"sb{j}c AS (SELECT *, {mul(f'kb{j}', C2)} AS kc{j} FROM sb{j}b)")
+        ctes.append(
+            f"sb{j}d AS (SELECT *, xor({h}, kc{j}) AS hx{j} FROM sb{j}c)"
+        )
+        ctes.append(
+            f"sb{j}e AS (SELECT *, ({rotl(f'hx{j}', 13)} * 5 + 3864292196) % {M} "
+            f"AS hm{j} FROM sb{j}d)"
+        )
+        ctes.append(
+            f"sb{j + 1} AS (SELECT *, CASE WHEN w{j} IS NULL THEN {h} "
+            f"ELSE hm{j} END AS {hn} FROM sb{j}e)"
+        )
+    hf = f"h{n_rounds}"
+    ctes.append(f"sbf0 AS (SELECT *, xor({hf}, len) AS g0 FROM sb{n_rounds})")
+    ctes.append("sbf1 AS (SELECT *, xor(g0, g0 >> 16) AS g1 FROM sbf0)")
+    ctes.append(f"sbf2 AS (SELECT *, {mul('g1', 0x85EBCA6B)} AS g2 FROM sbf1)")
+    ctes.append("sbf3 AS (SELECT *, xor(g2, g2 >> 13) AS g3 FROM sbf2)")
+    ctes.append(f"sbf4 AS (SELECT *, {mul('g3', 0xC2B2AE35)} AS g4 FROM sbf3)")
+    ctes.append("sbf5 AS (SELECT *, xor(g4, g4 >> 16) AS g5 FROM sbf4)")
+    ctes.append(
+        f"sb_out AS (SELECT {key_col}, "
+        f"CAST(CASE WHEN g5 >= {1 << 31} THEN g5 - {M} ELSE g5 END AS INTEGER)"
+        f" AS hash32, "
+        # pmod on the unsigned form: g5 % B == pmod(signed, B) because
+        # signed = g5 - 2^32 and 2^32 % B folds in ... only when B
+        # divides 2^32; do the explicit double-mod on the SIGNED value
+        f"CAST((((CAST(CASE WHEN g5 >= {1 << 31} THEN g5 - {M} ELSE g5 END"
+        f" AS BIGINT) % {num_buckets}) + {num_buckets}) % {num_buckets})"
+        f" AS INTEGER) AS bucket "
+        f"FROM sbf5)"
+    )
+    return ",\n    ".join(ctes)

@@ -118,11 +118,39 @@ def consumer_poll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _consumer_lag_oracle() -> str:
+    # ORACLE-PAIRED since r8: the whole broker flow is re-derived in
+    # pure DuckDB SQL. The produce path routes each record with the JVM
+    # fast path's pmod(F.hash(key), 12) — re-derived bit-exactly by
+    # spark_hash32_oracle_ctes (Murmur3_x86_32 seed 42, fuzzed against
+    # the Python twin in tests/test_tokens.py) — so high_watermark is a
+    # per-bucket count; the bounded poll serves min(hw, 10) per bucket
+    # and the manual commit acks exactly that, so committed/lag follow
+    # arithmetically.
+    from barco_spark.functions.tokens import spark_hash32_oracle_ctes
+
+    ctes = spark_hash32_oracle_ctes(keys_cte="keys", key_col="pk", num_buckets=12)
+    return f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
+    keys AS (SELECT DISTINCT pk FROM ev),
+    {ctes},
+    counts AS (
+      SELECT bucket, COUNT(*) AS hw
+      FROM ev JOIN sb_out USING (pk)
+      GROUP BY bucket)
+    SELECT 'clicks' AS topic,
+           CAST(b.range AS BIGINT) AS bucket,
+           CAST(COALESCE(c.hw, 0) AS BIGINT) AS high_watermark,
+           CAST(LEAST(COALESCE(c.hw, 0), 10) AS BIGINT) AS committed,
+           CAST(COALESCE(c.hw, 0) - LEAST(COALESCE(c.hw, 0), 10) AS BIGINT)
+             AS lag
+    FROM range(12) b LEFT JOIN counts c ON c.bucket = b.range
+    """
+
+
 @register(
     "consumer_lag_report",
-    None,  # live broker machinery (temp EventLog, parquet-footer
-    # watermarks, offsets log): no SQL twin; lag arithmetic and the
-    # commit flow are covered by tests/test_eventlog.py
+    _consumer_lag_oracle(),
     "broker",
     doc=(
         "Consumer-lag observability (C9 metrics / R11 high watermark) "
@@ -132,7 +160,10 @@ def consumer_poll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame is per-bucket (high_watermark, committed, lag) — the "
         "exact readout the reference's metrics endpoint serves. "
         "Watermarks come from parquet footer stats (no data scan); "
-        "the report itself is bucket-count-sized."
+        "the report itself is bucket-count-sized. ORACLE-PAIRED since "
+        "r8: the oracle re-derives the keyed routing (Spark Murmur3 "
+        "x86_32 in pure DuckDB SQL) + watermark/commit arithmetic, so "
+        "the driver hash-compares every bucket's lag bit-for-bit."
     ),
 )
 def consumer_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -774,8 +774,16 @@ APPROX_PCT_ACCURACY = 10_000  # rank error <= n / accuracy (Spark contract)
 @register(
     "approx_quantile_profile",
     None,  # approx_percentile's picks are engine-specific: no SQL oracle.
-    # Property gate instead: tests/test_properties.py bounds the rank
-    # error of every estimate against the exact order statistics.
+    # Pairing was ATTEMPTED and rejected in r8 rather than assumed: in
+    # the exact regime (n <= accuracy, single partition) Spark's pick
+    # is provably the order statistic ceil(p*n) — a DuckDB list_sort
+    # twin matches bit-for-bit at sf0.01 — but the distributed merge of
+    # per-partition Greenwald-Khanna summaries compresses regardless of
+    # accuracy (verified: accuracy=32768 > n=20k still drifts at
+    # sf0.1), so any SQL oracle is partition-layout-dependent and would
+    # be flaky exactly where the operator earns its keep. Property gate
+    # instead: tests/test_properties.py bounds the rank error of every
+    # estimate against the exact order statistics at three scales.
     "aggregation",
     doc=(
         "The 100 TB percentile path value_percentiles_per_type points "

@@ -162,3 +162,45 @@ def test_murmur3_sql_oracle_matches_python_fuzz():
         check()
     finally:
         con.close()
+
+
+def test_spark_hash32_sql_oracle_matches_python_fuzz():
+    """The pure-DuckDB Spark-hash oracle (spark_hash32_oracle_ctes)
+    must be bit-exact vs the Python twin (itself verified against
+    F.hash) for ANY ASCII key of 0..15 bytes — hash AND pmod bucket.
+    Hypothesis covers every block/tail-round combination (0-3 blocks x
+    0-3 tail bytes) including the empty key."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from barco_spark.functions.tokens import (
+        spark_bucket_py,
+        spark_hash32_oracle_ctes,
+        spark_hash32_py,
+    )
+
+    sql_tpl = (
+        "WITH keys AS (SELECT ? AS pk), "
+        + spark_hash32_oracle_ctes()
+        + " SELECT hash32, bucket FROM sb_out"
+    )
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=0,
+            max_size=15,
+        )
+    )
+    def check(key):
+        h, bucket = con.execute(sql_tpl, [key]).fetchone()
+        assert h == spark_hash32_py(key.encode("ascii")), (key, h)
+        assert bucket == spark_bucket_py(key, 12), key
+
+    try:
+        check()
+    finally:
+        con.close()
