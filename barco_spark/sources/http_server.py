@@ -95,6 +95,7 @@ from barco_spark.sources.membership import (
     GroupMembership,
     MembershipStore,
     ProduceFencedError,
+    RouteClientPool,
 )
 from barco_spark.sources.wire import MIME_PRODUCER_FRAMES, parse_framed_payloads
 
@@ -216,6 +217,12 @@ class BrokerHttpServer:
             # response path sets Content-Length (or is 204/304) so
             # pipelined clients never stall
             protocol_version = "HTTP/1.1"
+
+            # TCP_NODELAY on every accepted socket: response writes are
+            # status-line + headers + body (3 small writes); with
+            # keep-alive peers (bound consumers, pooled forwarders)
+            # Nagle+delayed-ACK otherwise adds ~40 ms per exchange
+            disable_nagle_algorithm = True
 
             # quiet: tests and embedding apps don't want stderr access logs
             def log_message(self, fmt, *args):  # noqa: N802
@@ -375,6 +382,9 @@ class BrokerHttpServer:
             port=self.port,
             ttl_s=facade_ttl_s,
         )
+        # pooled keep-alive connections to peer routing endpoints (the
+        # reference's per-peer routingClient, gossip.go:257-300)
+        self._route_pool = RouteClientPool()
 
     # -- lifecycle ------------------------------------------------------
     @property
@@ -391,6 +401,7 @@ class BrokerHttpServer:
 
     def stop(self) -> None:
         self.registry.retire()
+        self._route_pool.close_all()
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
@@ -553,14 +564,16 @@ class BrokerHttpServer:
         instead of bouncing: the routing endpoint answers 307 when it
         is no longer leader and the next attempt targets the new one.
         Exhausted retries answer 503 + Retry-After like a fence
-        refusal — the client's retry re-resolves from scratch."""
+        refusal — the client's retry re-resolves from scratch.
+
+        Requests ride POOLED keep-alive connections (RouteClientPool —
+        the reference's long-lived per-peer routingClient): a dial per
+        forward saturated the worst-case fleet at ~150 req/s while the
+        direct path scaled (SCALING.md round-8)."""
         import time as _time
-        import urllib.error
-        import urllib.request
 
         url = urlparse(handler.path)
         qs = f"?{url.query}" if url.query else ""
-        payload = body
         ctype = handler.headers.get("Content-Type", "text/plain")
         last_err = "no live leader"
         for attempt in range(3):
@@ -571,36 +584,15 @@ class BrokerHttpServer:
             # route never re-forwards, so a self-POST cannot loop
             # `topic` is the raw path segment (still percent-encoded),
             # so splicing it back preserves the client's encoding
-            target = (
-                f"http://{lhost}:{lport}/v1/routing/topic/{topic}/messages{qs}"
-            )
-            req = urllib.request.Request(
-                target, data=payload, method="POST",
-                headers={"Content-Type": ctype},
-            )
+            path = f"/v1/routing/topic/{topic}/messages{qs}"
             try:
-                with urllib.request.urlopen(req, timeout=10.0) as resp:
-                    handler._respond(
-                        resp.status,
-                        resp.read(),
-                        resp.headers.get("Content-Type", "application/json"),
-                    )
-                    return
-            except urllib.error.HTTPError as ex:
-                if ex.code == 307:
-                    last_err = "leadership moved during forward"
-                    continue  # re-resolve and retry
-                # a real produce error (400 bad timestamp, ...): relay it
-                handler._respond(
-                    ex.code,
-                    ex.read(),
-                    ex.headers.get("Content-Type", "text/plain"),
+                status, data, rctype = self._route_pool.send(
+                    lhost, lport, "POST", path, body,
+                    {"Content-Type": ctype},
                 )
-                return
             except OSError as ex:  # connection refused / timeout / reset
                 last_err = str(ex)
-                reason = getattr(ex, "reason", ex)
-                if isinstance(reason, ConnectionRefusedError):
+                if isinstance(ex, ConnectionRefusedError):
                     # nothing reached the leader — a retry cannot
                     # duplicate; re-resolve (a crashed leader's
                     # registry entry expires and rendezvous moves)
@@ -614,6 +606,13 @@ class BrokerHttpServer:
                 # reference's gossip forward has (producing/
                 # server.go:158-166 propagates the error to the caller)
                 break
+            if status == 307:
+                last_err = "leadership moved during forward"
+                continue  # re-resolve and retry
+            # the leader's final answer (200, 400, 503 fence, ...)
+            # relays verbatim
+            handler._respond(status, data, rctype)
+            return
         data = f"produce forward failed: {last_err}".encode()
         handler.send_response(503)
         handler.send_header("Retry-After", "1")

@@ -1168,27 +1168,41 @@ def test_topology_resize_under_live_traffic(spark, tmp_path):
     for th in threads:
         th.start()
     try:
-        # phase 1: steady state on two facades
-        _t.sleep(1.5)
-        drain_once()
+        # phase 1: steady state on two facades. Deadline loop, not a
+        # fixed sleep: under host contention the first coalescer
+        # windows + polls can take several seconds, and a zero-progress
+        # phase 1 fails the progress assertions spuriously.
+        deadline = _t.monotonic() + 30
+        while not consumed and _t.monotonic() < deadline:
+            if not drain_once():
+                _t.sleep(0.25)
         progress_p1 = len(consumed)
 
         # phase 2: SCALE UP — third facade joins mid-traffic
         fc = BrokerHttpServer(EventLog(spark, root), facade_ttl_s=5.0)
         fc.start()
-        _t.sleep(2.0)
+        deadline = _t.monotonic() + 15
+        while len(fa.registry.live()) != 3 and _t.monotonic() < deadline:
+            _t.sleep(0.1)
         assert len(fa.registry.live()) == 3  # all three announced
+        _t.sleep(1.0)  # traffic under the 3-facade topology
         drain_once()
         progress_p2 = len(consumed)
 
         # phase 3: SCALE DOWN — fb retires gracefully mid-traffic
         fb.stop()
-        _t.sleep(2.0)
+        deadline = _t.monotonic() + 15
+        while (
+            fb.registry.facade_id in fa.registry.live()
+            and _t.monotonic() < deadline
+        ):
+            _t.sleep(0.1)
         live = fa.registry.live()
         assert len(live) == 2 and fb.registry.facade_id not in live
         # every topic's leadership re-dealt to a survivor
         for t in topics:
             assert fa.registry.leader_for(t)[0] in live
+        _t.sleep(1.0)  # traffic under the 2-facade topology
         drain_once()
         progress_p3 = len(consumed)
     finally:
