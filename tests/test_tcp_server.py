@@ -245,16 +245,8 @@ def test_binary_produce_routes_to_topic_leader(spark, tmp_path):
             sock.sendall(encode_produce_frame(
                 local_topic, ["loc1"], partition_key="k", stream_id=5))
             assert _recv_frame(sock)[:2] == (5, PRODUCE_RESPONSE_OP)
-        got = [
-            r["payload"]
-            for r in spark.read.parquet(root + "/data").collect()
-            if r["topic"] == local_topic
-        ] if "topic" in spark.read.parquet(root + "/data").columns else None
-        if got is None:
-            log2 = follower.log
-            log2.register("g2", [local_topic], reset="earliest")
-            got = [r["payload"] for r in log2.poll(
-                "g2", local_topic, max_records_per_bucket=10).collect()]
+        rows2 = spark.read.parquet(root + "/data").collect()
+        got = [r["payload"] for r in rows2 if r["topic"] == local_topic]
         assert got == ["loc1"]
     finally:
         srv.stop()
