@@ -236,7 +236,13 @@ class BarcoConsumer:
                 headers,
             )
         except BarcoClientError as ex:
-            if ex.status != 400 or "Unregistered" not in ex.body:
+            # 409 Conflict = the reference's "Consumer not registered"
+            # (the facade evicted us, R13); 400+"Unregistered" was this
+            # facade's pre-r8 spelling, kept for rolling upgrades
+            evicted = ex.status == 409 or (
+                ex.status == 400 and "Unregistered" in ex.body
+            )
+            if not evicted:
                 raise
             self._register()
             status, body, _ = _request(
@@ -261,10 +267,13 @@ class BarcoConsumer:
         return [r["payload"] for item in items for r in item["records"]]
 
     def commit(self) -> dict:
-        _, body, _ = _request(
-            self.base, "POST", f"/v1/consumer/commit{self._consumer_qs()}", b" "
+        # Accept: application/json opts into the facade's committed-map
+        # extension; the reference-exact default is 204 No Content
+        status, body, _ = _request(
+            self.base, "POST", f"/v1/consumer/commit{self._consumer_qs()}",
+            b" ", {"Accept": "application/json"},
         )
-        return json.loads(body)
+        return json.loads(body) if status == 200 else {}
 
     def goodbye(self) -> None:
         _request(

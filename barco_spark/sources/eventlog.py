@@ -1258,17 +1258,20 @@ class EventLog:
             self.commit(group, topic, served)
         return dict(served)
 
-    def goodbye(self, group: str, topic: str) -> None:
+    def goodbye(self, group: str, topic: str, commit: bool = True) -> None:
         """Commit-and-leave (R12): flush this consumer's served-but-
         uncommitted positions durably, then drop the reader state.
-        Offsets persist for reuse on return."""
+        Offsets persist for reuse on return. ``commit=False`` drops the
+        served-but-uncommitted positions instead (the reference's
+        ``?commit=false`` goodbye, consuming/server.go:463-474) — those
+        records redeliver to the group's next reader."""
         key = (group, topic)
         auto = self._served.pop(key, {})
         manual = self._served_manual.pop(key, {})
         served = {
             b: max(auto.get(b, 0), manual.get(b, 0)) for b in {*auto, *manual}
         }
-        if served:
+        if served and commit:
             self.commit(group, topic, served)
         # departure is the natural maintenance point (no poll loop is
         # waiting on us): fold the append-only commit log back down to

@@ -123,6 +123,14 @@ def _parse_reset_policy(v) -> str:
 _ROUTING_MSG_RE = re.compile(r"^/v1/routing/topic/([^/]+)/messages$")
 
 
+class UnknownConsumerError(ValueError):
+    """Poll/commit/goodbye from a consumer the broker does not track:
+    the reference answers 409 Conflict "Consumer not registered"
+    (consumerNotRegisteredStatus, consuming/server.go:33,372-386) so
+    the client knows to re-register and retry — distinct from the 400
+    a malformed request gets."""
+
+
 class BrokerHttpServer:
     """Minimal blocking-HTTP facade bound to one EventLog."""
 
@@ -330,6 +338,10 @@ class BrokerHttpServer:
                         outer._handle_register(self, parse_qs(url.query))
                     else:
                         self._respond(404, "Not found")
+                except UnknownConsumerError as ex:
+                    # the reference's 409 Conflict: re-register + retry
+                    # (consuming/server.go:33,386)
+                    self._respond(409, str(ex))
                 except ValueError as ex:
                     self._respond(400, str(ex))
 
@@ -355,6 +367,8 @@ class BrokerHttpServer:
                         outer._handle_goodbye(self, q)
                     else:
                         self._respond(404, "Not found")
+                except UnknownConsumerError as ex:
+                    self._respond(409, str(ex))
                 except ValueError as ex:
                     self._respond(400, str(ex))
 
@@ -739,6 +753,11 @@ class BrokerHttpServer:
 
     def _require_consumer(self, q: dict, handler=None) -> tuple[str, str, list[str]]:
         cid = q.get("consumerId", [""])[0]
+        if not cid:
+            # the reference still accepts the DEPRECATED v0.4.0 query
+            # key for stateless consumers (consuming/server.go:43-44,
+            # 360-369)
+            cid = q.get("consumer_id", [""])[0]
         if not cid and handler is not None:
             # connection-bound consumer: identity travels with the
             # connection, not the query string (consuming/server.go:
@@ -747,14 +766,14 @@ class BrokerHttpServer:
             if len(bound) == 1:
                 cid = next(iter(bound))
         if not cid:
-            raise ValueError("Unregistered consumer")
+            raise UnknownConsumerError("Consumer not registered")
         if cid not in self._consumers:
             # the consumer may have registered on a peer facade over the
             # same log root — adopt the shared store's view before
             # rejecting (caller holds the lock)
             self._sync_membership()
         if cid not in self._consumers:
-            raise ValueError("Unregistered consumer")
+            raise UnknownConsumerError("Consumer not registered")
         group, topics = self._consumers[cid]
         return cid, group, topics
 
@@ -851,7 +870,33 @@ class BrokerHttpServer:
                     )
                 )
         if want_json:
-            handler._respond(200, json.dumps(out), "application/json")
+            # the reference's marshalJsonResponse item shape
+            # (models.go:136-157): token and startOffset are STRINGS
+            # (int64-in-JSON convention), rangeIndex/version ints.
+            # `bucket` rides along as an extension key — reference
+            # clients ignore it, ours key on it.
+            from barco_spark.sources.wire import range_bounds
+
+            ranges = self.log.config.consumer_ranges
+            shaped = []
+            for it in out:
+                bucket = int(it["bucket"])
+                broker, r = divmod(bucket, ranges)
+                token, _hi = range_bounds(
+                    broker, r, self.log.config.brokers, ranges
+                )
+                shaped.append(
+                    {
+                        "topic": it["topic"],
+                        "token": str(token),
+                        "rangeIndex": r,
+                        "version": 1,
+                        "startOffset": str(int(it["startOffset"])),
+                        "values": it["values"],
+                        "bucket": bucket,
+                    }
+                )
+            handler._respond(200, json.dumps(shaped), "application/json")
             return
         from barco_spark.sources.wire import encode_poll_items_py
 
@@ -869,17 +914,33 @@ class BrokerHttpServer:
             committed = {
                 topic: self.log.commit_served(group, topic) for topic in topics
             }
-        handler._respond(200, json.dumps({"committed": committed}), "application/json")
+        if handler.headers.get("Accept", "") == "application/json":
+            # extension: the committed map for clients that want it
+            handler._respond(
+                200, json.dumps({"committed": committed}), "application/json"
+            )
+            return
+        # the reference's commit success is 204 No Content + no-store +
+        # Retry-After (NoContentResponse, utils.go:158-166, called from
+        # the read queue's commitOnly path)
+        handler.send_response(204)
+        handler.send_header("Cache-Control", "no-store")
+        handler.send_header("Retry-After", "1")
+        handler.end_headers()
 
     def _handle_goodbye(self, handler, q: dict) -> None:
+        # ?commit=false skips the final commit, like the reference's
+        # commitQueryKey (consuming/server.go:47,463-474)
+        do_commit = q.get("commit", ["true"])[0] != "false"
         with self._lock:
             cid, group, topics = self._require_consumer(q, handler)
             for topic in topics:
-                self.log.goodbye(group, topic)
+                self.log.goodbye(group, topic, commit=do_commit)
             del self._consumers[cid]
             self.store.remove(group, cid)
             self.membership.leave(group, cid)
             # goodbye voids any connection bindings for this id (same
             # rationale as eviction: re-registration must start clean)
             self._bound_conns.pop(cid, None)
-        handler._respond(200, "Bye")
+        # the reference answers plain "OK" (RespondText, server.go:487)
+        handler._respond(200, "OK")

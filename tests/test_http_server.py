@@ -94,11 +94,12 @@ def test_http_produce_poll_commit_goodbye_roundtrip(server):
     committed = json.loads(body)["committed"]["orders"]
     assert sum(committed.values()) == 4
 
-    # goodbye deregisters; polling afterwards is a 400
+    # goodbye deregisters; polling afterwards is the reference's 409
+    # (consumerNotRegisteredStatus: re-register and retry)
     code, _ = _req(server, "POST", "/v1/consumer/goodbye?consumerId=c1", body=" ")
     assert code == 200
     code, _ = _req(server, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
-    assert code == 400
+    assert code == 409
 
 
 def test_register_conflict_and_idempotency(server):
@@ -653,10 +654,11 @@ def test_idle_consumer_is_evicted_and_buckets_redeal(spark, tmp_path):
         )
         assert "c1" not in srv.store.consumers()
 
-        # an evicted consumer's next poll is rejected (it must
-        # re-register, like the reference's stateless consumers)
+        # an evicted consumer's next poll is rejected with the
+        # reference's 409 (it must re-register, like the reference's
+        # stateless consumers)
         code, _ = _req(srv, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
-        assert code == 400
+        assert code == 409
     finally:
         srv.stop()
 
@@ -1504,10 +1506,11 @@ def test_keepalive_body_is_drained_on_every_path(server):
         resp = conn.getresponse()
         assert resp.status in (200, 204)  # 501 here = body bytes leaked
         resp.read()
-        # commit with a body, then a 404 route with a body, then GET
+        # commit with a body (reference-exact 204), then a 404 route
+        # with a body, then GET
         conn.request("POST", "/v1/consumer/commit?consumerId=ck", body="xx")
         resp = conn.getresponse()
-        assert resp.status == 200
+        assert resp.status == 204
         resp.read()
         conn.request("POST", "/v1/nope", body="leftover-bytes")
         resp = conn.getresponse()
@@ -1568,3 +1571,96 @@ def test_produce_accepts_producer_frames_content_type(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as ex:
         assert ex.code == 400 and b"producer.frames" in ex.read()
+
+
+def test_reference_status_codes_and_shapes(server):
+    """Reference-exact consumer API details (docs/rest_api/README.md +
+    consuming/server.go): unregistered poll/commit/goodbye answer 409
+    Conflict 'Consumer not registered' (NOT 400); commit success is
+    204 No Content (+ no-store/Retry-After) unless the client opts
+    into the JSON committed-map extension; goodbye answers 'OK' and
+    honors ?commit=false; the deprecated v0.4.0 'consumer_id' query
+    key still resolves; poll JSON items carry the marshalJsonResponse
+    shape (token/startOffset as STRINGS, rangeIndex/version ints)."""
+    srv = server
+    # 409 for every consumer route before registration
+    for route in ("poll", "commit", "goodbye"):
+        code, body, _ = _req_raw(
+            srv, "POST", f"/v1/consumer/{route}?consumerId=ghost", body=" "
+        )
+        assert (code, b"Consumer not registered" in body) == (409, True), route
+
+    code, _ = _req(
+        srv, "POST", "/v1/topic/t/messages?partitionKey=k", body="m1\nm2",
+        ctype="application/x-ndjson",
+    )
+    assert code == 200
+    code, _ = _req(
+        srv, "PUT",
+        "/v1/consumer/register?consumerId=rc&group=g&topic=t&onNewGroup=earliest",
+        body=" ",
+    )
+    assert code == 200
+
+    # poll via the DEPRECATED consumer_id key; JSON shape is the
+    # reference's marshalJsonResponse
+    code, body, _ = _req_raw(
+        srv, "POST", "/v1/consumer/poll?consumer_id=rc&maxRecords=10",
+        body=" ", headers={"Accept": "application/json"},
+    )
+    assert code == 200
+    items = json.loads(body)
+    assert items
+    for it in items:
+        assert isinstance(it["token"], str) and int(it["token"]) <= 0
+        assert isinstance(it["startOffset"], str)
+        assert isinstance(it["rangeIndex"], int) and isinstance(it["version"], int)
+        assert it["values"]
+
+    # commit: reference-exact default is 204 + hygiene headers
+    code, body, headers = _req_raw(
+        srv, "POST", "/v1/consumer/commit?consumerId=rc", body=" "
+    )
+    assert (code, body) == (204, b"")
+    assert headers.get("Cache-Control") == "no-store"
+    assert headers.get("Retry-After") is not None
+    # the JSON committed-map extension stays available on Accept
+    code, body = _req(srv, "POST", "/v1/consumer/commit?consumerId=rc", body=" ")
+    assert code == 200 and "committed" in json.loads(body)
+
+    # goodbye answers the reference's "OK"
+    code, body = _req(srv, "POST", "/v1/consumer/goodbye?consumerId=rc", body=" ")
+    assert (code, body) == (200, "OK")
+
+
+def test_goodbye_commit_false_redelivers(server):
+    """?commit=false goodbye (the reference's commitQueryKey,
+    server.go:463-474): served-but-uncommitted positions are dropped,
+    so the group's next reader gets the records again."""
+    srv = server
+    code, _ = _req(srv, "POST", "/v1/topic/t/messages?partitionKey=k", body="m")
+    assert code == 200
+    for cid in ("c1", "c2"):
+        code, _ = _req(
+            srv, "PUT",
+            f"/v1/consumer/register?consumerId={cid}&group=g&topic=t"
+            "&onNewGroup=earliest",
+            body=" ",
+        )
+        assert code == 200
+    # c1 reads the record, then leaves WITHOUT committing
+    code, body = _req(srv, "POST", "/v1/consumer/poll?consumerId=c1", body=" ")
+    got1 = [v for item in json.loads(body) for v in item["values"]] if code == 200 else []
+    code, body = _req(
+        srv, "POST", "/v1/consumer/goodbye?consumerId=c1&commit=false", body=" "
+    )
+    assert (code, body) == (200, "OK")
+    # c2 (same group) must see the record again
+    deadline_polls = 10
+    got2 = []
+    while deadline_polls and not got2:
+        code, body = _req(srv, "POST", "/v1/consumer/poll?consumerId=c2", body=" ")
+        if code == 200:
+            got2 = [v for item in json.loads(body) for v in item["values"]]
+        deadline_polls -= 1
+    assert got1 == ["m"] and got2 == ["m"]
