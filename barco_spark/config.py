@@ -25,7 +25,8 @@ class EngineConfig:
     # Topics (internal/conf/constants.go:54)
     max_topic_length: int = 255
 
-    # Write path (internal/conf/config.go:256-258, 286-289, 320-330)
+    # Write path (internal/conf/config.go:252-258, 286-289, 320-330)
+    max_message_size_bytes: int = 1024 * 1024          # per-request body cap
     max_group_size_bytes: int = 2 * 1024 * 1024        # coalescer group
     segment_buffer_bytes: int = 8 * 1024 * 1024        # aligned write buffer
     max_segment_bytes: int = 1024 * 1024 * 1024        # segment roll size

@@ -429,9 +429,14 @@ class BrokerHttpServer:
 
     def _read_body_bytes(self, handler) -> bytes:
         length = int(handler.headers.get("Content-Length", 0) or 0)
-        if length <= 0:
+        max_len = self.log.config.max_message_size_bytes
+        if length <= 0 or length > max_len:
+            # the reference's exact producer validation incl. the cap
+            # (MaxMessageSize, producing/server.go:146-152 +
+            # config.go:252-254, default 1 MiB)
             raise ValueError(
-                "Content length must be defined and greater than 0"
+                "Content length must be defined (HTTP/1.1 chunked not "
+                f"supported), greater than 0 and less than {max_len} bytes"
             )
         data = handler.rfile.read(length)
         handler._body_unread = 0  # fully consumed; nothing to drain

@@ -1664,3 +1664,22 @@ def test_goodbye_commit_false_redelivers(server):
             got2 = [v for item in json.loads(body) for v in item["values"]]
         deadline_polls -= 1
     assert got1 == ["m"] and got2 == ["m"]
+
+
+def test_produce_rejects_oversized_body(server):
+    """The reference caps produce bodies at MaxMessageSize (1 MiB
+    default, config.go:252-254) with the exact 400 text
+    (producing/server.go:146-152)."""
+    big = "x" * (1024 * 1024 + 1)
+    code, body, _ = _req_raw(
+        server, "POST", "/v1/topic/t/messages", body=big,
+        headers={"Content-Type": "text/plain"},
+    )
+    assert code == 400 and b"less than" in body
+    # at the limit still fine
+    ok = "x" * (1024 * 1024 - 1)
+    code, body, _ = _req_raw(
+        server, "POST", "/v1/topic/t/messages", body=ok,
+        headers={"Content-Type": "text/plain"},
+    )
+    assert code == 200
