@@ -251,3 +251,70 @@ def test_binary_produce_routes_to_topic_leader(spark, tmp_path):
     finally:
         srv.stop()
         fa.stop(), fb.stop()
+
+
+def test_binary_produce_survives_leadership_move(spark, tmp_path):
+    """Leadership moves WHILE a binary producer keeps sending: the
+    routing endpoint answers 307 when it is no longer leader and the
+    binary server's per-attempt re-resolution converges on the new one
+    (binary_server.go:230-247 + the routing listener's mid-flight
+    behavior). Every acked frame must land exactly once with contiguous
+    per-bucket offsets across the transition."""
+    import time as _t
+    from collections import Counter
+
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+    from barco_spark.sources.tcp_server import BinaryProducerServer
+
+    root = str(tmp_path / "log")
+    fa = BrokerHttpServer(EventLog(spark, root), facade_ttl_s=3.0)
+    fb = BrokerHttpServer(EventLog(spark, root), facade_ttl_s=3.0)
+    fa.start(), fb.start()
+    leader_id = fa.registry.leader_for("t")[0]
+    leader, follower = (
+        (fa, fb) if leader_id == fa.registry.facade_id else (fb, fa)
+    )
+    srv = BinaryProducerServer(
+        follower.log, registry=follower.registry, lock=follower._lock
+    )
+    srv.start()
+    stopped_leader = False
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port)) as sock:
+            sock.sendall(encode_frame(STARTUP_OP, stream_id=1))
+            assert _recv_frame(sock)[:2] == (1, READY_OP)
+            acked = []
+            for seq in range(8):
+                if seq == 4:
+                    # the topic's leader RETIRES mid-stream; rendezvous
+                    # re-deals t to the surviving facade (the binary
+                    # server's own), so later frames write locally
+                    leader.stop()
+                    stopped_leader = True
+                    deadline = _t.monotonic() + 10
+                    while (
+                        follower.registry.leader_for("t")[0]
+                        != follower.registry.facade_id
+                        and _t.monotonic() < deadline
+                    ):
+                        _t.sleep(0.1)
+                sock.sendall(encode_produce_frame(
+                    "t", [f"m{seq}"], partition_key=f"k{seq % 2}",
+                    stream_id=10 + seq,
+                ))
+                sid, op, body = _recv_frame(sock)
+                assert sid == 10 + seq
+                assert op == PRODUCE_RESPONSE_OP, (seq, body)
+                acked.append(f"m{seq}")
+        rows = spark.read.parquet(root + "/data").collect()
+        assert sorted(r["payload"] for r in rows) == sorted(acked)
+        per_bucket = Counter(r["bucket"] for r in rows)
+        for bucket, n in per_bucket.items():
+            offs = sorted(r["offset"] for r in rows if r["bucket"] == bucket)
+            assert offs == list(range(n)), (bucket, offs)
+    finally:
+        srv.stop()
+        follower.stop()
+        if not stopped_leader:
+            leader.stop()
