@@ -874,6 +874,14 @@ class BrokerHttpServer:
                         with_record_meta=not want_json,
                     )
                 )
+        if not out:
+            # drained: the reference answers 204 No Content + retry
+            # hint whenever there are no response items — not an empty
+            # 200 array (group_read_queue.go:140-149 NoContentResponse)
+            handler.send_response(204)
+            handler.send_header("Retry-After", "1")
+            handler.end_headers()
+            return
         if want_json:
             # the reference's marshalJsonResponse item shape
             # (models.go:136-157): token and startOffset are STRINGS

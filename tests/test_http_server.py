@@ -127,9 +127,11 @@ def test_poll_with_no_owned_buckets_is_204(server):
             f"/v1/consumer/register?consumerId={cid}&group=g2&topic=t&onNewGroup=earliest",
             body="",
         )
-    # both own buckets -> 200 even if their buckets hold no rows
+    # owning buckets that hold no rows is still "no content": the
+    # reference answers 204 whenever there are no response items
+    # (group_read_queue.go:140-149)
     code, _ = _req(server, "POST", "/v1/consumer/poll?consumerId=cb", body=" ")
-    assert code == 200
+    assert code == 204
 
 
 def test_concurrent_producers_different_topics(server):
@@ -861,12 +863,12 @@ def test_poll_default_is_binary_item_stream(server):
     assert matched, "served token/rangeIndex not on the ring"
 
     # binary serves are real serves: they advance the at-least-once
-    # position exactly like JSON polls (next poll returns no new data)
+    # position exactly like JSON polls (the drained next poll is the
+    # reference's 204 No Content)
     code2, raw2, _ = _req_raw(
         server, "POST", "/v1/consumer/poll?consumerId=cb1", body=" "
     )
-    assert code2 == 200
-    assert decode_poll_response(raw2) == []
+    assert (code2, raw2) == (204, b"")
 
 
 def test_poll_accept_json_still_serves_json(server):
@@ -1683,3 +1685,52 @@ def test_produce_rejects_oversized_body(server):
         headers={"Content-Type": "text/plain"},
     )
     assert code == 200
+
+
+def test_multi_segment_drain_offsets_contiguous(server):
+    """The reference's multiple-segments roundtrip
+    (roundtrip_test.go:214-257): produce enough large, poorly
+    compressible messages that the log spans many files, then drain
+    with repeated polls asserting each item's startOffset continues
+    exactly where the previous one ended and every record arrives in
+    produce order."""
+    import random as _random
+
+    srv = server
+    rng = _random.Random(7)
+    total = 30
+    for i in range(total):
+        # ~120 KiB of low-compressibility payload + an ordered marker
+        blob = "".join(chr(0x21 + rng.randrange(90)) for _ in range(120_000))
+        code, _ = _req(
+            srv, "POST", "/v1/topic/seg/messages?partitionKey=k0",
+            body=f"{blob}|id={i}",
+        )
+        assert code == 200
+    code, _ = _req(
+        srv, "PUT",
+        "/v1/consumer/register?consumerId=cs&group=g&topic=seg"
+        "&onNewGroup=earliest",
+        body=" ",
+    )
+    assert code == 200
+
+    records: list[str] = []
+    expected_offset = 0
+    while True:
+        code, body = _req(
+            srv, "POST", "/v1/consumer/poll?consumerId=cs&maxRecords=7",
+            body=" ",
+        )
+        if code == 204:
+            break
+        assert code == 200
+        for item in json.loads(body):
+            # reference shape: startOffset is a string int64 and must
+            # continue exactly where the previous item ended
+            assert int(item["startOffset"]) == expected_offset
+            records.extend(v[-12:] for v in item["values"])
+            expected_offset += len(item["values"])
+    assert len(records) == total
+    for n, tail in enumerate(records):
+        assert tail.endswith(f"id={n}"), (n, tail)
