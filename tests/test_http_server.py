@@ -1129,7 +1129,13 @@ def test_topology_resize_under_live_traffic(spark, tmp_path):
                 headers={"Content-Type": "text/plain", "X-No-Redirect": "1"},
             )
             try:
-                with urllib.request.urlopen(req, timeout=30) as resp:
+                # generous timeout: a coalescer flush behind a full-
+                # suite GC pause can exceed 30s, and a timed-out-but-
+                # stored produce breaks the exactly-once count (the
+                # payload lands but never enters sent[]) — under a slow
+                # host the right behavior is fewer messages, not a
+                # spurious failure
+                with urllib.request.urlopen(req, timeout=180) as resp:
                     assert resp.status == 200
                 sent[topic].append(payload)  # acked => must never be lost
                 seq += 1
