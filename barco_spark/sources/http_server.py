@@ -96,6 +96,7 @@ from barco_spark.sources.membership import (
     MembershipStore,
     ProduceFencedError,
     RouteClientPool,
+    RouteExhaustedError,
 )
 from barco_spark.sources.wire import MIME_PRODUCER_FRAMES, parse_framed_payloads
 
@@ -231,6 +232,14 @@ class BrokerHttpServer:
             # keep-alive peers (bound consumers, pooled forwarders)
             # Nagle+delayed-ACK otherwise adds ~40 ms per exchange
             disable_nagle_algorithm = True
+            # socket read timeout = the reference's 2-minute consumer
+            # read timeout (config.go:273-276): bounds request-line
+            # waits on idle keep-alive connections AND body/drain reads
+            # of clients that declared more bytes than they send — a
+            # handler thread can never hang forever on recv. An idle
+            # bound consumer past this is exactly what R13 eviction
+            # would do to it anyway.
+            timeout = 120
 
             # quiet: tests and embedding apps don't want stderr access logs
             def log_message(self, fmt, *args):  # noqa: N802
@@ -277,10 +286,25 @@ class BrokerHttpServer:
                 remaining = getattr(self, "_body_unread", 0)
                 if remaining > 0:
                     self._body_unread = 0
-                    try:
-                        self.rfile.read(remaining)
-                    except OSError:
+                    if remaining > outer.log.config.max_message_size_bytes:
+                        # a body the MaxMessageSize validation already
+                        # rejected (or a lying Content-Length) is not
+                        # worth draining: reading it would buffer up to
+                        # the client's declared size (or block forever
+                        # on bytes that never come) — drop the
+                        # connection instead, like the reference's
+                        # rejected oversized requests
                         self.close_connection = True
+                    else:
+                        try:
+                            # bounded chunks: no single giant allocation
+                            while remaining > 0:
+                                chunk = self.rfile.read(min(remaining, 65536))
+                                if not chunk:
+                                    break
+                                remaining -= len(chunk)
+                        except OSError:
+                            self.close_connection = True
                 super().send_response(code, message)
 
             def _respond(
@@ -588,51 +612,31 @@ class BrokerHttpServer:
         Requests ride POOLED keep-alive connections (RouteClientPool —
         the reference's long-lived per-peer routingClient): a dial per
         forward saturated the worst-case fleet at ~150 req/s while the
-        direct path scaled (SCALING.md round-8)."""
-        import time as _time
-
+        direct path scaled (SCALING.md round-8). The retry loop itself
+        (re-resolve per attempt; retry only on 307/refused; a possibly-
+        post-apply failure surfaces so an in-proxy retry can never
+        duplicate invisibly — producing/server.go:158-166 propagates
+        the same way) lives in RouteClientPool.post_to_leader, SHARED
+        with the binary server's frame reroute."""
         url = urlparse(handler.path)
         qs = f"?{url.query}" if url.query else ""
         ctype = handler.headers.get("Content-Type", "text/plain")
-        last_err = "no live leader"
-        for attempt in range(3):
-            if attempt:
-                _time.sleep(0.2)
-            _lid, lhost, lport = self.registry.leader_for(topic)
+        try:
             # leadership may have moved to US mid-retry; the routing
-            # route never re-forwards, so a self-POST cannot loop
+            # route never re-forwards, so a self-POST cannot loop.
             # `topic` is the raw path segment (still percent-encoded),
-            # so splicing it back preserves the client's encoding
-            path = f"/v1/routing/topic/{topic}/messages{qs}"
-            try:
-                status, data, rctype = self._route_pool.send(
-                    lhost, lport, "POST", path, body,
-                    {"Content-Type": ctype},
-                )
-            except OSError as ex:  # connection refused / timeout / reset
-                last_err = str(ex)
-                if isinstance(ex, ConnectionRefusedError):
-                    # nothing reached the leader — a retry cannot
-                    # duplicate; re-resolve (a crashed leader's
-                    # registry entry expires and rendezvous moves)
-                    continue
-                # timeout or reset AFTER the request was sent: the
-                # leader may have already applied the write, so an
-                # in-proxy retry would duplicate records invisibly
-                # under the single 200 the client sees. Surface 503 +
-                # Retry-After instead — the CLIENT owns the retry
-                # decision, the same at-least-once contract the
-                # reference's gossip forward has (producing/
-                # server.go:158-166 propagates the error to the caller)
-                break
-            if status == 307:
-                last_err = "leadership moved during forward"
-                continue  # re-resolve and retry
+            # so splicing it back preserves the client's encoding.
+            status, data, rctype = self._route_pool.post_to_leader(
+                self.registry, topic, topic, qs, body,
+                {"Content-Type": ctype},
+            )
+        except RouteExhaustedError as ex:
+            data = f"produce forward failed: {ex}".encode()
+        else:
             # the leader's final answer (200, 400, 503 fence, ...)
             # relays verbatim
             handler._respond(status, data, rctype)
             return
-        data = f"produce forward failed: {last_err}".encode()
         handler.send_response(503)
         handler.send_header("Retry-After", "1")
         handler.send_header("Content-Type", "text/plain")

@@ -633,16 +633,24 @@ class RouteClientPool:
     forward path at ~150 req/s while the direct path scaled — see
     SCALING.md round-8.
 
-    ``send`` distinguishes the two failure phases so the at-least-once
+    ``send`` distinguishes the failure phases so the at-least-once
     contract stays honest:
 
     - a REUSED connection failing during the SEND phase is a stale
       keep-alive socket (the peer closed it idle); the request cannot
       have been applied (Content-Length framing: the peer never saw a
-      complete request), so it silently retries ONCE on a fresh dial;
-    - any failure after the request was fully sent (response phase)
-      may be post-apply and is raised to the caller, who surfaces it
-      rather than duplicating (http_server._forward_produce's 503).
+      complete request), so it silently retries ONCE on a FRESH DIAL
+      (the retry bypasses the idle pool — popping another pooled
+      socket could just be stale #2 of the same dead peer process);
+    - a REUSED connection answering ZERO response bytes
+      (RemoteDisconnected from getresponse) is the same stale socket
+      seen one syscall later — conn.request "succeeds" because the
+      bytes land in the local send buffer of a half-closed TCP socket —
+      and also retries once fresh;
+    - any OTHER response-phase failure (timeout, reset mid-response,
+      or anything on a fresh dial) may be post-apply and is raised to
+      the caller, who surfaces it rather than duplicating
+      (http_server._forward_produce's 503).
     """
 
     def __init__(self, max_idle_per_peer: int = 16, timeout: float = 10.0):
@@ -653,14 +661,15 @@ class RouteClientPool:
         self.max_idle = max_idle_per_peer
         self.timeout = timeout
 
-    def _acquire(self, host: str, port: int):
+    def _acquire(self, host: str, port: int, force_fresh: bool = False):
         import http.client
         import socket
 
-        with self._lock:
-            lst = self._idle.get((host, port))
-            if lst:
-                return lst.pop(), True
+        if not force_fresh:
+            with self._lock:
+                lst = self._idle.get((host, port))
+                if lst:
+                    return lst.pop(), True
         conn = http.client.HTTPConnection(host, port, timeout=self.timeout)
         conn.connect()
         # disable Nagle: a keep-alive POST (headers + body in separate
@@ -688,9 +697,14 @@ class RouteClientPool:
         headers: dict[str, str],
     ) -> tuple[int, bytes, str]:
         """One request over a pooled connection; returns (status, body,
-        content_type). OSError during the response phase propagates."""
+        content_type). Possibly-post-apply OSErrors propagate (see the
+        class docstring's phase rules)."""
+        import http.client
+
         for fresh_retry in (False, True):
-            conn, reused = self._acquire(host, port)
+            # the retry is a genuinely fresh dial — never another
+            # pooled socket from the same (possibly dead) peer process
+            conn, reused = self._acquire(host, port, force_fresh=fresh_retry)
             try:
                 conn.request(method, path, body=body, headers=headers)
             except OSError:
@@ -701,6 +715,15 @@ class RouteClientPool:
             try:
                 resp = conn.getresponse()
                 data = resp.read()
+            except http.client.RemoteDisconnected:
+                conn.close()
+                if reused and not fresh_retry:
+                    # zero response bytes on a REUSED socket: the peer
+                    # closed it idle before this request was sent (the
+                    # send only "succeeded" into the local buffer of a
+                    # half-closed socket) — provably not applied
+                    continue
+                raise
             except OSError:
                 conn.close()
                 raise  # may be post-apply: caller owns the decision
@@ -712,9 +735,63 @@ class RouteClientPool:
             return resp.status, data, ctype
         raise AssertionError("unreachable")
 
+    def post_to_leader(
+        self,
+        registry,
+        topic: str,
+        topic_segment: str,
+        qs: str,
+        payload: bytes,
+        headers: dict[str, str],
+        attempts: int = 3,
+    ) -> tuple[int, bytes, str]:
+        """The shared leader-routing retry loop (one copy for the HTTP
+        proxy and the binary server's frame reroute): re-resolve the
+        leader from ``registry`` per attempt, retry on 307 (leadership
+        moved) or connection refusal (nothing reached the leader); any
+        possibly-post-apply failure raises RouteExhaustedError so the
+        caller surfaces it instead of duplicating. Returns the leader's
+        FINAL (status, body, content_type). ``topic`` feeds the
+        rendezvous leader lookup; ``topic_segment`` is the URL path
+        segment (percent-encoded)."""
+        import time as _time
+
+        last_err = "no live leader"
+        for attempt in range(attempts):
+            if attempt:
+                _time.sleep(0.2)
+            _lid, lhost, lport = registry.leader_for(topic)
+            path = f"/v1/routing/topic/{topic_segment}/messages{qs}"
+            try:
+                status, data, ctype = self.send(
+                    lhost, lport, "POST", path, payload, headers
+                )
+            except OSError as ex:
+                last_err = str(ex)
+                if isinstance(ex, ConnectionRefusedError):
+                    # nothing reached the leader — a retry cannot
+                    # duplicate; re-resolve (a crashed leader's registry
+                    # entry expires and rendezvous moves)
+                    continue
+                # timeout or reset AFTER the request was sent: the
+                # leader may have already applied the write — the
+                # CLIENT owns the at-least-once retry decision
+                break
+            if status == 307:
+                last_err = "leadership moved during forward"
+                continue  # re-resolve and retry
+            return status, data, ctype
+        raise RouteExhaustedError(last_err)
+
     def close_all(self) -> None:
         with self._lock:
             for lst in self._idle.values():
                 for conn in lst:
                     conn.close()
             self._idle.clear()
+
+
+class RouteExhaustedError(OSError):
+    """post_to_leader could not get a (possibly-applied) answer from
+    any leader attempt; the caller answers 503/errorOp so the CLIENT
+    owns the retry."""

@@ -47,7 +47,11 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql import functions as F
 
 from barco_spark.sources.eventlog import EventLog
-from barco_spark.sources.membership import ProduceFencedError
+from barco_spark.sources.membership import (
+    ProduceFencedError,
+    RouteClientPool,
+    RouteExhaustedError,
+)
 from barco_spark.sources.wire import (
     HEADER_SIZE,
     HEARTBEAT_OP,
@@ -108,6 +112,9 @@ class BinaryProducerServer:
         self.log = log
         self.max_group_frames = max_group_frames
         self.registry = registry
+        # pooled keep-alive connections to peer routing endpoints,
+        # shared transport with the HTTP proxy (RouteClientPool)
+        self._route_pool = RouteClientPool()
         # single-writer-per-topic contract
         self._lock = lock if lock is not None else threading.Lock()
         outer = self
@@ -135,6 +142,7 @@ class BinaryProducerServer:
         return self.port
 
     def stop(self) -> None:
+        self._route_pool.close_all()
         self._srv.shutdown()
         self._srv.server_close()
         if self._thread:
@@ -327,14 +335,12 @@ class BinaryProducerServer:
         ``?timestamp=`` micros; the reference re-stamps on the leader —
         preserving it is strictly more faithful to the producer).
 
-        Retries mirror _forward_produce: re-resolve the leader per
-        attempt, retry only on 307 (leadership moved) or connection
-        refusal (nothing reached the leader); a timeout/reset AFTER the
-        send may already be applied, so it surfaces as an error frame
-        and the CLIENT owns the at-least-once retry decision."""
-        import time as _time
-        import urllib.error
-        import urllib.request
+        The transport and retry policy are SHARED with the HTTP proxy:
+        RouteClientPool.post_to_leader rides pooled keep-alive
+        connections (the reference's persistent routingClient) and
+        re-resolves per attempt, retrying only where a duplicate is
+        impossible; a possibly-post-apply failure surfaces as an error
+        frame so the CLIENT owns the at-least-once retry decision."""
         from urllib.parse import quote, urlencode
 
         payload = encode_framed_payloads([m["payload"] for m in msgs])
@@ -344,37 +350,18 @@ class BinaryProducerServer:
         if msgs[0]["timestamp_us"] is not None:
             params["timestamp"] = str(msgs[0]["timestamp_us"])
         qs = f"?{urlencode(params)}" if params else ""
-        last_err = "no live leader"
-        for attempt in range(3):
-            if attempt:
-                _time.sleep(0.2)
-            _lid, lhost, lport = self.registry.leader_for(topic)
-            target = (
-                f"http://{lhost}:{lport}/v1/routing/topic/"
-                f"{quote(topic, safe='')}/messages{qs}"
+        try:
+            status, data, _ctype = self._route_pool.post_to_leader(
+                self.registry, topic, quote(topic, safe=""), qs, payload,
+                {"Content-Type": MIME_PRODUCER_FRAMES},
             )
-            req = urllib.request.Request(
-                target, data=payload, method="POST",
-                headers={"Content-Type": MIME_PRODUCER_FRAMES},
+        except RouteExhaustedError as ex:
+            return encode_error_frame(
+                stream_id, f"produce routing failed: {ex}"
             )
-            try:
-                with urllib.request.urlopen(req, timeout=10.0) as resp:
-                    resp.read()
-                    return encode_frame(PRODUCE_RESPONSE_OP, stream_id)
-            except urllib.error.HTTPError as ex:
-                if ex.code == 307:
-                    last_err = "leadership moved during forward"
-                    continue  # re-resolve and retry
-                detail = ex.read().decode("utf-8", "replace")[:200]
-                return encode_error_frame(
-                    stream_id, f"routing error: {ex.code} {detail}"
-                )
-            except OSError as ex:
-                last_err = str(ex)
-                reason = getattr(ex, "reason", ex)
-                if isinstance(reason, ConnectionRefusedError):
-                    continue  # nothing reached the leader; safe retry
-                break  # may already be applied — no invisible duplicate
+        if status == 200:
+            return encode_frame(PRODUCE_RESPONSE_OP, stream_id)
+        detail = data.decode("utf-8", "replace")[:200]
         return encode_error_frame(
-            stream_id, f"produce routing failed: {last_err}"
+            stream_id, f"routing error: {status} {detail}"
         )

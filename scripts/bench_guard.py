@@ -237,7 +237,9 @@ def main() -> int:
             print(f"--force: overriding {len(reasons)} sanity rejections")
         pin = {
             "sf": result["sf"],
-            "queries": timings,
+            # the MERGED per-query mins — NOT the first run's timings
+            "queries": result["queries"],
+            "runs": UPDATE_RUNS,
             "total": result["value"],
             # idle-band metadata: both calib probes at capture time
             "calib_sec": result.get("calib_sec"),
@@ -246,7 +248,7 @@ def main() -> int:
         with open(PIN_PATH, "w") as f:
             json.dump(pin, f, indent=1, sort_keys=True)
             f.write("\n")
-        print(f"pinned {len(timings)} queries to {PIN_PATH}")
+        print(f"pinned {len(pin['queries'])} queries to {PIN_PATH}")
         return 0
 
     if not os.path.exists(pin_path):
