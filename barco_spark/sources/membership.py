@@ -687,6 +687,16 @@ class RouteClientPool:
                 return
         conn.close()
 
+    def _purge(self, host: str, port: int) -> None:
+        """Drop every idle socket to a peer: once ONE reused socket
+        proves stale (the peer process restarted), its siblings from
+        the same old process are stale too — closing them now saves a
+        detect-and-retry round trip per pooled socket."""
+        with self._lock:
+            lst = self._idle.pop((host, port), [])
+        for c in lst:
+            c.close()
+
     def send(
         self,
         host: str,
@@ -710,7 +720,10 @@ class RouteClientPool:
             except OSError:
                 conn.close()
                 if reused and not fresh_retry:
-                    continue  # stale keep-alive; request never framed
+                    # stale keep-alive; request never framed — and the
+                    # peer's other idle sockets are stale siblings
+                    self._purge(host, port)
+                    continue
                 raise
             try:
                 resp = conn.getresponse()
@@ -722,6 +735,7 @@ class RouteClientPool:
                     # closed it idle before this request was sent (the
                     # send only "succeeded" into the local buffer of a
                     # half-closed socket) — provably not applied
+                    self._purge(host, port)
                     continue
                 raise
             except OSError:
