@@ -262,6 +262,9 @@ class BinaryProducerServer:
         # topic -> [(ack index, stream id)]: lets a produce fence
         # refusal convert exactly the affected frames' acks to errors
         topic_acks: dict[str, list[tuple[int, int]]] = {}
+        # mis-routed frames, routed AFTER the parse loop so independent
+        # keys forward concurrently (see _route_frames)
+        routed: list[tuple[int, int, str, list[dict]]] = []
         acks: list[bytes] = []
         now = datetime.now(timezone.utc)
         if self.registry is not None:
@@ -297,12 +300,15 @@ class BinaryProducerServer:
             if msgs and self.registry is not None:
                 leader_id, _h, _p = self.registry.leader_for(topic)
                 if leader_id != self.registry.facade_id:
-                    acks.append(self._route_frame(topic, msgs, stream_id))
+                    routed.append((len(acks), stream_id, topic, msgs))
+                    acks.append(b"")  # placeholder; filled by the router
                     continue
             for m, row in zip(msgs, rows):
                 by_topic.setdefault(m["topic"], []).append(row)
             topic_acks.setdefault(topic, []).append((len(acks), stream_id))
             acks.append(encode_frame(PRODUCE_RESPONSE_OP, stream_id))
+        if routed:
+            self._route_frames(routed, acks)
         with self._lock:
             for topic, rows in by_topic.items():
                 if self.registry is not None:
@@ -320,6 +326,68 @@ class BinaryProducerServer:
                 ).withColumn("timestamp", F.col("timestamp"))
                 self.log.produce(topic, df)
         sock.sendall(b"".join(acks))
+
+    def _route_frames(
+        self,
+        routed: list[tuple[int, int, str, list[dict]]],
+        acks: list[bytes],
+    ) -> None:
+        """Route a drained group's mis-routed frames to their leaders,
+        CONCURRENTLY across independent (topic, partition key) buckets —
+        the reference processes each produce message in its own
+        goroutine (binary_server.go:200-204), so a pipelined burst never
+        serializes on round trips. Within one bucket frames stay in
+        arrival order (the per-key store-order guarantee), and
+        consecutive frames with no explicit timestamp MERGE into one
+        producer.frames POST (the wire body carries many messages;
+        fewer round trips, same records, same order). Fills each
+        frame's slot in ``acks``."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        buckets: dict[tuple[str, str | None], list] = {}
+        for item in routed:
+            _idx, _sid, topic, msgs = item
+            buckets.setdefault((topic, msgs[0]["partition_key"]), []).append(item)
+
+        def run_bucket(items: list) -> None:
+            # merge a run of ts-less frames into one POST; explicit-ts
+            # frames route individually (the timestamp rides a query
+            # param, one per request)
+            i = 0
+            while i < len(items):
+                idx, sid, topic, msgs = items[i]
+                if msgs[0]["timestamp_us"] is None:
+                    j = i
+                    merged: list[dict] = []
+                    slots: list[tuple[int, int]] = []
+                    while (
+                        j < len(items)
+                        and items[j][3][0]["timestamp_us"] is None
+                    ):
+                        merged.extend(items[j][3])
+                        slots.append((items[j][0], items[j][1]))
+                        j += 1
+                    ack = self._route_frame(topic, merged, sid)
+                    if parse_header(ack)[2] == PRODUCE_RESPONSE_OP:
+                        for s_idx, s_sid in slots:
+                            acks[s_idx] = encode_frame(
+                                PRODUCE_RESPONSE_OP, s_sid
+                            )
+                    else:
+                        # relay the real error text to every merged frame
+                        err = ack[HEADER_SIZE + 1 :].decode("utf-8", "replace")
+                        for s_idx, s_sid in slots:
+                            acks[s_idx] = encode_error_frame(s_sid, err)
+                    i = j
+                else:
+                    acks[idx] = self._route_frame(topic, msgs, sid)
+                    i += 1
+
+        if len(buckets) == 1:
+            run_bucket(next(iter(buckets.values())))
+            return
+        with ThreadPoolExecutor(max_workers=min(16, len(buckets))) as ex:
+            list(ex.map(run_bucket, buckets.values()))
 
     def _route_frame(
         self, topic: str, msgs: list[dict], stream_id: int
