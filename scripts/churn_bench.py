@@ -15,6 +15,10 @@
    extends the single-producer 0.55x row with fleet concurrency to
    show whether the hop serializes under load.
 
+3. BINARY REROUTE WORST CASE: a pipelined keyed burst through the
+   non-leader's binary server (every frame routed as producer.frames)
+   vs a leader-co-located one — the round-8 addendum's numbers.
+
 Usage: python scripts/churn_bench.py [--consumers 20] [--kill-ms 50]
        [--producers 8] [--per-producer 50]
 Prints one JSON line; rows go to SCALING.md.
@@ -171,6 +175,85 @@ def bench_fleet_forwarding(spark, root: str, producers: int, per: int) -> dict:
         fa.stop(), fb.stop()
 
 
+def bench_binary_reroute(spark, root: str, n_frames: int = 300) -> dict:
+    """3. BINARY REROUTE WORST CASE: a pipelined keyed burst through
+    the NON-leader facade's binary server (every frame routed to the
+    leader over producer.frames bodies) vs the same burst through a
+    leader-co-located server. The SCALING.md round-8 addendum numbers
+    (37 -> 1335 frames/s after concurrent per-key buckets + merged
+    bodies) come from this shape."""
+    import socket
+
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.http_server import BrokerHttpServer
+    from barco_spark.sources.tcp_server import BinaryProducerServer
+    from barco_spark.sources.wire import (
+        HEADER_SIZE,
+        PRODUCE_RESPONSE_OP,
+        READY_OP,
+        STARTUP_OP,
+        encode_frame,
+        encode_produce_frame,
+        parse_header,
+    )
+
+    def recv_frame(sock):
+        head = b""
+        while len(head) < HEADER_SIZE:
+            head += sock.recv(HEADER_SIZE - len(head))
+        _f, sid, op, blen = parse_header(head)
+        body = b""
+        while len(body) < blen:
+            body += sock.recv(blen - len(body))
+        return sid, op
+
+    fa = BrokerHttpServer(EventLog(spark, root + "/bin"))
+    fb = BrokerHttpServer(EventLog(spark, root + "/bin"))
+    fa.start(), fb.start()
+    leader_id = fa.registry.leader_for("t")[0]
+    leader, follower = (
+        (fa, fb) if leader_id == fa.registry.facade_id else (fb, fa)
+    )
+    srv_direct = BinaryProducerServer(
+        leader.log, registry=leader.registry, lock=leader._lock
+    )
+    srv_routed = BinaryProducerServer(
+        follower.log, registry=follower.registry, lock=follower._lock
+    )
+    srv_direct.start(), srv_routed.start()
+    payload = "x" * 1024
+    try:
+        def run(port: int) -> float:
+            with socket.create_connection(("127.0.0.1", port)) as sock:
+                sock.sendall(encode_frame(STARTUP_OP, stream_id=1))
+                assert recv_frame(sock) == (1, READY_OP)
+                burst = b"".join(
+                    encode_produce_frame(
+                        "t", [payload], partition_key=f"k{i % 32}",
+                        stream_id=i % 60000,
+                    )
+                    for i in range(n_frames)
+                )
+                t0 = time.perf_counter()
+                sock.sendall(burst)
+                for _ in range(n_frames):
+                    assert recv_frame(sock)[1] == PRODUCE_RESPONSE_OP
+                return n_frames / (time.perf_counter() - t0)
+
+        run(srv_direct.port), run(srv_routed.port)  # warm both paths
+        direct = max(run(srv_direct.port), run(srv_direct.port))
+        routed = max(run(srv_routed.port), run(srv_routed.port))
+        return {
+            "frames": n_frames,
+            "direct_fps": round(direct, 1),
+            "routed_fps": round(routed, 1),
+            "ratio": round(routed / direct, 3),
+        }
+    finally:
+        srv_direct.stop(), srv_routed.stop()
+        fa.stop(), fb.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--consumers", type=int, default=20)
@@ -188,7 +271,12 @@ def main() -> None:
         fleet = bench_fleet_forwarding(
             spark, root, args.producers, args.per_producer
         )
-    print(json.dumps({"bound_churn": churn, "fleet_forwarding": fleet}))
+        binary = bench_binary_reroute(spark, root)
+    print(json.dumps({
+        "bound_churn": churn,
+        "fleet_forwarding": fleet,
+        "binary_reroute": binary,
+    }))
     spark.stop()
 
 
