@@ -458,7 +458,7 @@ def scd1_upsert_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cohort_retention",
+    "cohort_retention_weekly",
     """
     WITH firsts AS (
       SELECT user_id,
@@ -487,7 +487,7 @@ def scd1_upsert_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(datediff // 7) — no doubles anywhere."
     ),
 )
-def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
     )

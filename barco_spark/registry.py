@@ -36,6 +36,15 @@ def register(
     name: str, oracle: str | None, category: str, doc: str = ""
 ) -> Callable[[Callable], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        if name in QUERIES:
+            # A duplicate name silently shadows the earlier entry (dict
+            # overwrite), turning a complete, oracled query into dead code
+            # that no gate can see. Fail loudly at import time instead.
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered (category={QUERIES[name].category!r}); "
+                "rename one of the two"
+            )
         QUERIES[name] = QuerySpec(name, fn, oracle, category, doc)
         return fn
 

@@ -92,6 +92,23 @@ def test_queries_md_is_fresh():
     assert Path("QUERIES.md").read_text() == mod.render()
 
 
+def test_register_rejects_duplicate_names():
+    """register() must raise on a name collision: a dict overwrite would
+    silently turn the earlier query into dead code that no gate can see
+    (the round-8 cohort_retention shadowing)."""
+    import pytest
+
+    from barco_spark.registry import QUERIES, register
+
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        register(existing, None, "scan", doc="collision probe")(
+            lambda spark, sf_dir: None
+        )
+    # the original registration must be untouched
+    assert QUERIES[existing].doc != "collision probe"
+
+
 def test_registry_hygiene():
     """Every registered query has a doc, a known category (guards
     against taxonomy drift like 'window' vs 'windows'), and unique
