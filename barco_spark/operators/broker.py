@@ -118,18 +118,31 @@ def consumer_poll_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the bounded slice consumer_lag_report polls-and-commits; shared by
+# the query body and its oracle so the two can never desynchronize
+_LAG_POLL_BOUND = 10
+
+
 def _consumer_lag_oracle() -> str:
     # ORACLE-PAIRED since r8: the whole broker flow is re-derived in
     # pure DuckDB SQL. The produce path routes each record with the JVM
-    # fast path's pmod(F.hash(key), 12) — re-derived bit-exactly by
+    # fast path's pmod(F.hash(key), buckets) — re-derived bit-exactly by
     # spark_hash32_oracle_ctes (Murmur3_x86_32 seed 42, fuzzed against
     # the Python twin in tests/test_tokens.py) — so high_watermark is a
-    # per-bucket count; the bounded poll serves min(hw, 10) per bucket
-    # and the manual commit acks exactly that, so committed/lag follow
-    # arithmetically.
+    # per-bucket count; the bounded poll serves min(hw, bound) per
+    # bucket and the manual commit acks exactly that, so committed/lag
+    # follow arithmetically. Bucket count and poll bound come from the
+    # SAME sources the query body uses (EngineConfig.buckets /
+    # _LAG_POLL_BOUND), not literals, so a config change cannot
+    # desynchronize oracle and driver.
+    from barco_spark.config import EngineConfig
     from barco_spark.functions.tokens import spark_hash32_oracle_ctes
 
-    ctes = spark_hash32_oracle_ctes(keys_cte="keys", key_col="pk", num_buckets=12)
+    buckets = EngineConfig().buckets
+    bound = _LAG_POLL_BOUND
+    ctes = spark_hash32_oracle_ctes(
+        keys_cte="keys", key_col="pk", num_buckets=buckets
+    )
     return f"""
     WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS pk FROM events),
     keys AS (SELECT DISTINCT pk FROM ev),
@@ -141,10 +154,10 @@ def _consumer_lag_oracle() -> str:
     SELECT 'clicks' AS topic,
            CAST(b.range AS BIGINT) AS bucket,
            CAST(COALESCE(c.hw, 0) AS BIGINT) AS high_watermark,
-           CAST(LEAST(COALESCE(c.hw, 0), 10) AS BIGINT) AS committed,
-           CAST(COALESCE(c.hw, 0) - LEAST(COALESCE(c.hw, 0), 10) AS BIGINT)
+           CAST(LEAST(COALESCE(c.hw, 0), {bound}) AS BIGINT) AS committed,
+           CAST(COALESCE(c.hw, 0) - LEAST(COALESCE(c.hw, 0), {bound}) AS BIGINT)
              AS lag
-    FROM range(12) b LEFT JOIN counts c ON c.bucket = b.range
+    FROM range({buckets}) b LEFT JOIN counts c ON c.bucket = b.range
     """
 
 
@@ -185,6 +198,6 @@ def consumer_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consume a bounded slice (served watermark tracked by the
     # commit-previous-on-poll flow), then durably ack it via the
     # manual-commit surface (R12) — the remainder shows as lag
-    log.poll("g", "clicks", max_records_per_bucket=10)
+    log.poll("g", "clicks", max_records_per_bucket=_LAG_POLL_BOUND)
     log.commit_served("g", "clicks")
     return log.lag("g", "clicks")

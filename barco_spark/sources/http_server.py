@@ -307,6 +307,20 @@ class BrokerHttpServer:
                             self.close_connection = True
                 super().send_response(code, message)
 
+            def end_headers(self):  # noqa: N802
+                # honest keep-alive signalling: when the drain/body
+                # hygiene above forced close_connection (oversized or
+                # chunked body), an HTTP/1.1 client must be TOLD — the
+                # default is keep-alive, and a client that assumes
+                # reuse dies on the half-closed socket with its next
+                # pipelined request
+                if self.close_connection and not getattr(
+                    self, "_conn_close_sent", False
+                ):
+                    self._conn_close_sent = True
+                    self.send_header("Connection", "close")
+                super().end_headers()
+
             def _respond(
                 self,
                 code: int,

@@ -741,6 +741,15 @@ class RouteClientPool:
             except OSError:
                 conn.close()
                 raise  # may be post-apply: caller owns the decision
+            except http.client.HTTPException:
+                # partial/garbled response bytes (BadStatusLine on a
+                # half-written status, IncompleteRead): the peer SAW the
+                # request and started answering, so this is just as
+                # possibly-post-apply as a mid-response reset — close
+                # and raise; the caller surfaces 503/errorOp rather
+                # than duplicating
+                conn.close()
+                raise
             ctype = resp.headers.get("Content-Type", "application/json")
             if resp.will_close:
                 conn.close()
@@ -768,6 +777,7 @@ class RouteClientPool:
         FINAL (status, body, content_type). ``topic`` feeds the
         rendezvous leader lookup; ``topic_segment`` is the URL path
         segment (percent-encoded)."""
+        import http.client
         import time as _time
 
         last_err = "no live leader"
@@ -780,6 +790,13 @@ class RouteClientPool:
                 status, data, ctype = self.send(
                     lhost, lport, "POST", path, payload, headers
                 )
+            except http.client.HTTPException as ex:
+                # garbled response (BadStatusLine/IncompleteRead that
+                # isn't a clean RemoteDisconnected): possibly post-apply
+                # — do NOT re-send; surface so the client owns the
+                # at-least-once retry, same as a mid-response reset
+                last_err = f"{type(ex).__name__}: {ex}"
+                break
             except OSError as ex:
                 last_err = str(ex)
                 if isinstance(ex, ConnectionRefusedError):

@@ -68,6 +68,21 @@ from barco_spark.sources.wire import (
 )
 
 
+class FrameTooLargeError(ValueError):
+    """A frame header declared a body larger than MaxMessageSize.
+
+    Raised BEFORE any body allocation — the wire-supplied u32 length is
+    untrusted (the reference bounds it with a 32 MiB buffer pool,
+    binary_server.go:193-194; the HTTP facade bounds it with the 1 MiB
+    MaxMessageSize check, producing/server.go:146-152)."""
+
+    def __init__(self, stream_id: int, body_len: int, max_len: int) -> None:
+        super().__init__(
+            f"message size {body_len} exceeds max message size ({max_len})"
+        )
+        self.stream_id = stream_id
+
+
 def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
     """Read exactly n bytes; None on clean EOF; raises on mid-read EOF."""
     chunks = []
@@ -172,6 +187,15 @@ class BinaryProducerServer:
             if head is None:
                 return None
         flags, stream_id, op, body_len = parse_header(head)
+        max_len = self.log.config.max_message_size_bytes
+        if body_len > max_len:
+            # never allocate a wire-declared length unbounded: the
+            # reference reads bodies into a bounded buffer pool
+            # (bufferPool.Get(BodyLength), binary_server.go:193-194 +
+            # pooling/buffer_pool.go) so a hostile u32 backpressures
+            # instead of allocating. Mirror the HTTP facade's
+            # MaxMessageSize rejection and drop the connection.
+            raise FrameTooLargeError(stream_id, body_len, max_len)
         body = _recv_exact(sock, body_len) if body_len else b""
         if body is None:
             raise ValueError("connection closed mid-frame")
@@ -238,10 +262,14 @@ class BinaryProducerServer:
                 if group:
                     self._flush_group(sock, group)
         except (ValueError, struct.error, IndexError) as ex:
-            # bad header / truncated frame: error out and drop, like the
-            # broker's "Invalid data header from producer client"
+            # bad header / truncated / oversized frame: error out and
+            # drop, like the broker's "Invalid data header from
+            # producer client"; an oversized declaration still acks
+            # with ITS stream id so the client can correlate
             try:
-                sock.sendall(encode_error_frame(0, str(ex)))
+                sock.sendall(
+                    encode_error_frame(getattr(ex, "stream_id", 0), str(ex))
+                )
             except OSError:
                 pass
         finally:
@@ -349,10 +377,22 @@ class BinaryProducerServer:
             _idx, _sid, topic, msgs = item
             buckets.setdefault((topic, msgs[0]["partition_key"]), []).append(item)
 
+        # merged producer.frames bodies must stay under the leader's
+        # MaxMessageSize check (_read_body_bytes) — each payload costs
+        # 4 framing bytes + its length on the wire
+        max_body = self.log.config.max_message_size_bytes
+
+        def frames_size(msgs: list[dict]) -> int:
+            return sum(4 + len(m["payload"]) for m in msgs)
+
         def run_bucket(items: list) -> None:
             # merge a run of ts-less frames into one POST; explicit-ts
             # frames route individually (the timestamp rides a query
-            # param, one per request)
+            # param, one per request). The merge closes before the
+            # encoded body would exceed MaxMessageSize: a pipelined
+            # burst whose frames are each under the cap must never be
+            # folded into a POST the leader 400s (the reference routes
+            # per-frame and would succeed).
             i = 0
             while i < len(items):
                 idx, sid, topic, msgs = items[i]
@@ -360,11 +400,17 @@ class BinaryProducerServer:
                     j = i
                     merged: list[dict] = []
                     slots: list[tuple[int, int]] = []
+                    acc = 0
                     while (
                         j < len(items)
                         and items[j][3][0]["timestamp_us"] is None
+                        and (
+                            j == i  # a lone oversized frame routes alone
+                            or acc + frames_size(items[j][3]) < max_body
+                        )
                     ):
                         merged.extend(items[j][3])
+                        acc += frames_size(items[j][3])
                         slots.append((items[j][0], items[j][1]))
                         j += 1
                     ack = self._route_frame(topic, merged, sid)

@@ -1679,18 +1679,34 @@ def test_produce_rejects_oversized_body(server):
     default, config.go:252-254) with the exact 400 text
     (producing/server.go:146-152)."""
     big = "x" * (1024 * 1024 + 1)
-    code, body, _ = _req_raw(
+    code, body, hdrs = _req_raw(
         server, "POST", "/v1/topic/t/messages", body=big,
         headers={"Content-Type": "text/plain"},
     )
     assert code == 400 and b"less than" in body
-    # at the limit still fine
+    # the server drops the connection rather than drain the oversized
+    # body — an HTTP/1.1 client must be TOLD, or its next pipelined
+    # request dies on the half-closed socket
+    assert hdrs.get("Connection") == "close"
+    # at the limit still fine — and for a genuinely keep-alive client
+    # (urllib always sends Connection: close itself) the connection
+    # stays reusable with no close header
+    import http.client
+
     ok = "x" * (1024 * 1024 - 1)
-    code, body, _ = _req_raw(
-        server, "POST", "/v1/topic/t/messages", body=ok,
-        headers={"Content-Type": "text/plain"},
-    )
-    assert code == 200
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        for _ in range(2):  # second request proves actual reuse
+            conn.request(
+                "POST", "/v1/topic/t/messages", body=ok,
+                headers={"Content-Type": "text/plain"},
+            )
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.status == 200
+            assert resp.headers.get("Connection") != "close"
+    finally:
+        conn.close()
 
 
 def test_multi_segment_drain_offsets_contiguous(server):

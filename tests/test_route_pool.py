@@ -121,6 +121,49 @@ def test_pool_retries_stale_socket_on_fresh_dial():
         srv.stop()
 
 
+def test_pool_garbled_response_surfaces_as_route_exhausted():
+    """A peer that answers PARTIAL garbage bytes (half a status line,
+    then close) raises http.client.BadStatusLine — an HTTPException,
+    not an OSError. send() must close the socket and raise it, and
+    post_to_leader must convert it to RouteExhaustedError (possibly
+    post-apply: never re-send, never crash the handler thread)."""
+    from barco_spark.sources.membership import RouteExhaustedError
+
+    lsock = _socket.socket()
+    lsock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(4)
+    port = lsock.getsockname()[1]
+    served = threading.Event()
+
+    def garbage_server():
+        conn, _ = lsock.accept()
+        conn.recv(65536)  # read the request, then answer half a status line
+        conn.sendall(b"HTTP/1.1 20")
+        conn.close()
+        served.set()
+
+    t = threading.Thread(target=garbage_server, daemon=True)
+    t.start()
+
+    class FakeRegistry:
+        def leader_for(self, topic):
+            return "peer", "127.0.0.1", port
+
+    pool = RouteClientPool(timeout=2.0)
+    try:
+        with pytest.raises(RouteExhaustedError, match="BadStatusLine"):
+            pool.post_to_leader(
+                FakeRegistry(), "t", "t", "", b"payload",
+                {"Content-Type": "text/plain"},
+            )
+        assert served.wait(2)  # exactly one request: no duplicate re-send
+        assert not pool._idle  # the garbled socket was not pooled
+    finally:
+        pool.close_all()
+        lsock.close()
+
+
 def test_pool_fresh_dial_failure_surfaces():
     """A dead peer (nothing listening) raises to the caller — no
     silent swallowing when the failure isn't a stale-socket case."""

@@ -128,6 +128,93 @@ def test_binary_fragmented_pipeline_not_torn(served_log):
     ) == ["a", "b"]
 
 
+def test_binary_rejects_oversized_body_declaration(served_log):
+    """A frame header declaring a body over MaxMessageSize must be
+    refused BEFORE the body is read or allocated (the reference bounds
+    body reads with a buffer pool, binary_server.go:193-194). We never
+    send the declared body — if the server tried to read it, this test
+    would hang; instead the error frame must arrive immediately, with
+    the offending frame's stream id, and the connection must close."""
+    import struct
+
+    from barco_spark.sources.wire import MESSAGE_VERSION, PRODUCE_OP, _crc32
+
+    srv, log = served_log
+    cap = log.config.max_message_size_bytes
+    with socket.create_connection(("127.0.0.1", srv.port)) as sock:
+        sock.settimeout(10)
+        sock.sendall(encode_frame(STARTUP_OP, stream_id=1))
+        assert _recv_frame(sock)[:2] == (1, READY_OP)
+        head9 = struct.pack(
+            ">BBHBI", MESSAGE_VERSION, 0, 42, PRODUCE_OP, cap + 1
+        )
+        sock.sendall(head9 + struct.pack(">I", _crc32(head9)))
+        sid, op, body = _recv_frame(sock)
+        assert (sid, op) == (42, ERROR_OP)
+        assert b"exceeds max message size" in body[1:]
+        assert sock.recv(1) == b""  # connection dropped
+
+    # a body exactly AT the cap is fine (boundary: reject is strictly >)
+    with socket.create_connection(("127.0.0.1", srv.port)) as sock:
+        sock.settimeout(30)
+        sock.sendall(encode_frame(STARTUP_OP, stream_id=1))
+        assert _recv_frame(sock)[:2] == (1, READY_OP)
+        frame = encode_produce_frame("tcap", ["x" * (cap // 2)], stream_id=2)
+        assert struct.unpack(">I", frame[5:9])[0] <= cap
+        sock.sendall(frame)
+        assert _recv_frame(sock)[:2] == (2, PRODUCE_RESPONSE_OP)
+
+
+def test_route_frames_merge_respects_max_message_size(spark, tmp_path):
+    """The reroute merge must close a producer.frames batch before its
+    encoded size would exceed the leader's MaxMessageSize check: a
+    pipelined burst of under-cap ts-less frames totalling over 1 MiB
+    must split into multiple POSTs (each under the cap) and every frame
+    still acks OK — the reference routes per-frame and would succeed
+    (binary_server.go:230-247)."""
+    from barco_spark.sources.eventlog import EventLog
+    from barco_spark.sources.tcp_server import BinaryProducerServer
+
+    log = EventLog(spark, str(tmp_path / "log"))
+    srv = BinaryProducerServer(log)  # not started: unit-drive the router
+    cap = log.config.max_message_size_bytes
+    posted: list[int] = []
+
+    def fake_route(topic, msgs, stream_id):
+        body_len = sum(4 + len(m["payload"]) for m in msgs)
+        posted.append(body_len)
+        return encode_frame(PRODUCE_RESPONSE_OP, stream_id)
+
+    srv._route_frame = fake_route
+    # 5 frames x ~300 KiB each, same (topic, key), no timestamps:
+    # unbounded merging would build one ~1.5 MiB body and get 400'd
+    payload = b"y" * (300 * 1024)
+    routed = [
+        (i, 10 + i, "t", [{
+            "topic": "t", "partition_key": "k",
+            "timestamp_us": None, "payload": payload,
+        }])
+        for i in range(5)
+    ]
+    acks: list[bytes] = [b""] * 5
+    srv._route_frames(routed, acks)
+    assert len(posted) >= 2, "over-cap burst was not split"
+    assert all(n <= cap for n in posted), f"a merged POST exceeds cap: {posted}"
+    assert sum(posted) == 5 * (4 + len(payload))  # no message lost or duped
+    for i in range(5):
+        assert parse_header(acks[i])[1:3] == (10 + i, PRODUCE_RESPONSE_OP)
+
+    # a SINGLE frame whose repack exceeds the cap still routes alone
+    # (per-frame parity: the leader's 400 must hit only that frame)
+    big = [{"topic": "t", "partition_key": "k", "timestamp_us": None,
+            "payload": b"z" * (cap + 10)}]
+    posted.clear()
+    acks2 = [b""]
+    srv._route_frames([(0, 99, "t", big)], acks2)
+    assert len(posted) == 1
+    assert parse_header(acks2[0])[1:3] == (99, PRODUCE_RESPONSE_OP)
+
+
 def test_binary_produce_preserves_microsecond_timestamp(served_log):
     """The wire carries integer epoch micros; the stored timestamp must
     round-trip exactly (float division would lose sub-us precision)."""
