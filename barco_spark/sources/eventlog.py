@@ -236,6 +236,30 @@ class EventLog:
                 .withColumnRenamed("_line", "payload")
                 .filter(F.length("payload") > 0)
             )
+        # MaxMessageSize applies to EVERY ingest surface, not just the
+        # HTTP facade (reference default 1 MiB, config.go:252-254; the
+        # knob is EngineConfig.max_message_size_bytes). Enforced
+        # JVM-side inline with the write — a conditional on the payload
+        # column inside whole-stage codegen, NO extra validation job or
+        # scan — checked per record AFTER the ndjson split (the record,
+        # not the request, is this layer's unit). raise_error rides the
+        # written column so column pruning can never elide the check.
+        cap = self.config.max_message_size_bytes
+        df = df.withColumn(
+            "payload",
+            F.when(
+                F.octet_length("payload") > F.lit(cap),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "produce: payload exceeds max message size "
+                            f"({cap} bytes): size="
+                        ),
+                        F.octet_length("payload").cast("string"),
+                    )
+                ).cast("string"),
+            ).otherwise(F.col("payload")),
+        )
         with self._topic_produce_lock(topic):
             if keyless_static:
                 return self._produce_keyless(topic, df)
@@ -317,9 +341,21 @@ class EventLog:
             wm = _high_watermarks(self._data_path, topic)
             rr = sum(wm.values()) % self.buckets  # rotate across windows
             per_bucket: dict[int, list[tuple[str | None, str, object]]] = {}
+            cap = self.config.max_message_size_bytes
+            # fast path: <= cap/4 chars can never exceed cap bytes
+            # (UTF-8 is at most 4 bytes/char), so the hot ack path pays
+            # one integer compare, not an encode, per record
+            cap_chars = cap // 4
             for key, payload, ts in records:
                 if not isinstance(payload, str):
                     raise TypeError("produce: payload must be a string")
+                if len(payload) > cap_chars and len(payload.encode("utf-8")) > cap:
+                    # same MaxMessageSize bound as the Spark produce
+                    # path (reference config.go:252-254)
+                    raise ValueError(
+                        "produce: payload exceeds max message size "
+                        f"({cap} bytes)"
+                    )
                 if key is None or key == "":
                     b = rr
                     rr = (rr + 1) % self.buckets

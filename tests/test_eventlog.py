@@ -344,6 +344,47 @@ def test_produce_rejects_binary_payload_column(spark, tmp_path):
         log.produce("t", df)
 
 
+def test_produce_rejects_oversized_payload_every_surface(spark, tmp_path):
+    """MaxMessageSize (EngineConfig.max_message_size_bytes, reference
+    default 1 MiB per config.go:252-254) must bound EVERY ingest
+    surface, not just the HTTP facade: bulk list produce, DataFrame
+    produce (the streaming foreachBatch path funnels here), and the
+    Spark-free produce_arrow fast path. The check is inline with the
+    write (no extra validation job) and byte-based (octet_length)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from barco_spark.config import EngineConfig
+    from barco_spark.sources.eventlog import EventLog
+
+    # a small cap makes the test cheap; the knob is the config field
+    cfg = EngineConfig(max_message_size_bytes=64)
+    log = EventLog(spark, str(tmp_path / "log"), config=cfg)
+
+    # list produce
+    with pytest.raises(Exception, match="exceeds max message size"):
+        log.produce("t", ["ok", "x" * 65])
+    # DataFrame produce (the streaming ingest shape)
+    df = spark.range(2).select(
+        F.lit("k").alias("partition_key"),
+        F.concat(F.lit("y" * 70), F.col("id").cast("string")).alias("payload"),
+    )
+    with pytest.raises(Exception, match="exceeds max message size"):
+        log.produce("t", df)
+    # byte-based, not char-based: 33 three-byte chars > 64-byte cap
+    with pytest.raises(Exception, match="exceeds max message size"):
+        log.produce("t", ["€" * 33])
+    # Spark-free arrow fast path
+    with pytest.raises(ValueError, match="exceeds max message size"):
+        log.produce_arrow("t", [("k", "z" * 65, None)])
+
+    # nothing landed, and at-cap payloads still write on every surface
+    assert log.produce("t", ["a" * 64]) == 1
+    assert log.produce_arrow("t", [("k", "b" * 64, None)]) == 1
+    rows = spark.read.parquet(str(tmp_path / "log" / "data")).collect()
+    assert sorted(r["payload"][0] for r in rows) == ["a", "b"]
+
+
 def test_compact_offsets_bounds_files_and_preserves_positions(spark, tmp_path):
     """A long-lived group appends one small parquet file per commit;
     compact_offsets() must fold the log to its latest row per
