@@ -237,6 +237,27 @@ def _band_candidates(sig: DataFrame, bucket_cap: int | None) -> DataFrame:
     )
 
 
+def _verify_join_parts(spark: SparkSession, sf_dir: str) -> int:
+    """Partition count for the corpus-sided SHUFFLE_HASH verify joins.
+
+    An SHJ build side must fit per-task execution memory, and at a
+    FIXED partition count any per-partition build eventually outgrows
+    it as the corpus grows — found empirically (r9 scale study):
+    500k docs / 32 partitions built fine, 1M / 32 failed with "Can't
+    acquire 67108864 bytes memory to build hash relation" on
+    local[32]. Bound the build at ~16k shingle-array rows per
+    partition (half the measured-good 500k/32 density) and never go
+    below the session's shuffle parallelism, so small corpora keep
+    their plans byte-identical while large ones scale the exchange
+    width with the data — exactly what a cluster operator does by
+    raising spark.sql.shuffle.partitions with input size. The doc
+    count is a parquet-footer read (metadata-cheap, the
+    dsir/dedup_clusters adaptive-plan pattern)."""
+    n_docs = t(spark, sf_dir, "documents").count()
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(base, -(-n_docs // 16_000))
+
+
 def _lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -266,8 +287,16 @@ def _lsh_pairs(
 
     cand = _band_candidates(sig, bucket_cap)
 
-    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # scale the verify join's exchange width with the corpus so the
+    # per-partition SHJ build stays bounded (see _verify_join_parts;
+    # identical plan at bench SFs where n_parts == shuffle.partitions)
+    n_parts = _verify_join_parts(spark, sf_dir)
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    ).repartition(n_parts, "doc_a")
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    ).repartition(n_parts, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     # The verify-join sides are CORPUS-sized (one shingle-array row per
     # doc) and must never be broadcast: Catalyst's static estimate is
@@ -850,8 +879,14 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("prefix")
     )
-    x = p.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
-    y = p.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    # corpus-scaled exchange width, same SHJ-build bound as _lsh_pairs
+    n_parts = _verify_join_parts(spark, sf_dir)
+    x = p.select(
+        F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
+    ).repartition(n_parts, "doc_a")
+    y = p.select(
+        F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
+    ).repartition(n_parts, "doc_b")
     dist = F.levenshtein(F.col("pa"), F.col("pb"), _FUZZY_MAX_DIST)
     return (
         # text-prefix payload, corpus-sized sides: never broadcast

@@ -163,6 +163,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   MEMORY_AND_DISK or accept the recompute.
     docs = t(spark, sf_dir, "documents")
     qlog = lambda c: F.floor(F.log2(c + F.lit(1))).cast("bigint")  # noqa: E731
+    fbd = None
     if docs.count() < 20_000:
         fb = _feats(docs)
         sc = (
@@ -212,7 +213,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     avg = F.col("weight_q").cast("double") / F.col("n_feats")
     win = Window.orderBy(avg, "doc_id")
-    return doc.select(
+    out = doc.select(
         "doc_id",
         "lang",
         "n_feats",
@@ -220,6 +221,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_logratio"),
         F.percent_rank().over(win).alias("pct"),
     ).withColumn("kept", F.col("pct") >= F.lit(1 - KEEP_TOP))
+    if fbd is not None:
+        # pagerank/_kcore_peel cache discipline (r8): checkpoint the
+        # doc-level result (7 narrow columns — pagerank's "node-sized"
+        # class) and release the WIDER per-(doc, bucket) counts cache
+        # at the call boundary instead of leaking it for the session
+        # (r9 scale study: 1 persisted RDD after every call at 500k-1M)
+        out = out.localCheckpoint()
+        fbd.unpersist()
+    return out
 
 
 @register(

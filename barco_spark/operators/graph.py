@@ -459,7 +459,49 @@ def _kcore_peel(
 
 @register(
     "graph_kcore_converged",
-    None,  # iterative fixpoint: rows-only check (like pagerank's loop)
+    # ORACLE-PAIRED since r9: the fixpoint is a well-defined function
+    # of the graph (the maximal subgraph with min degree >= K),
+    # independent of peel order — so a DuckDB RECURSIVE CTE computes
+    # the TRUE fixpoint. The peel is monotone-shrinking, so UNION ALL
+    # recursion terminates; degrees need only ONE working-table
+    # reference because the edge list is symmetric (degree(v) =
+    # COUNT(*) OVER (PARTITION BY src) and, by symmetry, the dst
+    # partition gives the neighbor's degree); each level carries its
+    # edge count so the recursive term can stop when a round removes
+    # nothing. The final select applies ONE extra peel round to the
+    # last emitted level: recursion also stops when a round empties
+    # the graph (zero rows emitted), and in that case the extra round
+    # turns the last non-empty level into the true (empty) fixpoint —
+    # while at a genuine fixpoint it is the identity.
+    f"""
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
+    e0 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    peel AS (
+      SELECT src, dst, (SELECT COUNT(*) FROM e0) AS n FROM e0
+      UNION ALL
+      SELECT src, dst, new_n FROM (
+        SELECT src, dst, COUNT(*) OVER () AS new_n, n AS old_n
+        FROM (
+          SELECT src, dst, n,
+                 COUNT(*) OVER (PARTITION BY src) AS ds,
+                 COUNT(*) OVER (PARTITION BY dst) AS dd
+          FROM peel) t
+        WHERE ds >= {KCORE_K} AND dd >= {KCORE_K}) s
+      WHERE new_n < old_n),
+    last AS (
+      SELECT src, dst FROM peel WHERE n = (SELECT MIN(n) FROM peel)),
+    fixpt AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               COUNT(*) OVER (PARTITION BY src) AS ds,
+               COUNT(*) OVER (PARTITION BY dst) AS dd
+        FROM last) t WHERE ds >= {KCORE_K} AND dd >= {KCORE_K})
+    SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM fixpt GROUP BY src ORDER BY core_degree DESC, doc_id
+    """,
     "similarity",
     doc=(
         f"{KCORE_K}-core peel of the near-duplicate graph run to "
@@ -471,8 +513,11 @@ def _kcore_peel(
         "two semi-joins on the banding-bounded pair graph), same "
         "localCheckpoint lineage cut per round, previous-round blocks "
         "freed as soon as the next round materializes so live storage "
-        "is ONE round's edge list. No SQL oracle (data-dependent "
-        "round count); tests/test_graph.py proves it equals the "
+        "is ONE round's edge list. ORACLE-PAIRED since r9 despite the "
+        "data-dependent round count: the fixpoint is peel-order-"
+        "independent, so a DuckDB RECURSIVE CTE (monotone-shrinking, "
+        "terminates under UNION ALL) re-derives it exactly; "
+        "tests/test_graph.py additionally proves it equals the "
         "unrolled graph_kcore whenever the fixpoint is reached within "
         f"{KCORE_ROUNDS} rounds, and rounds-run is bounded by the "
         "longest peel chain, not corpus size."

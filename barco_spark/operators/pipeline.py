@@ -597,7 +597,7 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_input"))
     z = F.lit(0)
-    return base.join(agg1, "source", "left").select(
+    out = base.join(agg1, "source", "left").select(
         "source",
         "n_input",
         (F.col("n_input") - F.coalesce(F.col("n_kept_docs"), z)).alias(
@@ -617,3 +617,11 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_tokens"
         ),
     )
+    # the pagerank/_kcore_peel cache discipline (r8): the result is
+    # per-source (a handful of rows) — materialize it eagerly so the
+    # REWRITTEN-CORPUS-sized rw cache is released at the call boundary
+    # instead of leaking for the session lifetime (r9 scale study:
+    # 1 corpus-sized persisted RDD after every call at 50k-1M docs)
+    out = out.localCheckpoint()
+    rw.unpersist()
+    return out

@@ -1142,6 +1142,141 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label_a", "label_b")
 
 
+HARD_NEG_J = 3  # hard negatives mined per anchor
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+             WHERE vec_id % (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM e) = 0),
+    cscore AS (
+      SELECT e.vec_id, e.label, e.v, centroid_id,
+             {_cos_sql_fwd('e.v', 'centv')} AS cos
+      FROM e CROSS JOIN cent),
+    assigned AS (
+      SELECT vec_id, label, v, centroid_id AS cell FROM (
+        SELECT vec_id, label, v, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id) AS rn
+        FROM cscore) WHERE rn = 1),
+    scored AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+             a.label AS anchor_label, b.label AS negative_label,
+             {_cos_sql_fwd('a.v', 'b.v')} AS cosine_sim
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       AND a.label <> b.label),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine_sim DESC, negative_id)
+                  AS rank
+      FROM scored)
+    SELECT anchor_id, negative_id, anchor_label, negative_label,
+           cosine_sim, rank
+    FROM ranked WHERE rank <= {HARD_NEG_J}
+    """,
+    "similarity",
+    doc=(
+        "Hard-negative mining for contrastive training: per anchor, "
+        f"the top-{HARD_NEG_J} most-similar vectors with a DIFFERENT "
+        "label — the pairs a contrastive or reranker objective learns "
+        "most from (in-batch random negatives are mostly easy). "
+        "Candidates come from the anchor's IVF cell (the SemDeDup "
+        "blocking: deterministic stride-sampled sqrt(N) centroids, "
+        "max-cosine assignment), so the pair stage is one "
+        "co-partitioned self-join on the cell key — never all-pairs — "
+        "and the per-anchor ranking window runs on cell-bounded "
+        "candidate lists. Same sequential-fold cosine arithmetic as "
+        "dedup_embedding_cosine, so scores match the oracle "
+        "bit-for-bit; ties break on candidate id in both engines. At "
+        "100 TB cell assignment happens at ingest and this is a "
+        "co-partitioned join + window, the exact shape shipped here."
+    ),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("n2", norm2("v"))
+    )
+    n = e.count()  # parquet-metadata count; oracle's scalar subquery
+    stride = max(1, math.ceil(math.sqrt(n)))
+    cent = e.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("centv"),
+        F.col("n2").alias("n2cent"),
+    )
+    assigned = (
+        e.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "n2",
+            "centroid_id",
+            (dot("v", "centv") / F.sqrt(F.col("n2") * F.col("n2cent"))).alias(
+                "cos"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.any_value("v").alias("v"),
+            F.any_value("n2").alias("n2"),
+            F.max_by(
+                "centroid_id", F.struct(F.col("cos"), -F.col("centroid_id"))
+            ).alias("cell"),
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("n2a"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("n2b"),
+        "cell",
+    )
+    scored = (
+        # corpus-sized embedding relations: SHUFFLE_HASH, never a
+        # size-estimate broadcast (see _cell_blocked_pairs)
+        a.join(b.hint("shuffle_hash"), "cell")
+        .filter(
+            (F.col("anchor_id") != F.col("negative_id"))
+            & (F.col("anchor_label") != F.col("negative_label"))
+        )
+        .select(
+            "anchor_id",
+            "negative_id",
+            "anchor_label",
+            "negative_label",
+            (dot("va", "vb") / F.sqrt(F.col("n2a") * F.col("n2b"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), "negative_id"
+    )
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= HARD_NEG_J)
+
+
 @register(
     "embedding_outlier_report",
     """

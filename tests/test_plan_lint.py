@@ -36,6 +36,9 @@ BNLJ_OK = {
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_baseline",
     "semdedup_prune",
+    # same deliberate sqrt(N)-centroid broadcast cross for cell
+    # assignment (the pair stage itself is a hinted SHJ on cell)
+    "hard_negative_mining",
     # scalar subquery threshold (one row) against the group sums
     "q11_important_parts",
     # probe-cell resolution over the tiny centroid table (sqrt(N) rows)
