@@ -643,6 +643,106 @@ def ann_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECALL_K = 3  # recall@k depth (the IVF twin's result depth)
+
+
+@register(
+    "ann_recall_report",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= {N_QUERY}),
+    ex_scored AS (
+      SELECT query_id, cand_id, {_cos_sql('qv', 'cv')} AS s
+      FROM q CROSS JOIN c),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, cand_id) AS r
+        FROM ex_scored) WHERE r <= {RECALL_K}),
+    cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e
+             WHERE vec_id >= {N_QUERY}
+               AND (vec_id - {N_QUERY}) % (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)
+                                           FROM e WHERE vec_id >= {N_QUERY}) = 0),
+    cscore AS (
+      SELECT cand_id, cv, centroid_id, {_cos_sql('cv', 'centv')} AS cos
+      FROM c CROSS JOIN cent),
+    assigned AS (
+      SELECT cand_id, cv, centroid_id AS cell FROM (
+        SELECT cand_id, cv, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY cand_id
+                                  ORDER BY cos DESC, centroid_id) AS rn
+        FROM cscore) WHERE rn = 1),
+    qscore AS (
+      SELECT query_id, qv, centroid_id, {_cos_sql('qv', 'centv')} AS cos
+      FROM q CROSS JOIN cent),
+    probes AS (
+      SELECT query_id, qv, centroid_id AS cell,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, centroid_id) AS pr
+      FROM qscore),
+    ivf_scored AS (
+      SELECT query_id, cand_id, {_cos_sql('qv', 'cv')} AS cosine_sim
+      FROM probes JOIN assigned USING (cell)
+      WHERE pr <= {NPROBE}),
+    ivf AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, cand_id) AS rank
+        FROM ivf_scored) WHERE rank <= {RECALL_K})
+    SELECT x.query_id,
+           CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / {RECALL_K} AS recall
+    FROM exact x LEFT JOIN ivf i USING (query_id, cand_id)
+    GROUP BY x.query_id ORDER BY query_id
+    """,
+    "similarity",
+    doc=(
+        f"ANN quality evaluation: recall@{RECALL_K} of the IVF probe "
+        "path against the exact brute-force ranking, per query — the "
+        "acceptance gate every approximate-index deployment runs "
+        "before flipping traffic (FAISS-style recall sweep, one row "
+        "per query vector). Composes the two proven twins: exact "
+        "top-k (ann_cosine_topk's broadcast scoring) and the IVF "
+        f"probe search (ann_ivf_search_exact: sqrt(N) stride "
+        f"centroids, {NPROBE}-cell probes); the recall arithmetic "
+        "after them is pure integer counting on the id sets, so the "
+        "pairing inherits the twins' bit-exactness. At 100 TB the "
+        "exact side runs over a fixed eval sample (queries are "
+        "always a tiny labeled set), which is precisely this shape."
+    ),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", "cand_id")
+    )
+    ivf = (
+        ann_ivf_search_exact(spark, sf_dir)
+        .filter(F.col("rank") <= RECALL_K)
+        .select("query_id", "cand_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        exact.join(F.broadcast(ivf), ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.lit(RECALL_K)
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 @register(
     "ann_ivf_search",
     None,  # numpy summation order differs from the sequential fold =>

@@ -96,6 +96,8 @@ HEADLINE = [
     "events_hopping_window",
     "events_twap",
     "variant_shred_stats",
+    "hard_negative_mining",
+    "ann_recall_report",
 ]
 
 

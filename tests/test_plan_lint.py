@@ -30,6 +30,8 @@ BNLJ_OK = {
     # N_QUERY (5) query vectors broadcast against the corpus
     "ann_cosine_topk",
     "ann_ivf_search_exact",
+    # composes both of the above (exact + IVF twins) for recall@k
+    "ann_recall_report",
     # one-row total-token table broadcast into the scored pairs
     "bigram_lift_top",
     # theta join (vec_a < vec_b) over the broadcast cell/centroid side
