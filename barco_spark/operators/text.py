@@ -18,7 +18,7 @@ JVM higher-order functions inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from barco_spark.registry import register
@@ -268,6 +268,116 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_docs"),
         )
+    )
+
+
+SPAN_RATE_MOD = 20  # 1 in 20 token positions starts a corruption span
+SPAN_MAX = 5  # span length 1..SPAN_MAX (mean 3, the T5 default)
+
+
+@register(
+    "span_corruption_stats",
+    f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+               FROM documents),
+    pos AS (
+      SELECT doc_id, source, t.i AS pos,
+             {h28_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)")} AS hv
+      FROM w, unnest(range(1, len(words) + 1)) AS t(i)),
+    spans AS (
+      SELECT doc_id, source, pos,
+             CASE WHEN hv % {SPAN_RATE_MOD} = 0 THEN 1 ELSE 0 END AS is_start,
+             CASE WHEN hv % {SPAN_RATE_MOD} = 0
+                  THEN pos + ((hv // {SPAN_RATE_MOD}) % {SPAN_MAX}) END AS cover_end
+      FROM pos),
+    masked AS (
+      SELECT doc_id, source, is_start,
+             CASE WHEN MAX(cover_end) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN {SPAN_MAX - 1} PRECEDING AND CURRENT ROW)
+                  >= pos THEN 1 ELSE 0 END AS is_masked
+      FROM spans)
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS total_tokens,
+           CAST(SUM(is_start) AS BIGINT) AS n_spans,
+           CAST(SUM(is_masked) AS BIGINT) AS masked_tokens,
+           CAST(SUM(is_masked) AS DOUBLE) / COUNT(*) AS mask_pct
+    FROM masked
+    GROUP BY source ORDER BY source
+    """,
+    "text",
+    doc=(
+        "T5/UL2-style span-corruption preprocessing stats: every token "
+        f"position deterministically starts a span with probability "
+        f"1/{SPAN_RATE_MOD} (28-bit md5 of doc_id:pos — reproducible "
+        f"across runs and engines, no RNG), spans run 1..{SPAN_MAX} "
+        "tokens (mean 3, the T5 default), overlaps union. Per-source "
+        "readout: span count, masked-token count and the realized mask "
+        "ratio — the knob check before launching a denoising-objective "
+        "pretrain. The coverage test is a bounded window (a span "
+        f"reaches at most {SPAN_MAX - 1} positions forward, so "
+        "masked(p) = max cover-end over the last "
+        f"{SPAN_MAX} rows >= p), keeping the whole query one explode + "
+        "one window + one aggregation — shuffle volume is token "
+        "positions, integer-exact end to end."
+    ),
+)
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", words_col().alias("words")
+    )
+    pos = d.select(
+        "doc_id", "source", F.posexplode("words").alias("pos0", "tok")
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based like the oracle's range()
+    )
+    hv = h28(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("pos").cast("string"),
+        )
+    )
+    is_start = (hv % SPAN_RATE_MOD == 0).cast("int")
+    cover_end = F.when(
+        hv % SPAN_RATE_MOD == 0,
+        F.col("pos") + (F.floor(hv / SPAN_RATE_MOD) % SPAN_MAX),
+    )
+    spans = pos.select(
+        "doc_id",
+        "source",
+        "pos",
+        is_start.alias("is_start"),
+        cover_end.alias("cover_end"),
+    )
+    wnd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(SPAN_MAX - 1), 0)
+    )
+    masked = spans.select(
+        "doc_id",
+        "source",
+        "is_start",
+        (F.max("cover_end").over(wnd) >= F.col("pos"))
+        .cast("int")
+        .alias("is_masked"),
+    )
+    return (
+        masked.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum("is_start").cast("bigint").alias("n_spans"),
+            F.sum("is_masked").cast("bigint").alias("masked_tokens"),
+            (
+                F.sum("is_masked").cast("double") / F.count(F.lit(1))
+            ).alias("mask_pct"),
+        )
+        .orderBy("source")
     )
 
 

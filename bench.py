@@ -98,6 +98,7 @@ HEADLINE = [
     "variant_shred_stats",
     "hard_negative_mining",
     "ann_recall_report",
+    "span_corruption_stats",
 ]
 
 
