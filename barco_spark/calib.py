@@ -36,7 +36,7 @@ def idle_reference(repo_dir: str, sf: float | str) -> dict | None:
         sf_num = float(sf)
     except (TypeError, ValueError):
         return None
-    best_n, best_path = -1, None
+    best_n, best_rec = -1, None
     for path in glob.glob(os.path.join(repo_dir, "BENCH_LOCAL_r*.json")):
         m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", path)
         if not m or int(m.group(1)) <= best_n:
@@ -44,22 +44,27 @@ def idle_reference(repo_dir: str, sf: float | str) -> dict | None:
         try:
             with open(path) as f:
                 rec = json.load(f)
-        except (OSError, json.JSONDecodeError):
+            rec_sf = float(rec.get("sf"))
+        except (OSError, json.JSONDecodeError, TypeError, ValueError):
+            continue  # unreadable or non-numeric sf: never crash a
+            # bench run after its queries already ran
+        if rec_sf != sf_num or not rec.get("calib_shuffle_sec"):
+            # a record without the shuffle probe (pre-r8 captures)
+            # cannot define the band — keep looking at older rounds
             continue
-        if float(rec.get("sf") or -1) == sf_num:
-            best_n, best_path = int(m.group(1)), path
-    if best_path is not None:
-        with open(best_path) as f:
-            rec = json.load(f)
-        rec["_path"] = os.path.basename(best_path)
-        return rec
+        best_n, best_rec = int(m.group(1)), rec
+        best_rec["_path"] = os.path.basename(path)
+    if best_rec is not None:
+        return best_rec
     if sf_num == 0.01:
         pin = os.path.join(repo_dir, "BENCH_PIN_sf0.01.json")
-        if os.path.exists(pin):
+        try:
             with open(pin) as f:
                 rec = json.load(f)
-            rec["_path"] = os.path.basename(pin)
-            return rec
+        except (OSError, json.JSONDecodeError):
+            return None
+        rec["_path"] = os.path.basename(pin)
+        return rec
     return None
 
 

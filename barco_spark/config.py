@@ -27,6 +27,12 @@ class EngineConfig:
 
     # Write path (internal/conf/config.go:252-258, 286-289, 320-330)
     max_message_size_bytes: int = 1024 * 1024          # per-request body cap
+    # Binary produce frames are bounded by the reference's shared buffer
+    # pool, NOT by MaxMessageSize (bufferPool.Get(BodyLength) can never
+    # serve more than the whole pool; config.go:69
+    # defaultProducerBufferPoolSize = 32 * MiB) — a multi-message frame
+    # over 1 MiB total is legal on the wire and must stay legal here.
+    producer_buffer_pool_bytes: int = 32 * 1024 * 1024
     max_group_size_bytes: int = 2 * 1024 * 1024        # coalescer group
     segment_buffer_bytes: int = 8 * 1024 * 1024        # aligned write buffer
     max_segment_bytes: int = 1024 * 1024 * 1024        # segment roll size

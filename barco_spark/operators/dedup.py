@@ -253,9 +253,26 @@ def _verify_join_parts(spark: SparkSession, sf_dir: str) -> int:
     raising spark.sql.shuffle.partitions with input size. The doc
     count is a parquet-footer read (metadata-cheap, the
     dsir/dedup_clusters adaptive-plan pattern)."""
-    n_docs = t(spark, sf_dir, "documents").count()
+    n_docs = _corpus_count(spark, sf_dir)
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return max(base, -(-n_docs // 16_000))
+
+
+# (sf_dir -> documents row count): the count is a parquet-footer read,
+# but still one Spark job's scheduling round trip per call — and every
+# query in the dedup/graph family calls _verify_join_parts. A dataset
+# path's count is constant for a session (test corpora are immutable;
+# scale-study corpora live in unique temp dirs), so cache it — the
+# same discipline as the shared signature cache.
+_CORPUS_COUNT_CACHE: dict[str, int] = {}
+
+
+def _corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    n = _CORPUS_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = t(spark, sf_dir, "documents").count()
+        _CORPUS_COUNT_CACHE[sf_dir] = n
+    return n
 
 
 def _lsh_pairs(

@@ -69,16 +69,19 @@ from barco_spark.sources.wire import (
 
 
 class FrameTooLargeError(ValueError):
-    """A frame header declared a body larger than MaxMessageSize.
+    """A frame header declared a body larger than the producer buffer
+    pool (the reference's bound for binary frames: bufferPool.Get can
+    never serve more than the whole 32 MiB pool, binary_server.go:
+    193-194 + config.go:69; HTTP bodies have the separate 1 MiB
+    MaxMessageSize check, producing/server.go:146-152).
 
-    Raised BEFORE any body allocation — the wire-supplied u32 length is
-    untrusted (the reference bounds it with a 32 MiB buffer pool,
-    binary_server.go:193-194; the HTTP facade bounds it with the 1 MiB
-    MaxMessageSize check, producing/server.go:146-152)."""
+    Raised BEFORE any body allocation — the wire-supplied u32 length
+    is untrusted."""
 
     def __init__(self, stream_id: int, body_len: int, max_len: int) -> None:
         super().__init__(
-            f"message size {body_len} exceeds max message size ({max_len})"
+            f"frame body size {body_len} exceeds the producer buffer "
+            f"pool ({max_len})"
         )
         self.stream_id = stream_id
 
@@ -187,14 +190,17 @@ class BinaryProducerServer:
             if head is None:
                 return None
         flags, stream_id, op, body_len = parse_header(head)
-        max_len = self.log.config.max_message_size_bytes
+        max_len = self.log.config.producer_buffer_pool_bytes
         if body_len > max_len:
             # never allocate a wire-declared length unbounded: the
             # reference reads bodies into a bounded buffer pool
             # (bufferPool.Get(BodyLength), binary_server.go:193-194 +
-            # pooling/buffer_pool.go) so a hostile u32 backpressures
-            # instead of allocating. Mirror the HTTP facade's
-            # MaxMessageSize rejection and drop the connection.
+            # pooling/buffer_pool.go) that can never serve more than
+            # its whole 32 MiB (config.go:69), so a hostile u32
+            # backpressures instead of allocating. The bound is the
+            # POOL size, not MaxMessageSize: a multi-message frame over
+            # 1 MiB total (or one at-cap message plus key/topic/framing
+            # overhead) is legal on the wire and stays legal here.
             raise FrameTooLargeError(stream_id, body_len, max_len)
         body = _recv_exact(sock, body_len) if body_len else b""
         if body is None:
@@ -238,7 +244,18 @@ class BinaryProducerServer:
                 group = [(flags, stream_id, body)]
                 n_frames = 0
                 while n_frames < self.max_group_frames:
-                    nxt = self._read_frame(sock, peek=True)
+                    try:
+                        nxt = self._read_frame(sock, peek=True)
+                    except (ValueError, struct.error, IndexError):
+                        # a bad/oversized NEXT frame must not discard
+                        # the valid frames already buffered: the
+                        # reference handles each produce message
+                        # independently, so flush (write + ack) the
+                        # group FIRST, then let the outer handler error
+                        # the offending frame and drop the connection
+                        self._flush_group(sock, group)
+                        group = []
+                        raise
                     if nxt is None:
                         break
                     nflags, nstream, nop, nbody = nxt
@@ -352,7 +369,19 @@ class BinaryProducerServer:
                 df = self.log.spark.createDataFrame(
                     rows, "partition_key string, payload string, timestamp timestamp"
                 ).withColumn("timestamp", F.col("timestamp"))
-                self.log.produce(topic, df)
+                try:
+                    self.log.produce(topic, df)
+                except Exception as ex:  # noqa: BLE001
+                    # a produce-side validation/write failure (e.g. the
+                    # EventLog-layer MaxMessageSize record cap — the
+                    # wire legally carries frames the log layer
+                    # refuses) must error-ack THIS topic's frames with
+                    # the real text, not kill the handler thread and
+                    # drop every ack in the group
+                    msg = str(ex).splitlines()[0][:200] if str(ex) else repr(ex)
+                    for idx, sid in topic_acks.get(topic, ()):
+                        acks[idx] = encode_error_frame(sid, msg)
+                    continue
         sock.sendall(b"".join(acks))
 
     def _route_frames(

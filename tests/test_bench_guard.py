@@ -159,6 +159,16 @@ def test_idle_reference_picks_newest_matching_sf(tmp_path):
     ref = idle_reference(str(tmp_path), 0.1)
     assert ref["_path"] == "BENCH_LOCAL_r08.json"
     assert ref["calib_shuffle_sec"] == 0.36
+    # a newer record WITHOUT the shuffle probe (pre-r8 capture shape)
+    # cannot define the band — fall back to the newest one that can
+    (tmp_path / "BENCH_LOCAL_r09.json").write_text(json.dumps({"sf": 0.1}))
+    ref = idle_reference(str(tmp_path), 0.1)
+    assert ref["_path"] == "BENCH_LOCAL_r08.json"
+    # a record with a non-numeric sf must be skipped, never crash
+    (tmp_path / "BENCH_LOCAL_r10.json").write_text(
+        json.dumps({"sf": "0.1-retry", "calib_shuffle_sec": 0.5})
+    )
+    assert idle_reference(str(tmp_path), 0.1)["_path"] == "BENCH_LOCAL_r08.json"
     # sf0.01 has no BENCH_LOCAL record here -> falls back to the pin
     ref = idle_reference(str(tmp_path), 0.01)
     assert ref["_path"] == "BENCH_PIN_sf0.01.json"

@@ -129,40 +129,98 @@ def test_binary_fragmented_pipeline_not_torn(served_log):
 
 
 def test_binary_rejects_oversized_body_declaration(served_log):
-    """A frame header declaring a body over MaxMessageSize must be
-    refused BEFORE the body is read or allocated (the reference bounds
-    body reads with a buffer pool, binary_server.go:193-194). We never
-    send the declared body — if the server tried to read it, this test
-    would hang; instead the error frame must arrive immediately, with
-    the offending frame's stream id, and the connection must close."""
+    """A frame header declaring a body over the PRODUCER BUFFER POOL
+    bound (the reference's binary-path limit: bufferPool.Get can never
+    serve more than the whole 32 MiB pool, binary_server.go:193-194 +
+    config.go:69) must be refused BEFORE the body is read or allocated.
+    We never send the declared body — if the server tried to read it,
+    this test would hang; instead the error frame must arrive
+    immediately, with the offending frame's stream id, and the
+    connection must close. MaxMessageSize does NOT bound wire frames:
+    a multi-message frame over 1 MiB total is legal (the reference has
+    no size check on the binary path) and must produce fine."""
     import struct
 
     from barco_spark.sources.wire import MESSAGE_VERSION, PRODUCE_OP, _crc32
 
     srv, log = served_log
-    cap = log.config.max_message_size_bytes
+    pool = log.config.producer_buffer_pool_bytes
     with socket.create_connection(("127.0.0.1", srv.port)) as sock:
         sock.settimeout(10)
         sock.sendall(encode_frame(STARTUP_OP, stream_id=1))
         assert _recv_frame(sock)[:2] == (1, READY_OP)
         head9 = struct.pack(
-            ">BBHBI", MESSAGE_VERSION, 0, 42, PRODUCE_OP, cap + 1
+            ">BBHBI", MESSAGE_VERSION, 0, 42, PRODUCE_OP, pool + 1
         )
         sock.sendall(head9 + struct.pack(">I", _crc32(head9)))
         sid, op, body = _recv_frame(sock)
         assert (sid, op) == (42, ERROR_OP)
-        assert b"exceeds max message size" in body[1:]
+        assert b"exceeds the producer buffer pool" in body[1:]
         assert sock.recv(1) == b""  # connection dropped
 
-    # a body exactly AT the cap is fine (boundary: reject is strictly >)
+    # a multi-message frame whose TOTAL body exceeds MaxMessageSize but
+    # whose records are each under it is legal on the wire and writes
+    msg_cap = log.config.max_message_size_bytes
+    payloads = ["y" * (msg_cap // 8)] * 20  # ~2.5 MiB body, 128 KiB records
     with socket.create_connection(("127.0.0.1", srv.port)) as sock:
-        sock.settimeout(30)
+        sock.settimeout(120)
         sock.sendall(encode_frame(STARTUP_OP, stream_id=1))
         assert _recv_frame(sock)[:2] == (1, READY_OP)
-        frame = encode_produce_frame("tcap", ["x" * (cap // 2)], stream_id=2)
-        assert struct.unpack(">I", frame[5:9])[0] <= cap
+        frame = encode_produce_frame("tbig", payloads, partition_key="k",
+                                     stream_id=2)
+        assert struct.unpack(">I", frame[5:9])[0] > msg_cap
         sock.sendall(frame)
         assert _recv_frame(sock)[:2] == (2, PRODUCE_RESPONSE_OP)
+
+        # but a single RECORD over MaxMessageSize fails at the log
+        # layer and must error-ack THIS frame (real text relayed), not
+        # kill the handler thread — the connection stays usable
+        sock.sendall(encode_produce_frame(
+            "tbig", ["z" * (msg_cap + 1)], partition_key="k", stream_id=3))
+        sid, op, body = _recv_frame(sock)
+        assert (sid, op) == (3, ERROR_OP)
+        assert b"max message size" in body[1:]
+        sock.sendall(encode_frame(HEARTBEAT_OP, stream_id=4))
+        assert _recv_frame(sock)[:2] == (4, READY_OP)
+    log.register("g", ["tbig"], reset="earliest")
+    got = log.poll("g", "tbig", max_records_per_bucket=100).collect()
+    assert len(got) == 20  # the legal multi-message frame landed intact
+
+
+def test_binary_oversized_peek_flushes_buffered_group(served_log):
+    """An oversized-declared frame arriving MID-PIPELINE must not
+    discard the valid frames already buffered in the coalesce group:
+    the reference handles each produce message independently, so the
+    group flushes (write + ack) first, THEN the offending frame gets
+    its error and the connection drops."""
+    import struct
+    import time
+
+    from barco_spark.sources.wire import MESSAGE_VERSION, PRODUCE_OP, _crc32
+
+    srv, log = served_log
+    pool = log.config.producer_buffer_pool_bytes
+    bad_head = struct.pack(">BBHBI", MESSAGE_VERSION, 0, 8, PRODUCE_OP, pool + 1)
+    bad = bad_head + struct.pack(">I", _crc32(bad_head))
+    with socket.create_connection(("127.0.0.1", srv.port)) as sock:
+        sock.settimeout(60)
+        sock.sendall(encode_frame(STARTUP_OP, stream_id=1))
+        assert _recv_frame(sock)[:2] == (1, READY_OP)
+        # valid frame + oversized header in ONE burst so the peek path
+        # (not the blocking read) hits the oversized declaration
+        sock.sendall(
+            encode_produce_frame("tg", ["ok"], partition_key="k", stream_id=7)
+            + bad
+        )
+        time.sleep(0.05)
+        first = _recv_frame(sock)
+        second = _recv_frame(sock)
+        assert first[:2] == (7, PRODUCE_RESPONSE_OP)  # flushed, acked
+        assert second[:2] == (8, ERROR_OP)
+        assert sock.recv(1) == b""  # then the connection drops
+    log.register("g", ["tg"], reset="earliest")
+    assert [r["payload"] for r in
+            log.poll("g", "tg", max_records_per_bucket=10).collect()] == ["ok"]
 
 
 def test_route_frames_merge_respects_max_message_size(spark, tmp_path):
