@@ -60,6 +60,28 @@ def _cos_sql_fwd(a: str, b: str) -> str:
     )
 
 
+# (sf_dir, corpus_only) -> embeddings row count. Stride/nlist sizing
+# needs the count before planning; it is a parquet-footer read but
+# still one Spark job's scheduling round trip, and the whole
+# ANN/embedding-dedup family pays it per query. A dataset path's count
+# is constant for a session (test corpora immutable, scale-study
+# corpora in unique temp dirs) — same discipline as dedup's
+# _corpus_count.
+_EMB_COUNT_CACHE: dict[tuple[str, bool], int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str, corpus_only: bool = False) -> int:
+    key = (sf_dir, corpus_only)
+    n = _EMB_COUNT_CACHE.get(key)
+    if n is None:
+        e = t(spark, sf_dir, "embeddings")
+        if corpus_only:
+            e = e.filter(F.col("vec_id") >= N_QUERY)
+        n = e.count()
+        _EMB_COUNT_CACHE[key] = n
+    return n
+
+
 @register(
     "ann_cosine_topk",
     f"""
@@ -224,7 +246,7 @@ def _cell_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     e = e.withColumn("n2", norm2("v"))
-    n = e.count()  # parquet-metadata count; oracle's scalar subquery
+    n = _emb_count(spark, sf_dir)  # cached parquet-metadata count
     stride = max(1, math.ceil(math.sqrt(n)))
     cent = e.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"),
@@ -571,7 +593,7 @@ def ann_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical integer with a scalar subquery.
     import math
 
-    n_corpus = c.count()
+    n_corpus = _emb_count(spark, sf_dir, corpus_only=True)
     stride = max(1, math.ceil(math.sqrt(n_corpus)))
     cent = e.filter(
         (F.col("vec_id") >= N_QUERY)
@@ -772,7 +794,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     c = e.filter(F.col("vec_id") >= N_QUERY)
-    n_corpus = c.count()
+    n_corpus = _emb_count(spark, sf_dir, corpus_only=True)
     stride = max(1, math.ceil(math.sqrt(n_corpus)))
 
     # centroid table and query set are tiny (sqrt(N) and N_QUERY rows):
@@ -1058,7 +1080,7 @@ def dedup_embedding_vectorized(
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = e.count()
+    n = _emb_count(spark, sf_dir)
     stride = max(1, math.ceil(math.sqrt(n)))
     cent_rows = e.filter(F.col("vec_id") % stride == 0).collect()
     # ascending ids => np.argmax's first-index tie-break == the fold
@@ -1308,7 +1330,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n2", norm2("v"))
     )
-    n = e.count()  # parquet-metadata count; oracle's scalar subquery
+    n = _emb_count(spark, sf_dir)  # cached parquet-metadata count
     stride = max(1, math.ceil(math.sqrt(n)))
     cent = e.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"),
