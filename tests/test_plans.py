@@ -443,9 +443,24 @@ def test_pair_family_verify_joins_never_broadcast(spark, sf_dir):
         "dedup_ngram_jaccard": 1,  # word-set block join
         "fuzzy_match_blocked": 2,  # both prefix-verify sides
         "dedup_embedding_cosine": 1,  # cell join
+        "hard_negative_mining": 1,  # cross-label cell join (r9)
     }
     for name, min_shj in cases.items():
         plan = explain_str(QUERIES[name].build(spark, sf_dir))
         assert plan.count("ShuffledHashJoin") >= min_shj, (
             f"{name}: expected >= {min_shj} ShuffledHashJoin, plan:\n{plan}"
         )
+
+
+def test_span_corruption_plan_is_explode_window_agg(spark, sf_dir):
+    """span_corruption_stats must stay one explode + one doc-keyed
+    window + one aggregation: exactly two exchanges (the doc_id window
+    partitioning and the source aggregation), no joins, no Python."""
+    from barco_spark.plans import explain_str
+
+    df = QUERIES["span_corruption_stats"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_count(df) <= 3  # window + partial/final agg (+ sort)
+    assert "Join" not in plan, f"unexpected join:\n{plan}"
+    assert "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the single posexplode
