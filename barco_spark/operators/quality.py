@@ -233,6 +233,75 @@ def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_KS = (100, 1000, 10000)  # candidate tokenizer vocabulary sizes
+
+
+@register(
+    "vocab_coverage_report",
+    f"""
+    WITH terms AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    tc AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+      FROM tc)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_types,
+           {", ".join(
+        f'''CAST(SUM(CASE WHEN rnk <= {k} THEN cnt ELSE 0 END) AS BIGINT)
+             AS covered_{k},
+           CAST(SUM(CASE WHEN rnk <= {k} THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt) AS coverage_{k}''' for k in VOCAB_KS)}
+    FROM ranked
+    """,
+    "text",
+    doc=(
+        "Tokenizer-vocabulary sizing readout: what fraction of ALL "
+        "token occurrences the top-K most frequent types cover, at "
+        f"K = {VOCAB_KS} — the cumulative-coverage curve every "
+        "vocabulary-size decision reads (OOV rate at size K = "
+        "1 - coverage_K). One token explode collapsing immediately to "
+        "a VOCABULARY-sized count table (map-side combined, the "
+        "vocab_growth_stats shape), then a frequency-rank window and "
+        "one row of conditional sums. The global rank runs over the "
+        "Zipf-bounded type table, never the corpus — at 100 TB the "
+        "vocabulary is millions of rows where the corpus is trillions, "
+        "so the single-partition rank window is vocabulary-priced by "
+        "construction. Ties (equal counts) break on the term string "
+        "in both engines, so coverage at each K is bit-exact."
+    ),
+)
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tc = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(words_col()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = tc.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "term"))
+        .alias("rnk"),
+    )
+    in_k = lambda k: F.when(F.col("rnk") <= k, F.col("cnt")).otherwise(  # noqa: E731
+        F.lit(0)
+    )
+    aggs = [
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+    ]
+    for k in VOCAB_KS:
+        aggs.append(F.sum(in_k(k)).cast("bigint").alias(f"covered_{k}"))
+        aggs.append(
+            (F.sum(in_k(k)).cast("double") / F.sum("cnt")).alias(
+                f"coverage_{k}"
+            )
+        )
+    return ranked.agg(*aggs)
+
+
 @register(
     "pii_pseudonymize",
     """

@@ -99,6 +99,7 @@ HEADLINE = [
     "hard_negative_mining",
     "ann_recall_report",
     "span_corruption_stats",
+    "vocab_coverage_report",
 ]
 
 
