@@ -27,11 +27,17 @@ import re
 CALIB_BAND = 0.25
 
 
-def idle_reference(repo_dir: str, sf: float | str) -> dict | None:
+def idle_reference(
+    repo_dir: str, sf: float | str, exclude: str | None = None
+) -> dict | None:
     """The committed idle record whose calibs define the band at ``sf``:
-    the newest ``BENCH_LOCAL_r{N}.json`` with a matching ``sf`` field,
-    else (sf0.01 only) the bench-guard pin. Returns the parsed record
-    with ``_path`` set, or None when nothing committed matches."""
+    the newest ``BENCH_LOCAL_r{N}.json`` with a matching ``sf`` field
+    and a shuffle probe, else (sf0.01 only) the bench-guard pin.
+    ``exclude`` names a basename to skip — bench.py passes its OWN
+    output target so a re-capture never certifies itself against the
+    uncommitted file it is about to overwrite (the band must come from
+    a PRIOR round's record). Returns the parsed record with ``_path``
+    set, or None when nothing committed matches."""
     try:
         sf_num = float(sf)
     except (TypeError, ValueError):
@@ -40,6 +46,8 @@ def idle_reference(repo_dir: str, sf: float | str) -> dict | None:
     for path in glob.glob(os.path.join(repo_dir, "BENCH_LOCAL_r*.json")):
         m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", path)
         if not m or int(m.group(1)) <= best_n:
+            continue
+        if exclude and os.path.basename(path) == exclude:
             continue
         try:
             with open(path) as f:

@@ -212,8 +212,16 @@ def main() -> None:
     from barco_spark.calib import certify, idle_reference
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    local_out = os.environ.get("BENCH_LOCAL_OUT")
     out["calib_verdict"] = certify(
-        calib_shuffle, idle_reference(repo_dir, sf_val)
+        calib_shuffle,
+        idle_reference(
+            repo_dir,
+            sf_val,
+            # never certify against the uncommitted file this run is
+            # about to overwrite — the band must be a PRIOR round's
+            exclude=os.path.basename(local_out) if local_out else None,
+        ),
     )
     if failures:
         out["failures"] = failures
@@ -223,8 +231,8 @@ def main() -> None:
     # map outgrows its window, so round-over-round per-query diffs need
     # a versioned file. Set BENCH_LOCAL_OUT=BENCH_LOCAL_r{N}.json at
     # capture time and commit it; scripts/bench_guard.py --pin <file>
-    # compares a later run against it.
-    local_out = os.environ.get("BENCH_LOCAL_OUT")
+    # compares a later run against it. (local_out read above for the
+    # calib_verdict's self-exclusion.)
     if local_out:
         with open(local_out, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)

@@ -175,3 +175,23 @@ def test_idle_reference_picks_newest_matching_sf(tmp_path):
     # unknown SF -> no reference
     assert idle_reference(str(tmp_path), 0.001) is None
     assert idle_reference(str(tmp_path), "weird") is None
+
+
+def test_idle_reference_excludes_own_output_target(tmp_path):
+    """A re-capture must never certify against the uncommitted file it
+    is about to overwrite — exclude drops it so the band comes from a
+    prior round's record."""
+    import json
+
+    from barco_spark.calib import idle_reference
+
+    (tmp_path / "BENCH_LOCAL_r08.json").write_text(
+        json.dumps({"sf": 0.1, "calib_shuffle_sec": 0.36})
+    )
+    (tmp_path / "BENCH_LOCAL_r09.json").write_text(
+        json.dumps({"sf": 0.1, "calib_shuffle_sec": 0.50})
+    )
+    ref = idle_reference(str(tmp_path), 0.1, exclude="BENCH_LOCAL_r09.json")
+    assert ref["_path"] == "BENCH_LOCAL_r08.json"
+    # without exclude the newest wins (the committed-history behavior)
+    assert idle_reference(str(tmp_path), 0.1)["_path"] == "BENCH_LOCAL_r09.json"
