@@ -1390,3 +1390,65 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-split leakage (train/eval contamination at document granularity)
+# --------------------------------------------------------------------------
+_SPLIT_CASE_SQL = (
+    "CASE WHEN {h} % 100 < 80 THEN 'train' "
+    "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+def _split_col(doc_id: str) -> Column:
+    """train/val/test from a doc id — the SAME 80/10/10 hash split
+    train_split_assign uses (operators/sampling.py), so 'split' means
+    one thing engine-wide. A pure function of the id: no split table,
+    no join, no shuffle."""
+    b = h28(F.col(doc_id).cast("string")) % 100
+    return (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "cross_split_leakage",
+    f"""
+    WITH {_LSH_PAIRS_CTES}
+    SELECT * FROM (
+      SELECT doc_a, doc_b,
+             {_SPLIT_CASE_SQL.format(h=h28_sql("CAST(doc_a AS VARCHAR)"))} AS split_a,
+             {_SPLIT_CASE_SQL.format(h=h28_sql("CAST(doc_b AS VARCHAR)"))} AS split_b,
+             jaccard
+      FROM pairs)
+    WHERE split_a <> split_b
+    """,
+    "dedup",
+    doc=(
+        "Train/eval leakage detector: MinHash-LSH near-dup pairs whose "
+        "endpoints land in DIFFERENT splits of the 80/10/10 hash split "
+        "(train_split_assign's exact bucketing) — each row is an eval "
+        "document whose near-duplicate leaked into training, the "
+        "doc-level complement of decontaminate_ngram_overlap's n-gram "
+        "check (ref: the reference's dedup surface has no split "
+        "awareness; this is the curation step every pretraining corpus "
+        "runs before freezing an eval set). Inherits dedup_minhash_lsh's "
+        "machinery unchanged — banded candidates, capped buckets, "
+        "SHJ-pinned verify — and the split is a pure function of the "
+        "doc id, so the plan adds two codegen'd hash columns and a "
+        "filter to the proven pair plan: zero extra joins or shuffles "
+        "at any scale."
+    ),
+)
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs(spark, sf_dir)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        _split_col("doc_a").alias("split_a"),
+        _split_col("doc_b").alias("split_b"),
+        "jaccard",
+    ).filter(F.col("split_a") != F.col("split_b"))

@@ -1564,3 +1564,384 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# int8 symmetric quantization + recall readout
+# --------------------------------------------------------------------------
+# DuckDB renderings of the quantization pipeline. Folds mirror the
+# Spark-side F.aggregate/F.transform expressions op-for-op so every
+# intermediate is IEEE-identical; the quantized values themselves are
+# integers (exact in any engine).
+_ABSMAX_SQL = (
+    "greatest(list_reduce(list_transform({v}, x -> abs(x)), "
+    "(acc, x) -> greatest(acc, x)), 1e-30)"
+)
+_QUANT_SQL = "list_transform({v}, x -> CAST(floor(x * 127.0 / {m} + 0.5) AS BIGINT))"
+_IDOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), "
+    "(acc, x) -> acc + x)"
+)
+_IN2_SQL = "list_reduce(list_transform({q}, x -> x * x), (acc, x) -> acc + x)"
+
+
+def _absmax(v: str | Column) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    return F.greatest(
+        F.aggregate(
+            F.transform(v, F.abs), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+        ),
+        F.lit(1e-30),
+    )
+
+
+def _int8_quantize(v: str | Column, m: str | Column) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    m = F.col(m) if isinstance(m, str) else m
+    return F.transform(
+        v, lambda x: F.floor(x * F.lit(127.0) / m + F.lit(0.5)).cast("bigint")
+    )
+
+
+def _idot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _in2(q: str | Column) -> Column:
+    q = F.col(q) if isinstance(q, str) else q
+    return F.aggregate(
+        F.transform(q, lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "ann_int8_recall",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    z AS (SELECT vec_id, v, {_ABSMAX_SQL.format(v='v')} AS m FROM e),
+    qz AS (SELECT vec_id, v, {_QUANT_SQL.format(v='v', m='m')} AS qv FROM z),
+    qn AS (SELECT vec_id, v, qv, {_IN2_SQL.format(q='qv')} AS qn2 FROM qz),
+    q AS (SELECT vec_id AS query_id, v AS qvec, qv AS qq, qn2 AS qqn2
+          FROM qn WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cand_id, v AS cvec, qv AS cq, qn2 AS cqn2
+          FROM qn WHERE vec_id >= {N_QUERY}),
+    ex_scored AS (
+      SELECT query_id, cand_id, {_cos_sql_fwd('qvec', 'cvec')} AS s
+      FROM q CROSS JOIN c),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, cand_id) AS r
+        FROM ex_scored) WHERE r <= {RECALL_K}),
+    q8_scored AS (
+      SELECT query_id, cand_id,
+             CAST({_IDOT_SQL.format(a='qq', b='cq')} AS DOUBLE)
+               / sqrt(CAST(qqn2 * cqn2 AS DOUBLE)) AS q8cos
+      FROM q CROSS JOIN c),
+    q8 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY q8cos DESC, cand_id) AS r
+        FROM q8_scored) WHERE r <= {RECALL_K})
+    SELECT x.query_id,
+           CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / {RECALL_K} AS recall
+    FROM exact x LEFT JOIN q8 i USING (query_id, cand_id)
+    GROUP BY x.query_id ORDER BY query_id
+    """,
+    "similarity",
+    doc=(
+        "int8 quantization acceptance gate: per-vector symmetric "
+        "quantization (scale = 127/absmax, round-half-up — the "
+        "standard embedding-compression scheme: 4x less memory "
+        "bandwidth, integer SIMD dot products), ranked by the "
+        "QUANTIZED integer cosine (scales cancel in cosine, so the "
+        f"score is intdot/sqrt(n2a*n2b) — exact integer folds), and "
+        f"recall@{RECALL_K} measured against the exact double-fold "
+        "ranking. Every arithmetic step is either integer-exact or a "
+        "single IEEE op mirrored in the oracle, so the pairing is "
+        "bit-for-bit. At 100 TB the corpus is quantized once at "
+        "ingest (a codegen'd map over the scan, no shuffle) and this "
+        "report runs over the fixed eval query set — the exact shape "
+        "here: broadcast queries against one corpus pass each for the "
+        "exact and quantized rankings."
+    ),
+)
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("m", _absmax("v"))
+        .withColumn("qv", _int8_quantize("v", "m"))
+        .withColumn("qn2", _in2("qv"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qvec"),
+        F.col("qv").alias("qq"),
+        F.col("qn2").alias("qqn2"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cvec"),
+        F.col("qv").alias("cq"),
+        F.col("qn2").alias("cqn2"),
+    )
+    w = Window.partitionBy("query_id")
+    exact = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "cand_id",
+            (dot("qvec", "cvec") / F.sqrt(norm2("qvec") * norm2("cvec"))).alias(
+                "s"
+            ),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.row_number()
+            .over(w.orderBy(F.col("s").desc(), F.col("cand_id")))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= RECALL_K)
+        .select("query_id", "cand_id")
+    )
+    q8 = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _idot("qq", "cq").cast("double")
+                / F.sqrt((F.col("qqn2") * F.col("cqn2")).cast("double"))
+            ).alias("q8cos"),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.row_number()
+            .over(w.orderBy(F.col("q8cos").desc(), F.col("cand_id")))
+            .alias("r"),
+        )
+        .filter(F.col("r") <= RECALL_K)
+        .select("query_id", "cand_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        exact.join(F.broadcast(q8), ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.lit(RECALL_K)
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# MMR diverse rerank (retrieval-side diversity for RAG)
+# --------------------------------------------------------------------------
+MMR_POOL = 8  # relevance pool per query the greedy selects from
+# lambda = 0.7 relevance / 0.3 diversity; both factors written as
+# literals on BOTH sides (never 1-lambda in Python, which is not 0.3
+# in binary) so the IEEE arithmetic is op-identical.
+
+
+@register(
+    "mmr_diverse_rerank",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= {N_QUERY}),
+    scored AS (
+      SELECT query_id, cand_id, cv, {_cos_sql_fwd('qv', 'cv')} AS rel
+      FROM q CROSS JOIN c),
+    pool AS (
+      SELECT * FROM (
+        SELECT query_id, cand_id, cv, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, cand_id) AS rnk
+        FROM scored) WHERE rnk <= {MMR_POOL}),
+    s1 AS (SELECT query_id, cand_id AS s1_id, cv AS s1v, rel AS s1_rel
+           FROM pool WHERE rnk = 1),
+    rest AS (SELECT * FROM pool WHERE rnk >= 2),
+    st2 AS (
+      SELECT r.query_id, r.cand_id, r.cv, r.rel,
+             0.7::DOUBLE * r.rel
+               - 0.3::DOUBLE * ({_cos_sql_fwd('r.cv', 's.s1v')}) AS mmr2
+      FROM rest r JOIN s1 s ON r.query_id = s.query_id),
+    s2 AS (
+      SELECT query_id, cand_id AS s2_id, cv AS s2v, rel AS s2_rel,
+             mmr2 AS s2_score
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY mmr2 DESC, cand_id) AS rn
+        FROM st2) WHERE rn = 1),
+    st3 AS (
+      SELECT r.query_id, r.cand_id, r.rel,
+             0.7::DOUBLE * r.rel
+               - 0.3::DOUBLE * greatest(
+                   {_cos_sql_fwd('r.cv', 's.s1v')},
+                   {_cos_sql_fwd('r.cv', 'u.s2v')}) AS mmr3
+      FROM rest r
+      JOIN s1 s ON r.query_id = s.query_id
+      JOIN s2 u ON r.query_id = u.query_id
+      WHERE r.cand_id <> u.s2_id),
+    s3 AS (
+      SELECT query_id, cand_id, rel, mmr3
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY mmr3 DESC, cand_id) AS rn
+        FROM st3) WHERE rn = 1)
+    SELECT query_id, s1_id AS cand_id, s1_rel AS relevance,
+           0.7::DOUBLE * s1_rel AS mmr_score, 1 AS mmr_rank
+    FROM s1
+    UNION ALL
+    SELECT query_id, s2_id, s2_rel, s2_score, 2 FROM s2
+    UNION ALL
+    SELECT query_id, cand_id, rel, mmr3, 3 FROM s3
+    ORDER BY query_id, mmr_rank
+    """,
+    "similarity",
+    doc=(
+        "Maximal Marginal Relevance rerank (Carbonell & Goldstein "
+        "1998), the standard RAG retrieval diversifier: per query, "
+        f"greedily pick 3 of the top-{MMR_POOL} relevance candidates, "
+        "each step maximizing 0.7*relevance - 0.3*max-similarity-to-"
+        "already-picked. The greedy is unrolled into pure DataFrame "
+        "steps (argmax = ranking window, fixed k), so it is exactly "
+        "expressible in SQL and oracle-paired: every score is the "
+        "proven sequential-fold cosine plus two IEEE mults and a "
+        "subtract, ties break on candidate id. Plan shape at 100 TB: "
+        "the pool stage is the proven broadcast-query scoring pass "
+        "(one corpus scan, top-k window), and every greedy step after "
+        "it runs on k*pool rows per query — driver-free, join keys "
+        "are the query id, the selected-set sides are broadcast. The "
+        "pool is persisted (N_QUERY x pool rows) because the unrolled "
+        "steps reference it three times; it is node-sized by "
+        "construction."
+    ),
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+
+    def cos(a: str, b: str) -> Column:
+        return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select("query_id", "cand_id", "cv", cos("qv", "cv").alias("rel"))
+    )
+    wrel = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    # tiny (N_QUERY x MMR_POOL rows) but referenced by all three greedy
+    # steps; persisting keeps the corpus scoring pass single-run (same
+    # discipline as _lsh_pairs' signature cache, LRU-evicted)
+    pool = (
+        scored.select("*", F.row_number().over(wrel).alias("rnk"))
+        .filter(F.col("rnk") <= MMR_POOL)
+        .persist()
+    )
+    s1 = pool.filter(F.col("rnk") == 1).select(
+        "query_id",
+        F.col("cand_id").alias("s1_id"),
+        F.col("cv").alias("s1v"),
+        F.col("rel").alias("s1_rel"),
+    )
+    rest = pool.filter(F.col("rnk") >= 2)
+    st2 = rest.join(F.broadcast(s1), "query_id").select(
+        "query_id",
+        "cand_id",
+        "cv",
+        "rel",
+        (
+            F.lit(0.7) * F.col("rel") - F.lit(0.3) * cos("cv", "s1v")
+        ).alias("mmr2"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("mmr2").desc(), F.col("cand_id")
+    )
+    s2 = (
+        st2.select("*", F.row_number().over(w2).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("s2_id"),
+            F.col("cv").alias("s2v"),
+            F.col("rel").alias("s2_rel"),
+            F.col("mmr2").alias("s2_score"),
+        )
+    )
+    st3 = (
+        rest.join(F.broadcast(s1), "query_id")
+        .join(F.broadcast(s2), "query_id")
+        .filter(F.col("cand_id") != F.col("s2_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "rel",
+            (
+                F.lit(0.7) * F.col("rel")
+                - F.lit(0.3) * F.greatest(cos("cv", "s1v"), cos("cv", "s2v"))
+            ).alias("mmr3"),
+        )
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("mmr3").desc(), F.col("cand_id")
+    )
+    s3 = (
+        st3.select("*", F.row_number().over(w3).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", "rel", "mmr3")
+    )
+    out1 = s1.select(
+        "query_id",
+        F.col("s1_id").alias("cand_id"),
+        F.col("s1_rel").alias("relevance"),
+        (F.lit(0.7) * F.col("s1_rel")).alias("mmr_score"),
+        F.lit(1).alias("mmr_rank"),
+    )
+    out2 = s2.select(
+        "query_id",
+        F.col("s2_id").alias("cand_id"),
+        F.col("s2_rel").alias("relevance"),
+        F.col("s2_score").alias("mmr_score"),
+        F.lit(2).alias("mmr_rank"),
+    )
+    out3 = s3.select(
+        "query_id",
+        "cand_id",
+        F.col("rel").alias("relevance"),
+        F.col("mmr3").alias("mmr_score"),
+        F.lit(3).alias("mmr_rank"),
+    )
+    return out1.unionAll(out2).unionAll(out3).orderBy("query_id", "mmr_rank")

@@ -100,6 +100,9 @@ HEADLINE = [
     "ann_recall_report",
     "span_corruption_stats",
     "vocab_coverage_report",
+    "cross_split_leakage",
+    "ann_int8_recall",
+    "mmr_diverse_rerank",
 ]
 
 

@@ -32,6 +32,11 @@ BNLJ_OK = {
     "ann_ivf_search_exact",
     # composes both of the above (exact + IVF twins) for recall@k
     "ann_recall_report",
+    # same N_QUERY broadcast, exact + int8-quantized rankings
+    "ann_int8_recall",
+    # same N_QUERY broadcast pool stage; greedy steps are broadcast
+    # hash joins on query_id over N_QUERY*MMR_POOL rows
+    "mmr_diverse_rerank",
     # one-row total-token table broadcast into the scored pairs
     "bigram_lift_top",
     # theta join (vec_a < vec_b) over the broadcast cell/centroid side

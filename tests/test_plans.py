@@ -444,6 +444,7 @@ def test_pair_family_verify_joins_never_broadcast(spark, sf_dir):
         "fuzzy_match_blocked": 2,  # both prefix-verify sides
         "dedup_embedding_cosine": 1,  # cell join
         "hard_negative_mining": 1,  # cross-label cell join (r9)
+        "cross_split_leakage": 3,  # inherits dedup_minhash_lsh's sites
     }
     for name, min_shj in cases.items():
         plan = explain_str(QUERIES[name].build(spark, sf_dir))
@@ -464,3 +465,39 @@ def test_span_corruption_plan_is_explode_window_agg(spark, sf_dir):
     assert "Join" not in plan, f"unexpected join:\n{plan}"
     assert "BatchEvalPython" not in plan
     assert "Generate" in plan  # the single posexplode
+
+
+def test_cross_split_leakage_adds_no_shuffle_over_lsh_pairs(spark, sf_dir):
+    """The split is a pure function of the doc id (two hash columns +
+    a filter in the pair projection), so the leakage query must cost
+    exactly the proven dedup_minhash_lsh plan — no split table, no
+    extra join, no extra exchange."""
+    base = shuffle_count(QUERIES["dedup_minhash_lsh"].build(spark, sf_dir))
+    leak = shuffle_count(QUERIES["cross_split_leakage"].build(spark, sf_dir))
+    assert leak == base, (base, leak)
+
+
+def test_int8_recall_is_two_codegen_corpus_passes(spark, sf_dir):
+    """ann_int8_recall: exact and quantized rankings are each one
+    broadcast-query pass over the corpus; quantization is a codegen'd
+    array expression, never Python, and no ranking may fall back to a
+    sort-merge join."""
+    df = QUERIES["ann_int8_recall"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # rank windows (2) + the final broadcast-join recall agg; never a
+    # corpus-keyed exchange
+    assert shuffle_count(df) <= 4, explain_str(df)
+
+
+def test_mmr_greedy_steps_are_broadcast_joins(spark, sf_dir):
+    """mmr_diverse_rerank: every unrolled greedy step joins the
+    persisted pool (N_QUERY x MMR_POOL rows) against a one-row-per-
+    query selected set — all broadcast hash joins; a sort-merge join
+    would mean Catalyst saw a corpus-sized side."""
+    df = QUERIES["mmr_diverse_rerank"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # pool persisted, scored once
