@@ -1622,17 +1622,14 @@ def _in2(q: str | Column) -> Column:
     )
 
 
-@register(
-    "ann_int8_recall",
-    f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    z AS (SELECT vec_id, v, {_ABSMAX_SQL.format(v='v')} AS m FROM e),
-    qz AS (SELECT vec_id, v, {_QUANT_SQL.format(v='v', m='m')} AS qv FROM z),
-    qn AS (SELECT vec_id, v, qv, {_IN2_SQL.format(q='qv')} AS qn2 FROM qz),
-    q AS (SELECT vec_id AS query_id, v AS qvec, qv AS qq, qn2 AS qqn2
-          FROM qn WHERE vec_id < {N_QUERY}),
-    c AS (SELECT vec_id AS cand_id, v AS cvec, qv AS cq, qn2 AS cqn2
-          FROM qn WHERE vec_id >= {N_QUERY}),
+def _recall_oracle_sql(prep_ctes: str, approx_score: str) -> str:
+    """Shared recall@k oracle scaffold for the compressed-representation
+    gates (int8, matryoshka): `prep_ctes` must define CTEs q(query_id,
+    qvec, ...) and c(cand_id, cvec, ...); `approx_score` scores a
+    (q, c) row under the compressed representation. Exact side is the
+    proven sequential-fold cosine; the report is integer counting."""
+    return f"""
+    WITH {prep_ctes},
     ex_scored AS (
       SELECT query_id, cand_id, {_cos_sql_fwd('qvec', 'cvec')} AS s
       FROM q CROSS JOIN c),
@@ -1642,25 +1639,75 @@ def _in2(q: str | Column) -> Column:
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY s DESC, cand_id) AS r
         FROM ex_scored) WHERE r <= {RECALL_K}),
-    q8_scored AS (
-      SELECT query_id, cand_id,
-             CAST({_IDOT_SQL.format(a='qq', b='cq')} AS DOUBLE)
-               / sqrt(CAST(qqn2 * cqn2 AS DOUBLE)) AS q8cos
+    ap_scored AS (
+      SELECT query_id, cand_id, {approx_score} AS apx
       FROM q CROSS JOIN c),
-    q8 AS (
+    approx AS (
       SELECT query_id, cand_id FROM (
         SELECT query_id, cand_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY q8cos DESC, cand_id) AS r
-        FROM q8_scored) WHERE r <= {RECALL_K})
+                                  ORDER BY apx DESC, cand_id) AS r
+        FROM ap_scored) WHERE r <= {RECALL_K})
     SELECT x.query_id,
            CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_hits,
            CAST(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END)
                 AS DOUBLE) / {RECALL_K} AS recall
-    FROM exact x LEFT JOIN q8 i USING (query_id, cand_id)
+    FROM exact x LEFT JOIN approx i USING (query_id, cand_id)
     GROUP BY x.query_id ORDER BY query_id
-    """,
+    """
+
+
+def _topk_ids(scored: DataFrame, score: str) -> DataFrame:
+    """Per-query top-RECALL_K (query_id, cand_id) under `score`,
+    ties broken on cand_id — the Spark twin of the oracle scaffold's
+    ranking subqueries."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score).desc(), F.col("cand_id")
+    )
+    return (
+        scored.select(
+            "query_id", "cand_id", F.row_number().over(w).alias("r")
+        )
+        .filter(F.col("r") <= RECALL_K)
+        .select("query_id", "cand_id")
+    )
+
+
+def _recall_report(exact_ids: DataFrame, approx_ids: DataFrame) -> DataFrame:
+    """recall@RECALL_K of `approx_ids` against `exact_ids` (both
+    per-query id sets), one row per query."""
+    hit = approx_ids.select("query_id", "cand_id", F.lit(1).alias("_hit"))
+    return (
+        exact_ids.join(F.broadcast(hit), ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.lit(RECALL_K)
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "ann_int8_recall",
+    _recall_oracle_sql(
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    z AS (SELECT vec_id, v, {_ABSMAX_SQL.format(v='v')} AS m FROM e),
+    qz AS (SELECT vec_id, v, {_QUANT_SQL.format(v='v', m='m')} AS qv FROM z),
+    qn AS (SELECT vec_id, v, qv, {_IN2_SQL.format(q='qv')} AS qn2 FROM qz),
+    q AS (SELECT vec_id AS query_id, v AS qvec, qv AS qq, qn2 AS qqn2
+          FROM qn WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cand_id, v AS cvec, qv AS cq, qn2 AS cqn2
+          FROM qn WHERE vec_id >= {N_QUERY})""",
+        f"""CAST({_IDOT_SQL.format(a='qq', b='cq')} AS DOUBLE)
+               / sqrt(CAST(qqn2 * cqn2 AS DOUBLE))""",
+    ),
     "similarity",
     doc=(
         "int8 quantization acceptance gate: per-vector symmetric "
@@ -1699,8 +1746,7 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("cq"),
         F.col("qn2").alias("cqn2"),
     )
-    w = Window.partitionBy("query_id")
-    exact = (
+    exact = _topk_ids(
         F.broadcast(q)
         .crossJoin(c)
         .select(
@@ -1709,18 +1755,10 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot("qvec", "cvec") / F.sqrt(norm2("qvec") * norm2("cvec"))).alias(
                 "s"
             ),
-        )
-        .select(
-            "query_id",
-            "cand_id",
-            F.row_number()
-            .over(w.orderBy(F.col("s").desc(), F.col("cand_id")))
-            .alias("r"),
-        )
-        .filter(F.col("r") <= RECALL_K)
-        .select("query_id", "cand_id")
+        ),
+        "s",
     )
-    q8 = (
+    q8 = _topk_ids(
         F.broadcast(q)
         .crossJoin(c)
         .select(
@@ -1730,31 +1768,78 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _idot("qq", "cq").cast("double")
                 / F.sqrt((F.col("qqn2") * F.col("cqn2")).cast("double"))
             ).alias("q8cos"),
-        )
+        ),
+        "q8cos",
+    )
+    return _recall_report(exact, q8)
+
+
+MRL_DIMS = 16  # truncated prefix width (of 64) the matryoshka gate tests
+
+
+@register(
+    "ann_matryoshka_recall",
+    _recall_oracle_sql(
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qvec, v[1:{MRL_DIMS}] AS qt
+          FROM e WHERE vec_id < {N_QUERY}),
+    c AS (SELECT vec_id AS cand_id, v AS cvec, v[1:{MRL_DIMS}] AS ct
+          FROM e WHERE vec_id >= {N_QUERY})""",
+        _cos_sql_fwd("qt", "ct"),
+    ),
+    "similarity",
+    doc=(
+        f"Matryoshka / embedding-shortening acceptance gate: rank by "
+        f"cosine over the first {MRL_DIMS} of 64 dimensions only (the "
+        "MRL deployment trick — prefix-truncated vectors cost 4x less "
+        "memory and bandwidth, and MRL-trained models order "
+        f"information by prefix), report recall@{RECALL_K} against "
+        "the full-dimension exact ranking per query. The truncated "
+        "cosine is the same sequential fold over a sliced array, so "
+        "the pairing is bit-for-bit. Same 100 TB shape as "
+        "ann_int8_recall: truncation happens at the scan (a codegen'd "
+        "slice), the report runs over the fixed eval query set, two "
+        "broadcast-query corpus passes total."
+    ),
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qvec"),
+        F.slice("v", 1, MRL_DIMS).alias("qt"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cvec"),
+        F.slice("v", 1, MRL_DIMS).alias("ct"),
+    )
+    exact = _topk_ids(
+        F.broadcast(q)
+        .crossJoin(c)
         .select(
             "query_id",
             "cand_id",
-            F.row_number()
-            .over(w.orderBy(F.col("q8cos").desc(), F.col("cand_id")))
-            .alias("r"),
-        )
-        .filter(F.col("r") <= RECALL_K)
-        .select("query_id", "cand_id", F.lit(1).alias("_hit"))
+            (dot("qvec", "cvec") / F.sqrt(norm2("qvec") * norm2("cvec"))).alias(
+                "s"
+            ),
+        ),
+        "s",
     )
-    return (
-        exact.join(F.broadcast(q8), ["query_id", "cand_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_hits"),
-            (
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
-                / F.lit(RECALL_K)
-            ).alias("recall"),
-        )
-        .orderBy("query_id")
+    trunc = _topk_ids(
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "cand_id",
+            (dot("qt", "ct") / F.sqrt(norm2("qt") * norm2("ct"))).alias("ts"),
+        ),
+        "ts",
     )
+    return _recall_report(exact, trunc)
 
 
 # --------------------------------------------------------------------------

@@ -102,6 +102,7 @@ HEADLINE = [
     "vocab_coverage_report",
     "cross_split_leakage",
     "ann_int8_recall",
+    "ann_matryoshka_recall",
     "mmr_diverse_rerank",
 ]
 

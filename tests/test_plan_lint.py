@@ -34,6 +34,8 @@ BNLJ_OK = {
     "ann_recall_report",
     # same N_QUERY broadcast, exact + int8-quantized rankings
     "ann_int8_recall",
+    # same N_QUERY broadcast, exact + prefix-truncated rankings
+    "ann_matryoshka_recall",
     # same N_QUERY broadcast pool stage; greedy steps are broadcast
     # hash joins on query_id over N_QUERY*MMR_POOL rows
     "mmr_diverse_rerank",

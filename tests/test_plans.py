@@ -477,12 +477,15 @@ def test_cross_split_leakage_adds_no_shuffle_over_lsh_pairs(spark, sf_dir):
     assert leak == base, (base, leak)
 
 
-def test_int8_recall_is_two_codegen_corpus_passes(spark, sf_dir):
-    """ann_int8_recall: exact and quantized rankings are each one
-    broadcast-query pass over the corpus; quantization is a codegen'd
-    array expression, never Python, and no ranking may fall back to a
-    sort-merge join."""
-    df = QUERIES["ann_int8_recall"].build(spark, sf_dir)
+@pytest.mark.parametrize(
+    "name", ["ann_int8_recall", "ann_matryoshka_recall"]
+)
+def test_compressed_recall_is_two_codegen_corpus_passes(spark, sf_dir, name):
+    """The compressed-representation recall gates: exact and
+    compressed rankings are each one broadcast-query pass over the
+    corpus; quantization/truncation is a codegen'd array expression,
+    never Python, and no ranking may fall back to a sort-merge join."""
+    df = QUERIES[name].build(spark, sf_dir)
     plan = explain_str(df)
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
