@@ -177,3 +177,69 @@ def test_semdedup_prune_agrees_with_pair_list(spark, sf_dir):
     for r in rep:
         assert r.n_kept + r.n_dropped == r.n_vectors
         assert 0.0 < r.retention <= 1.0
+
+
+def test_int8_recall_high_on_isotropic_corpus(spark, sf_dir):
+    """Symmetric int8 quantization is representation-agnostic: even on
+    the near-random fixture embeddings the quantized cosine ranking
+    must reproduce almost all of the exact top-3 (observed 14/15 at
+    sf0.001; a regression here means the quantizer or the integer fold
+    broke, since 8-bit error is far below the corpus' score gaps)."""
+    rows = QUERIES["ann_int8_recall"].build(spark, sf_dir).collect()
+    assert sum(r.n_hits for r in rows) >= 12, rows
+
+
+def test_matryoshka_gate_fails_isotropic_passes_prefix_structured(
+    spark, tmp_path, sf_dir
+):
+    """The truncation gate must tell the truth in both directions.
+    Isotropic random embeddings have NO prefix structure, so
+    truncating to 16 of 64 dims destroys the ranking and the gate
+    reports near-zero recall (observed 1/15 at sf0.001) — the correct
+    'do not truncate these' answer. A prefix-structured corpus (all
+    signal in the first 16 dims, the shape MRL training produces)
+    must score perfect recall."""
+    rows = QUERIES["ann_matryoshka_recall"].build(spark, sf_dir).collect()
+    assert sum(r.n_hits for r in rows) <= 5, rows
+
+    # prefix-ones candidates: cos(q, c_i) = sqrt(i+1)/4, strictly
+    # increasing and well separated; tails are ~1e-3 so full-dim and
+    # truncated rankings provably agree
+    def vec(i):
+        head = [1.0 if j <= i else 0.0 for j in range(16)]
+        tail = [0.001 * ((i + j) % 3) for j in range(48)]
+        return head + tail
+
+    data = [(0, [1.0] * 16 + [0.0] * 48, 0)] + [
+        (5 + i, vec(i), 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        data, "vec_id: bigint, embedding: array<float>, label: int"
+    )
+    d = str(tmp_path / "prefix")
+    df.write.parquet(d + "/embeddings.parquet")
+    out = QUERIES["ann_matryoshka_recall"].build(spark, d).collect()
+    assert [(r.query_id, r.n_hits) for r in out] == [(0, 3)], out
+
+
+def test_mmr_defers_planted_near_duplicate(spark, tmp_path):
+    """The diversity property on a crafted corpus: candidates 5 and 6
+    are near-duplicates (mutual cosine ~1.0) and both far more
+    relevant (cos ~0.80) than the diverse candidate 7 (cos ~0.59).
+    Relevance ranking is [6, 5, 7]; MMR must pick 6, then skip the
+    near-dup 5 in favor of 7, then take 5 last — hand-computed mmr2:
+    7 -> 0.305 vs 5 -> 0.260."""
+    data = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (5, [4.0, 3.0, 0.0], 0),
+        (6, [4.05, 3.0, 0.0], 0),
+        (7, [3.0, -1.0, 4.0], 0),
+    ]
+    df = spark.createDataFrame(
+        data, "vec_id: bigint, embedding: array<float>, label: int"
+    )
+    d = str(tmp_path / "mmr")
+    df.write.parquet(d + "/embeddings.parquet")
+    out = QUERIES["mmr_diverse_rerank"].build(spark, d).collect()
+    picks = [r.cand_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert picks == [6, 7, 5], out
