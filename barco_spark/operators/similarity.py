@@ -2030,3 +2030,143 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).alias("mmr_rank"),
     )
     return out1.unionAll(out2).unionAll(out3).orderBy("query_id", "mmr_rank")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + vector evidence
+# --------------------------------------------------------------------------
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_LIST = 20  # per-ranker candidate list depth
+RRF_TOP = 10  # fused results returned
+# query-by-example: document 0 / its embedding (vec_id == doc_id on the
+# synthetic corpus: every document has exactly one embedding row)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qe AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    vec_scored AS (
+      SELECT vec_id AS doc_id, {_cos_sql_fwd('v', 'qv')} AS cos
+      FROM e CROSS JOIN qe WHERE vec_id >= {N_QUERY}),
+    vec_list AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+      FROM (SELECT * FROM vec_scored ORDER BY cos DESC, doc_id
+            LIMIT {RRF_LIST})),
+    w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+          FROM documents),
+    qw AS (SELECT ws AS qws FROM w WHERE doc_id = 0),
+    lex_scored AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(ws, qws)) AS DOUBLE)
+               / (len(ws) + len(qws) - len(list_intersect(ws, qws))) AS jac
+      FROM w CROSS JOIN qw WHERE doc_id >= {N_QUERY}),
+    lex_list AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY jac DESC, doc_id) AS lex_rank
+      FROM (SELECT * FROM lex_scored ORDER BY jac DESC, doc_id
+            LIMIT {RRF_LIST})),
+    fused AS (
+      SELECT COALESCE(v.doc_id, l.doc_id) AS doc_id,
+             v.vec_rank, l.lex_rank,
+             COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + v.vec_rank), 0.0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + l.lex_rank), 0.0)
+               AS rrf_score
+      FROM vec_list v FULL JOIN lex_list l ON v.doc_id = l.doc_id)
+    SELECT doc_id, vec_rank, lex_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS INTEGER) AS fused_rank
+    FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id
+          LIMIT {RRF_TOP})
+    ORDER BY fused_rank
+    """,
+    "similarity",
+    doc=(
+        "Hybrid retrieval, the canonical RAG pattern: rank the corpus "
+        "by semantic evidence (cosine against the example document's "
+        "embedding; vec_id == doc_id joins the two tables) and by "
+        "lexical evidence (word-set Jaccard against its text), take "
+        f"each ranker's top-{RRF_LIST} (TakeOrderedAndProject — never "
+        "a global sort), and fuse with reciprocal-rank fusion "
+        f"1/({RRF_K}+rank) summed where present (Cormack et al. 2009, "
+        "the fusion Elasticsearch/Vespa ship). Ranks are integers and "
+        "each contribution is one IEEE division, so the pairing is "
+        "bit-for-bit; ties break on doc id at every stage including "
+        "both LIMIT boundaries. At 100 TB the per-ranker lists come "
+        "from the ANN index and the inverted index (both shipped "
+        "here); the fusion itself is a K-row outer join regardless of "
+        "corpus size — exactly the plan this query compiles to."
+    ),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    vec_scored = (
+        e.filter(F.col("vec_id") >= N_QUERY)
+        .crossJoin(F.broadcast(qe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot("v", "qv") / F.sqrt(norm2("v") * norm2("qv"))).alias("cos"),
+        )
+    )
+    vec_list = (
+        vec_scored.orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_LIST)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+            .alias("vec_rank"),
+        )
+    )
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    qw = w.filter(F.col("doc_id") == 0).select(F.col("ws").alias("qws"))
+    inter = F.size(F.array_intersect("ws", "qws"))
+    lex_scored = (
+        w.filter(F.col("doc_id") >= N_QUERY)
+        .crossJoin(F.broadcast(qw))
+        .select(
+            "doc_id",
+            (
+                inter.cast("double")
+                / (F.size("ws") + F.size("qws") - inter)
+            ).alias("jac"),
+        )
+    )
+    lex_list = (
+        lex_scored.orderBy(F.col("jac").desc(), "doc_id")
+        .limit(RRF_LIST)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("jac").desc(), "doc_id"))
+            .alias("lex_rank"),
+        )
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_K) + F.col(r)), F.lit(0.0)
+    )
+    fused = (
+        vec_list.join(lex_list, "doc_id", "full")
+        .select(
+            "doc_id",
+            "vec_rank",
+            "lex_rank",
+            (contrib("vec_rank") + contrib("lex_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOP)
+    )
+    return fused.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_score").desc(), "doc_id"))
+        .cast("int")
+        .alias("fused_rank"),
+    ).orderBy("fused_rank")

@@ -104,6 +104,7 @@ HEADLINE = [
     "ann_int8_recall",
     "ann_matryoshka_recall",
     "mmr_diverse_rerank",
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -36,6 +36,9 @@ BNLJ_OK = {
     "ann_int8_recall",
     # same N_QUERY broadcast, exact + prefix-truncated rankings
     "ann_matryoshka_recall",
+    # one-row query-by-example doc/embedding broadcast into both
+    # ranker scans; the fusion join runs on two 20-row lists
+    "hybrid_rrf_retrieval",
     # same N_QUERY broadcast pool stage; greedy steps are broadcast
     # hash joins on query_id over N_QUERY*MMR_POOL rows
     "mmr_diverse_rerank",

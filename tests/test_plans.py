@@ -504,3 +504,15 @@ def test_mmr_greedy_steps_are_broadcast_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan  # pool persisted, scored once
+
+
+def test_hybrid_rrf_is_takeordered_fusion_no_shuffle(spark, sf_dir):
+    """hybrid_rrf_retrieval: each ranker's candidate list is a
+    TakeOrderedAndProject over one corpus pass (never a global sort
+    or a corpus-keyed exchange), and the RRF fusion joins two K-row
+    lists — the whole plan must run with ZERO exchanges."""
+    df = QUERIES["hybrid_rrf_retrieval"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert shuffle_count(df) == 0, plan
