@@ -391,3 +391,30 @@ def test_cdc_chunks_resync_under_shift(spark, tmp_path):
     assert a["dup_mass"] / a["total_mass"] > 0.9
     # the unique doc reports zero duplication
     assert rows["b"]["dup_chunks"] == 0
+
+
+def test_cross_split_leakage_detects_planted_pair(spark, tmp_path):
+    """A planted near-duplicate whose endpoints hash to different
+    splits (doc 0 -> train, doc 8 -> test under the 80/10/10 h28
+    bucketing) must surface as exactly one leak pair with the correct
+    split labels; the unrelated doc 1 (train) must not pair with
+    anything."""
+    from barco_spark.operators.dedup import cross_split_leakage
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (0, base, "en", "s0", len(base)),
+        (8, base + " tail", "en", "s0", len(base) + 5),
+        (1, " ".join(f"z{i}" for i in range(30)), "en", "s0", 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: bigint, text: string, lang: string, "
+        "source: string, n_chars: bigint"
+    )
+    d = str(tmp_path / "leak")
+    df.write.parquet(d + "/documents.parquet")
+    out = cross_split_leakage(spark, d).collect()
+    assert [(r.doc_a, r.doc_b, r.split_a, r.split_b) for r in out] == [
+        (0, 8, "train", "test")
+    ], out
+    assert out[0].jaccard >= 0.4
