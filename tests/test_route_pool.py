@@ -138,8 +138,17 @@ def test_pool_garbled_response_surfaces_as_route_exhausted():
 
     def garbage_server():
         conn, _ = lsock.accept()
-        conn.recv(65536)  # read the request, then answer half a status line
-        conn.sendall(b"HTTP/1.1 20")
+        # drain the WHOLE request (headers may arrive in a separate
+        # segment from the body): closing early would reset the still-
+        # sending client (ECONNRESET) instead of exercising the garbled-
+        # status-line read this test is about
+        buf = b""
+        while b"payload" not in buf:
+            chunk = conn.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+        conn.sendall(b"HTTP/1.1 20")  # half a status line, then close
         conn.close()
         served.set()
 
