@@ -573,3 +573,70 @@ def test_fuzz_bm25_idf_quantization(spark, pairs):
         )
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Ranking-operator fuzz: the embedding rankers on random integer vectors
+# ---------------------------------------------------------------------------
+# Integer-component embeddings keep every cosine a sequential double
+# fold over EXACT values, so the fold-determinism convention (registry
+# docstring) predicts bit-identical scores — and therefore identical
+# rankings — on both engines for ANY input, not just the fixtures.
+# These properties put that claim under random fire for the operators
+# whose whole pairing rests on it (greedy MMR argmax chains, recall id
+# sets, RRF fusion of two LIMIT boundaries).
+
+VEC = st.lists(
+    st.integers(min_value=-5, max_value=5), min_size=4, max_size=4
+).filter(lambda v: any(v))
+EMB_TABLES = st.lists(VEC, min_size=8, max_size=24)
+
+
+def _emb_dir(spark, tmp_path_factory, vecs):
+    import duckdb
+
+    d = str(tmp_path_factory.mktemp("fz_emb"))
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<float>, label: int"
+    ).write.parquet(d + "/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a parquet DIRECTORY; DuckDB globs inside it
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{d}/embeddings.parquet/*.parquet'"
+    )
+    return d, con
+
+
+@pytest.mark.parametrize(
+    "name", ["mmr_diverse_rerank", "ann_int8_recall", "ann_matryoshka_recall"]
+)
+@given(vecs=EMB_TABLES)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_embedding_rankers_agree_on_random_vectors(
+    spark, tmp_path_factory, name, vecs
+):
+    from barco_spark.registry import load_all
+
+    Q = load_all()
+    if name == "ann_matryoshka_recall":
+        # the truncation gate slices 16 dims; pad the 4-dim vectors
+        vecs = [v * 4 for v in vecs]
+    d, con = _emb_dir(spark, tmp_path_factory, vecs)
+    try:
+        sdf = Q[name].build(spark, d)
+        srows = sorted(
+            [tuple(r) for r in sdf.collect()], key=_key
+        )
+        drows = sorted(
+            [tuple(r) for r in con.execute(Q[name].oracle).fetchall()],
+            key=_key,
+        )
+        assert srows == drows
+    finally:
+        con.close()
