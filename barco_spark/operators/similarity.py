@@ -747,22 +747,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = (
         ann_ivf_search_exact(spark, sf_dir)
         .filter(F.col("rank") <= RECALL_K)
-        .select("query_id", "cand_id", F.lit(1).alias("_hit"))
+        .select("query_id", "cand_id")
     )
-    return (
-        exact.join(F.broadcast(ivf), ["query_id", "cand_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_hits"),
-            (
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
-                / F.lit(RECALL_K)
-            ).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+    # _recall_report is the shared recall@K arithmetic (defined with
+    # the compressed-representation gates below)
+    return _recall_report(exact, ivf)
 
 
 @register(
@@ -2113,16 +2102,20 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot("v", "qv") / F.sqrt(norm2("v") * norm2("qv"))).alias("cos"),
         )
     )
-    vec_list = (
-        vec_scored.orderBy(F.col("cos").desc(), "doc_id")
-        .limit(RRF_LIST)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
-            .alias("vec_rank"),
+    def ranked_list(scored: DataFrame, score: str, rank_name: str) -> DataFrame:
+        # the tie-break discipline must match at BOTH boundaries: the
+        # LIMIT cut and the rank numbering order by (score desc, doc_id)
+        order = [F.col(score).desc(), F.col("doc_id")]
+        return (
+            scored.orderBy(*order)
+            .limit(RRF_LIST)
+            .select(
+                "doc_id",
+                F.row_number().over(Window.orderBy(*order)).alias(rank_name),
+            )
         )
-    )
+
+    vec_list = ranked_list(vec_scored, "cos", "vec_rank")
     w = t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
     )
@@ -2139,16 +2132,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jac"),
         )
     )
-    lex_list = (
-        lex_scored.orderBy(F.col("jac").desc(), "doc_id")
-        .limit(RRF_LIST)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("jac").desc(), "doc_id"))
-            .alias("lex_rank"),
-        )
-    )
+    lex_list = ranked_list(lex_scored, "jac", "lex_rank")
     contrib = lambda r: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(RRF_K) + F.col(r)), F.lit(0.0)
     )

@@ -600,17 +600,42 @@ def _emb_dir(spark, tmp_path_factory, vecs):
     spark.createDataFrame(
         rows, "vec_id: bigint, embedding: array<float>, label: int"
     ).write.parquet(d + "/embeddings.parquet")
+    # aligned documents table (doc_id == vec_id) for the hybrid ranker:
+    # word bags derived from the vector ints, so lexical overlap varies
+    # with the same generated data and ties occur often
+    docs = [
+        (
+            i,
+            " ".join(f"t{abs(x)}" for x in v) + f" u{i % 3}",
+            "en",
+            "s0",
+            0,
+        )
+        for i, v in enumerate(vecs)
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id: bigint, text: string, lang: string, source: string, "
+        "n_chars: bigint",
+    ).write.parquet(d + "/documents.parquet")
     con = duckdb.connect()
-    con.execute(
-        # Spark writes a parquet DIRECTORY; DuckDB globs inside it
-        "CREATE VIEW embeddings AS SELECT * FROM "
-        f"'{d}/embeddings.parquet/*.parquet'"
-    )
+    for name in ("embeddings", "documents"):
+        con.execute(
+            # Spark writes a parquet DIRECTORY; DuckDB globs inside it
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"'{d}/{name}.parquet/*.parquet'"
+        )
     return d, con
 
 
 @pytest.mark.parametrize(
-    "name", ["mmr_diverse_rerank", "ann_int8_recall", "ann_matryoshka_recall"]
+    "name",
+    [
+        "mmr_diverse_rerank",
+        "ann_int8_recall",
+        "ann_matryoshka_recall",
+        "hybrid_rrf_retrieval",
+    ],
 )
 @given(vecs=EMB_TABLES)
 @settings(
@@ -625,8 +650,10 @@ def test_embedding_rankers_agree_on_random_vectors(
 
     Q = load_all()
     if name == "ann_matryoshka_recall":
-        # the truncation gate slices 16 dims; pad the 4-dim vectors
-        vecs = [v * 4 for v in vecs]
+        # the truncation gate slices the first 16 dims: tile to 32 dims
+        # so the slice genuinely DROPS half the signal (tiling to
+        # exactly 16 would make truncation an identity and test nothing)
+        vecs = [v * 8 for v in vecs]
     d, con = _emb_dir(spark, tmp_path_factory, vecs)
     try:
         sdf = Q[name].build(spark, d)
