@@ -60,6 +60,13 @@ def idle_reference(
             # a record without the shuffle probe (pre-r8 captures)
             # cannot define the band — keep looking at older rounds
             continue
+        if (rec.get("calib_verdict") or {}).get("verdict") == "outside":
+            # an interference-era capture committed WITH its honest
+            # "outside" verdict (round 9's case) must never become the
+            # band: certifying against an uncertified baseline is
+            # circular and silently rebases the band to the noisy
+            # host state — skip to the newest CERTIFIED record
+            continue
         best_n, best_rec = int(m.group(1)), rec
         best_rec["_path"] = os.path.basename(path)
     if best_rec is not None:

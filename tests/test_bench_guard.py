@@ -195,3 +195,41 @@ def test_idle_reference_excludes_own_output_target(tmp_path):
     assert ref["_path"] == "BENCH_LOCAL_r08.json"
     # without exclude the newest wins (the committed-history behavior)
     assert idle_reference(str(tmp_path), 0.1)["_path"] == "BENCH_LOCAL_r09.json"
+
+
+def test_idle_reference_skips_uncertified_records(tmp_path):
+    """A record committed WITH an embedded "outside" verdict (an
+    interference-era capture kept for honesty, round 9's case) must
+    never define the band — certifying against an uncertified baseline
+    is circular and would silently rebase the band to the noisy host
+    state. The newest CERTIFIED record wins instead."""
+    import json
+
+    from barco_spark.calib import idle_reference
+
+    (tmp_path / "BENCH_LOCAL_r08.json").write_text(
+        json.dumps({"sf": 0.1, "calib_shuffle_sec": 0.36})
+    )
+    (tmp_path / "BENCH_LOCAL_r09.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "calib_shuffle_sec": 0.60,
+                "calib_verdict": {"verdict": "outside", "band": 0.25},
+            }
+        )
+    )
+    ref = idle_reference(str(tmp_path), 0.1)
+    assert ref["_path"] == "BENCH_LOCAL_r08.json"
+    assert ref["calib_shuffle_sec"] == 0.36
+    # a record whose embedded verdict is "within" DOES define the band
+    (tmp_path / "BENCH_LOCAL_r10.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "calib_shuffle_sec": 0.37,
+                "calib_verdict": {"verdict": "within", "band": 0.25},
+            }
+        )
+    )
+    assert idle_reference(str(tmp_path), 0.1)["_path"] == "BENCH_LOCAL_r10.json"
