@@ -1436,7 +1436,11 @@ def _split_col(doc_id: str) -> Column:
         "check (ref: the reference's dedup surface has no split "
         "awareness; this is the curation step every pretraining corpus "
         "runs before freezing an eval set). Inherits dedup_minhash_lsh's "
-        "machinery unchanged — banded candidates, capped buckets, "
+        "machinery unchanged — banded candidates, UNCAPPED buckets "
+        "(bucket_cap=None, matching the oracle's CTEs: a leakage check "
+        "must not drop candidates from hot buckets, so completeness "
+        "wins over the dedup_lsh_capped scale guard; at corpus scale "
+        "run the capped variant first and this one on the survivors), "
         "SHJ-pinned verify — and the split is a pure function of the "
         "doc id, so the plan adds two codegen'd hash columns and a "
         "filter to the proven pair plan: zero extra joins or shuffles "

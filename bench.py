@@ -214,20 +214,41 @@ def main() -> None:
     # CALIB_BAND the guard enforces, against the newest committed idle
     # record at this SF — a reader of this JSON line never has to
     # re-derive whether the capture's timings are host-certifiable
-    from barco_spark.calib import certify, idle_reference
+    from barco_spark.calib import (
+        certify,
+        idle_reference,
+        rebased_reference,
+        record_sitting,
+    )
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     local_out = os.environ.get("BENCH_LOCAL_OUT")
-    out["calib_verdict"] = certify(
-        calib_shuffle,
-        idle_reference(
-            repo_dir,
-            sf_val,
-            # never certify against the uncommitted file this run is
-            # about to overwrite — the band must be a PRIOR round's
-            exclude=os.path.basename(local_out) if local_out else None,
-        ),
+    reference = idle_reference(
+        repo_dir,
+        sf_val,
+        # never certify against the uncommitted file this run is
+        # about to overwrite — the band must be a PRIOR round's
+        exclude=os.path.basename(local_out) if local_out else None,
     )
+    out["calib_verdict"] = certify(calib_shuffle, reference)
+    # every run logs its sitting (verdict vs the COMMITTED band) before
+    # any re-basing: the sittings file is the raw evidence trail
+    record_sitting(
+        repo_dir,
+        sf_val,
+        time.time(),
+        calib,
+        calib_shuffle,
+        out["calib_verdict"]["verdict"],
+    )
+    if out["calib_verdict"]["verdict"] == "outside":
+        # escape hatch (calib.py module docstring): when the host has
+        # DURABLY shifted, the sittings log can legitimize a new band;
+        # a merely noisy afternoon returns None and the honest
+        # "outside" verdict stands
+        rebased = rebased_reference(repo_dir, sf_val, reference)
+        if rebased is not None:
+            out["calib_verdict"] = certify(calib_shuffle, rebased)
     if failures:
         out["failures"] = failures
     print(json.dumps(out))

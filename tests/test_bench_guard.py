@@ -189,7 +189,15 @@ def test_idle_reference_excludes_own_output_target(tmp_path):
         json.dumps({"sf": 0.1, "calib_shuffle_sec": 0.36})
     )
     (tmp_path / "BENCH_LOCAL_r09.json").write_text(
-        json.dumps({"sf": 0.1, "calib_shuffle_sec": 0.50})
+        json.dumps(
+            {
+                "sf": 0.1,
+                "calib_shuffle_sec": 0.50,
+                # r>=9 records must embed a "within" verdict to define
+                # the band (ADVICE r9 fix, tested separately below)
+                "calib_verdict": {"verdict": "within", "band": 0.25},
+            }
+        )
     )
     ref = idle_reference(str(tmp_path), 0.1, exclude="BENCH_LOCAL_r09.json")
     assert ref["_path"] == "BENCH_LOCAL_r08.json"
@@ -233,3 +241,153 @@ def test_idle_reference_skips_uncertified_records(tmp_path):
         )
     )
     assert idle_reference(str(tmp_path), 0.1)["_path"] == "BENCH_LOCAL_r10.json"
+
+
+def test_idle_reference_requires_embedded_verdict_from_r9_on(tmp_path):
+    """ADVICE r9: every capture from r9 on embeds its verdict at write
+    time, so a recent record WITHOUT one (or with "no-reference") is a
+    capture-path bug — letting it define the band would partially
+    reopen the circular-certification hole. Pre-r9 records stay
+    verdict-less bootstrap references."""
+    import json
+
+    from barco_spark.calib import idle_reference
+
+    (tmp_path / "BENCH_LOCAL_r08.json").write_text(
+        json.dumps({"sf": 0.1, "calib_shuffle_sec": 0.36})
+    )
+    # newer, but no embedded verdict -> rejected
+    (tmp_path / "BENCH_LOCAL_r11.json").write_text(
+        json.dumps({"sf": 0.1, "calib_shuffle_sec": 0.80})
+    )
+    # newer, but "no-reference" verdict -> rejected
+    (tmp_path / "BENCH_LOCAL_r12.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "calib_shuffle_sec": 0.90,
+                "calib_verdict": {"verdict": "no-reference"},
+            }
+        )
+    )
+    ref = idle_reference(str(tmp_path), 0.1)
+    assert ref["_path"] == "BENCH_LOCAL_r08.json"
+
+
+# -- re-baselining escape hatch (VERDICT r9 item 2) ---------------------
+
+
+def _sittings(tmp_path, rows):
+    import json
+
+    from barco_spark.calib import SITTINGS_FILE
+
+    lines = [
+        json.dumps(
+            {
+                "ts": ts,
+                "sf": 0.1,
+                "calib_sec": 0.2,
+                "calib_shuffle_sec": cs,
+                "verdict_vs_committed": v,
+            }
+        )
+        for ts, cs, v in rows
+    ]
+    (tmp_path / SITTINGS_FILE).write_text("\n".join(lines) + "\n")
+
+
+OLD_REF = {"calib_shuffle_sec": 0.36, "_path": "BENCH_LOCAL_r08.json"}
+H = 3600.0
+
+
+def test_rebase_accepts_a_durable_shift(tmp_path):
+    """Three sittings >=2h apart, all outside the old band, mutually
+    within CALIB_BAND of their median, none followed by an in-band
+    reading -> the median becomes the new reference with provenance."""
+    from barco_spark.calib import certify, rebased_reference
+
+    _sittings(
+        tmp_path,
+        [
+            (0.0, 0.35, "within"),  # the old idle world
+            (10 * H, 0.78, "outside"),  # shift begins
+            (12.5 * H, 0.82, "outside"),
+            (15 * H, 0.76, "outside"),
+        ],
+    )
+    ref = rebased_reference(str(tmp_path), 0.1, OLD_REF)
+    assert ref is not None
+    assert ref["rebased"] is True
+    assert ref["calib_shuffle_sec"] == 0.78  # median of 0.76/0.78/0.82
+    assert [p["calib_shuffle_sec"] for p in ref["rebase_provenance"]] == [
+        0.78,
+        0.82,
+        0.76,
+    ]
+    assert ref["old_reference_file"] == "BENCH_LOCAL_r08.json"
+    # a capture in the new world certifies against it, with provenance
+    verdict = certify(0.80, ref)
+    assert verdict["verdict"] == "within"
+    assert verdict["rebased"] is True
+    assert verdict["old_reference_calib_shuffle_sec"] == 0.36
+
+
+def test_rebase_rejects_a_noisy_round(tmp_path):
+    """Sittings outside the old band but mutually INCONSISTENT (the r9
+    case: 0.41-3.51s across one afternoon) must NOT re-base — noise is
+    not a durable host shift."""
+    from barco_spark.calib import rebased_reference
+
+    _sittings(
+        tmp_path,
+        [
+            (10 * H, 0.48, "outside"),
+            (12.5 * H, 3.51, "outside"),
+            (15 * H, 0.95, "outside"),
+        ],
+    )
+    assert rebased_reference(str(tmp_path), 0.1, OLD_REF) is None
+
+
+def test_rebase_rejects_intermittent_return_to_band(tmp_path):
+    """An in-band sitting NEWER than the would-be evidence chain breaks
+    it: the host still sometimes reads idle, so the old band is still
+    the right yardstick."""
+    from barco_spark.calib import rebased_reference
+
+    _sittings(
+        tmp_path,
+        [
+            (10 * H, 0.78, "outside"),
+            (12.5 * H, 0.80, "outside"),
+            (15 * H, 0.79, "outside"),
+            (16 * H, 0.37, "within"),  # back inside the old band
+        ],
+    )
+    assert rebased_reference(str(tmp_path), 0.1, OLD_REF) is None
+
+
+def test_rebase_rejects_sittings_closer_than_two_hours(tmp_path):
+    """Three outside readings within one hour are one sitting, not
+    three — the gap rule requires the shift to persist across hours."""
+    from barco_spark.calib import rebased_reference
+
+    _sittings(
+        tmp_path,
+        [
+            (10 * H, 0.78, "outside"),
+            (10.4 * H, 0.80, "outside"),
+            (10.8 * H, 0.79, "outside"),
+        ],
+    )
+    assert rebased_reference(str(tmp_path), 0.1, OLD_REF) is None
+
+
+def test_rebase_needs_an_old_reference_and_a_log(tmp_path):
+    from barco_spark.calib import rebased_reference
+
+    assert rebased_reference(str(tmp_path), 0.1, OLD_REF) is None  # no log
+    _sittings(tmp_path, [(10 * H, 0.78, "outside")])
+    assert rebased_reference(str(tmp_path), 0.1, None) is None  # no old ref
+    assert rebased_reference(str(tmp_path), 0.1, OLD_REF) is None  # 1 sitting
