@@ -131,15 +131,46 @@ def refresh_rejections(
                     f"{t01:.3f}s ({sf01_record['_path']}) — contention baked in"
                 )
     if old_pin:
+        calib_reasons: list[str] = []
         for key in ("calib_sec", "calib_shuffle_sec"):
             old = old_pin.get(key)
             new = result.get(key)
             if old and new and abs(new / old - 1.0) > CALIB_BAND:
-                reasons.append(
+                calib_reasons.append(
                     f"{key}: capture {new:.4f}s vs pin idle band "
                     f"{old:.4f}s ±{CALIB_BAND:.0%} — machine not idle or "
                     f"changed; re-capture idle or --force"
                 )
+        if calib_reasons:
+            # calib-v3 escape hatch (same rule as bench.py's verdict):
+            # when the sittings log proves the host DURABLY shifted,
+            # the old pin's calib bands are obsolete as a whole — the
+            # refresh may proceed and the new pin records the new
+            # calibs. A merely noisy capture gets no rebased reference
+            # and the rejections stand.
+            from barco_spark.calib import certify, rebased_reference
+
+            sf = result.get("sf")
+            old_ref = {
+                "calib_shuffle_sec": old_pin.get("calib_shuffle_sec"),
+                "_path": "BENCH_PIN_sf0.01.json",
+            }
+            rebased = (
+                rebased_reference(REPO, sf, old_ref) if sf is not None else None
+            )
+            if (
+                rebased is not None
+                and certify(result.get("calib_shuffle_sec"), rebased)["verdict"]
+                == "within"
+            ):
+                print(
+                    "note: old pin calib bands waived — sittings log "
+                    f"certifies a durable host shift to "
+                    f"{rebased['calib_shuffle_sec']:.4f}s "
+                    f"(provenance: {rebased['rebase_provenance']})"
+                )
+            else:
+                reasons.extend(calib_reasons)
     return reasons
 
 

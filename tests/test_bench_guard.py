@@ -391,3 +391,44 @@ def test_rebase_needs_an_old_reference_and_a_log(tmp_path):
     _sittings(tmp_path, [(10 * H, 0.78, "outside")])
     assert rebased_reference(str(tmp_path), 0.1, None) is None  # no old ref
     assert rebased_reference(str(tmp_path), 0.1, OLD_REF) is None  # 1 sitting
+
+
+def test_refresh_waives_calib_bands_on_certified_durable_shift(
+    tmp_path, monkeypatch, capsys
+):
+    """The calib-v3 hatch applies to the pin refresh too: when the
+    sittings log certifies a durable host shift, the old pin's calib
+    bands are obsolete as a whole and must not block the refresh
+    forever (the refresh records the new calibs in the new pin)."""
+    import json
+
+    monkeypatch.setattr(bg, "REPO", str(tmp_path))
+    _sittings(
+        tmp_path,
+        [(10 * H, 0.78, "outside"), (12.5 * H, 0.82, "outside"),
+         (15 * H, 0.76, "outside")],
+    )
+    # sittings helper writes sf=0.1 rows; the refresh capture must match
+    lines = [
+        json.loads(line) for line in
+        (tmp_path / "CALIB_SITTINGS.jsonl").read_text().splitlines()
+    ]
+    result = {
+        "sf": 0.1,
+        "queries": {"q": 0.5},
+        "calib_sec": 0.44,  # 2x the old pin: would reject without the hatch
+        "calib_shuffle_sec": 0.80,  # within band of the rebased 0.78
+    }
+    old_pin = {"sf": 0.1, "queries": {"q": 0.5}, "calib_sec": 0.20,
+               "calib_shuffle_sec": 0.36}
+    assert bg.refresh_rejections(result, old_pin, None) == []
+    assert "durable host shift" in capsys.readouterr().out
+    # same capture, but the log is the r9 NOISE profile -> both
+    # rejections stand
+    _sittings(
+        tmp_path,
+        [(10 * H, 0.48, "outside"), (12.5 * H, 3.51, "outside"),
+         (15 * H, 0.95, "outside")],
+    )
+    reasons = bg.refresh_rejections(result, old_pin, None)
+    assert len(reasons) == 2 and all("calib" in r for r in reasons)
