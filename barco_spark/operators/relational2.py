@@ -898,6 +898,97 @@ def hll_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(overall)
 
 
+KMV_K = 256  # k-minimum-values sketch size (rel. err ~ 1/sqrt(K-2) ~ 6%)
+_KMV_SPACE = 4503599627370496.0  # 2^52: 13-hex-char md5 slice, exact in double
+
+
+@register(
+    "kmv_distinct_sketch",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT) AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed),
+    per_type AS (
+      SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS h_k
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type),
+    all_k AS (
+      SELECT COUNT(*) AS n_kept, MAX(h) AS h_k FROM (
+        SELECT DISTINCT h FROM hashed ORDER BY h LIMIT {KMV_K})),
+    unioned AS (
+      SELECT event_type, n_kept, h_k FROM per_type
+      UNION ALL
+      SELECT 'ALL' AS event_type, n_kept, h_k FROM all_k)
+    SELECT event_type,
+           CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+                -- explicit DOUBLE casts: DuckDB types dotted literals
+                -- as DECIMAL and overflows the multiplication
+                ELSE (CAST({KMV_K - 1} AS DOUBLE) * CAST({int(_KMV_SPACE)} AS DOUBLE))
+                     / CAST(h_k AS DOUBLE)
+           END AS distinct_users_est
+    FROM unioned
+    """,
+    "aggregation",
+    doc=(
+        "KMV (k-minimum-values) cardinality sketch — the ORACLE-PAIRED "
+        "counterpart to hll_sketch_cardinality: per-event-type distinct-"
+        "user estimates plus the merged 'ALL' row, where merging k-min "
+        "sets is just re-taking the k smallest of their union (the "
+        "Bar-Yossef et al. mergeable-sketch property HLL shares). "
+        f"Estimator: (k-1)/max-normalized k-th smallest of a {KMV_K}-min "
+        "set over a 52-bit md5 slice — every intermediate is an exact "
+        "integer and the single IEEE multiply+divide is reproduced "
+        "bit-for-bit by DuckDB, so unlike HLL (engine-specific sketch "
+        "family, rows-only) even the estimation ERROR hash-matches. "
+        "Scale shape: one distinct shuffle + one width-k-bounded window "
+        "per type; sketch state is k longs per group — mergeable across "
+        "partitions/days like the 100 TB rollup pattern requires."
+    ),
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = KMV_K
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    hashed = (
+        t(spark, sf_dir, "events")
+        .select("event_type", h.alias("h"))
+        .distinct()
+        .persist()  # two consumers (per-type + ALL); rows = distinct
+        # (type, hash) pairs, far smaller than events
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    per_type = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k"))
+    )
+    # merged sketch: k smallest of the union of per-type k-min sets ==
+    # k smallest of all distinct hashes; orderBy+limit plans as
+    # TakeOrderedAndProject (no single-partition window)
+    all_k = (
+        hashed.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k"))
+        .select(F.lit("ALL").alias("event_type"), "n_kept", "h_k")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("h_k").cast("double")
+    )
+    return per_type.unionByName(all_k).select(
+        "event_type", est.alias("distinct_users_est")
+    )
+
+
 CMS_D = 4  # count-min-sketch hash rows
 CMS_W = 256  # buckets per row
 CMS_CAND = 20  # candidate heavy keys to point-query

@@ -105,6 +105,7 @@ HEADLINE = [
     "ann_matryoshka_recall",
     "mmr_diverse_rerank",
     "hybrid_rrf_retrieval",
+    "kmv_distinct_sketch",
 ]
 
 

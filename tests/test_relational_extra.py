@@ -169,6 +169,38 @@ def test_hll_sketch_estimates_close_to_exact(spark, sf_dir):
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
 
 
+def test_kmv_sketch_estimates_close_to_exact(spark, sf_dir):
+    """KMV estimator accuracy: within ~3 sigma (3/sqrt(K-2)) of exact
+    for every group, exact when the group has fewer than K distinct
+    users (the n_kept<K branch), and the ALL row consistent with the
+    per-type rows (same merged universe)."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.operators.relational2 import KMV_K, kmv_distinct_sketch
+    from barco_spark.tables import t
+
+    got = {
+        r.event_type: r.distinct_users_est
+        for r in kmv_distinct_sketch(spark, sf_dir).collect()
+    }
+    ev = t(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    tol = 3.0 / (KMV_K - 2) ** 0.5
+    for k, est in got.items():
+        if exact[k] < KMV_K:
+            # hash collisions on the 52-bit slice are the only slack
+            assert abs(est - exact[k]) <= 1, (k, est, exact[k])
+        else:
+            assert abs(est - exact[k]) <= tol * exact[k], (k, est, exact[k])
+
+
 def test_cms_overestimates_and_bounds(spark, sf_dir):
     """CMS guarantee: est >= exact for every key, and the overestimate
     is bounded by the row with the fewest colliding counts."""
