@@ -995,6 +995,142 @@ CMS_CAND = 20  # candidate heavy keys to point-query
 
 
 @register(
+    "kmv_set_overlap",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT) AS h
+      FROM events),
+    kmin AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed) WHERE rn <= {KMV_K}),
+    ty AS (SELECT DISTINCT event_type FROM kmin),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM ty a JOIN ty b ON a.event_type < b.event_type),
+    u_rows AS (
+      SELECT p.type_a, p.type_b, k.h,
+             MAX(CASE WHEN k.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN k.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN kmin k
+        ON k.event_type = p.type_a OR k.event_type = p.type_b
+      GROUP BY p.type_a, p.type_b, k.h),
+    u_ranked AS (
+      SELECT type_a, type_b, h, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+      FROM u_rows),
+    agg AS (
+      SELECT type_a, type_b,
+             COUNT(*) AS n_u, MAX(h) AS theta,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS common
+      FROM u_ranked WHERE rn <= {KMV_K}
+      GROUP BY type_a, type_b),
+    est AS (
+      SELECT type_a, type_b, common,
+             CASE WHEN n_u < {KMV_K} THEN CAST(n_u AS DOUBLE)
+                  ELSE (CAST({KMV_K - 1} AS DOUBLE)
+                        * CAST({int(_KMV_SPACE)} AS DOUBLE))
+                       / CAST(theta AS DOUBLE) END AS union_est,
+             CAST(common AS DOUBLE) / CAST(n_u AS DOUBLE) AS jaccard_est
+      FROM agg)
+    SELECT type_a, type_b, common, union_est, jaccard_est,
+           jaccard_est * union_est AS inter_est
+    FROM est
+    """,
+    "aggregation",
+    doc=(
+        "KMV set operations (theta-sketch style): distinct-user UNION, "
+        "JACCARD, and INTERSECTION estimates for every unordered "
+        "event-type pair, computed ONLY from the per-type k-min sets — "
+        "the corpus is touched once to build the sketches; all 15 pair "
+        "combinations run in sketch space (<= types*K rows), which is "
+        "the entire point at 100 TB: audience-overlap questions answered "
+        "from KBs of mergeable state instead of pairwise exact "
+        "count_distincts. Estimators (Beyer et al. 2007): k smallest of "
+        "the merged k-min sets give theta and union_est = "
+        "(k-1)*space/theta; jaccard_est = |rows below theta present in "
+        "BOTH sketches| / k. Every count is an exact integer; the two "
+        "IEEE divisions and one multiply reproduce bit-for-bit in "
+        "DuckDB, so the driver hash check covers even the estimation "
+        "error. Oracle-paired sibling of kmv_distinct_sketch."
+    ),
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = KMV_K
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    hashed = (
+        t(spark, sf_dir, "events").select("event_type", h.alias("h")).distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmin = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .persist()  # sketch state: <= types*K rows, feeds pair list +
+        # both sides of the pair expansion
+    )
+    ty = kmin.select("event_type").distinct()
+    pairs = (
+        ty.alias("a")
+        .join(
+            ty.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    # pair x sketch expansion stays in sketch space; the sketch side is
+    # tiny by construction so broadcast is always correct here
+    u_rows = (
+        pairs.join(
+            F.broadcast(kmin),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    agg = (
+        u_rows.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= k)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_u"),
+            F.max("h").alias("theta"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("common"),
+        )
+    )
+    union_est = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("theta").cast("double")
+    )
+    jaccard_est = F.col("common").cast("double") / F.col("n_u").cast("double")
+    return agg.select(
+        "type_a",
+        "type_b",
+        "common",
+        union_est.alias("union_est"),
+        jaccard_est.alias("jaccard_est"),
+        (jaccard_est * union_est).alias("inter_est"),
+    )
+
+
+@register(
     "cms_heavy_hitters",
     f"""
     WITH cms AS (

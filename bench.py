@@ -106,6 +106,7 @@ HEADLINE = [
     "mmr_diverse_rerank",
     "hybrid_rrf_retrieval",
     "kmv_distinct_sketch",
+    "kmv_set_overlap",
 ]
 
 

@@ -39,6 +39,12 @@ BNLJ_OK = {
     # one-row query-by-example doc/embedding broadcast into both
     # ranker scans; the fusion join runs on two 20-row lists
     "hybrid_rrf_retrieval",
+    # sketch-space set ops: the type-pair inequality join and the
+    # pair x sketch OR-expansion both run on the k-min tables, which
+    # are bounded at types*K rows BY CONSTRUCTION (the corpus is
+    # touched once, upstream, to build them) — the broadcast side can
+    # never grow with the data
+    "kmv_set_overlap",
     # same N_QUERY broadcast pool stage; greedy steps are broadcast
     # hash joins on query_id over N_QUERY*MMR_POOL rows
     "mmr_diverse_rerank",

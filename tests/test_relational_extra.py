@@ -201,6 +201,41 @@ def test_kmv_sketch_estimates_close_to_exact(spark, sf_dir):
             assert abs(est - exact[k]) <= tol * exact[k], (k, est, exact[k])
 
 
+def test_kmv_set_overlap_exact_below_k(spark, tmp_path):
+    """With fewer than K distinct users per type, the k-min sets ARE
+    the full hash sets, so every estimate must be exact: planted
+    X=users 0..99, Y=users 50..149 -> union 150, intersection 50,
+    jaccard 1/3."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.operators.relational2 import kmv_set_overlap
+
+    d = str(tmp_path / "sf")
+    rows = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit("X").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).unionByName(
+        spark.range(100).select(
+            (F.col("id") + 1000).alias("event_id"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+            (F.col("id") + 50).alias("user_id"),
+            F.lit("Y").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    rows.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {(r.type_a, r.type_b): r for r in kmv_set_overlap(spark, d).collect()}
+    r = out[("X", "Y")]
+    assert r.common == 50 and r.union_est == 150.0
+    assert abs(r.jaccard_est - 50 / 150) < 1e-12
+    assert abs(r.inter_est - 50.0) < 1e-9
+
+
 def test_cms_overestimates_and_bounds(spark, sf_dir):
     """CMS guarantee: est >= exact for every key, and the overestimate
     is bounded by the row with the fewest colliding counts."""
