@@ -151,8 +151,19 @@ def record_sitting(
     calib_sec: float | None,
     calib_shuffle_sec: float | None,
     verdict: str | None,
+    source: str = "bench",
 ) -> None:
-    """Append one sitting line (best-effort: never fails a bench run)."""
+    """Append one sitting line (best-effort: never fails a bench run).
+
+    ``source`` distinguishes full bench runs ("bench") from standalone
+    probes ("probe", scripts/calib_probe.py).  Probe sittings exist
+    because of the r10 selection-bias hole: when sittings come ONLY
+    from capture attempts that are themselves gated on quiet-looking
+    moments, the log is biased toward a consistent mid-range and the
+    rebase veto ("no newer in-band sitting") is starved of the in-band
+    dips that would fire it.  Cheap probes sample the host state
+    BETWEEN captures, so a host that still reaches the old band keeps
+    vetoing re-bases — rebased_reference treats all sources equally."""
     rec = {
         "ts": round(float(ts), 1),
         "sf": sf,
@@ -161,6 +172,7 @@ def record_sitting(
         # verdict vs the OLD committed band at capture time, so the
         # sittings log itself shows when the drift started
         "verdict_vs_committed": verdict,
+        "source": source,
     }
     try:
         with open(os.path.join(repo_dir, SITTINGS_FILE), "a") as f:

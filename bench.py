@@ -233,24 +233,31 @@ def main() -> None:
         exclude=os.path.basename(local_out) if local_out else None,
     )
     out["calib_verdict"] = certify(calib_shuffle, reference)
-    # every run logs its sitting (verdict vs the COMMITTED band) before
-    # any re-basing: the sittings file is the raw evidence trail
+    if out["calib_verdict"]["verdict"] == "outside":
+        # escape hatch (calib.py module docstring): when the host has
+        # DURABLY shifted, the sittings log can legitimize a new band;
+        # a merely noisy afternoon returns None and the honest
+        # "outside" verdict stands.  Checked BEFORE this run's own
+        # sitting is appended: the r10 saga caught a capture whose own
+        # probe became the median of the chain that certified it
+        # (deviation 0.0 against itself) — a run must never contribute
+        # evidence to its own re-base, the sitting-level analogue of
+        # the exclude-own-output rule above.
+        rebased = rebased_reference(repo_dir, sf_val, reference)
+        if rebased is not None:
+            out["calib_verdict"] = certify(calib_shuffle, rebased)
+    # every run logs its sitting (verdict vs the COMMITTED band, source
+    # "bench"): the raw evidence trail, appended after the rebase check
+    # so it can shape only FUTURE runs' verdicts, never its own
     record_sitting(
         repo_dir,
         sf_val,
         time.time(),
         calib,
         calib_shuffle,
-        out["calib_verdict"]["verdict"],
+        certify(calib_shuffle, reference)["verdict"],
+        source="bench",
     )
-    if out["calib_verdict"]["verdict"] == "outside":
-        # escape hatch (calib.py module docstring): when the host has
-        # DURABLY shifted, the sittings log can legitimize a new band;
-        # a merely noisy afternoon returns None and the honest
-        # "outside" verdict stands
-        rebased = rebased_reference(repo_dir, sf_val, reference)
-        if rebased is not None:
-            out["calib_verdict"] = certify(calib_shuffle, rebased)
     if failures:
         out["failures"] = failures
     print(json.dumps(out))

@@ -432,3 +432,38 @@ def test_refresh_waives_calib_bands_on_certified_durable_shift(
     )
     reasons = bg.refresh_rejections(result, old_pin, None)
     assert len(reasons) == 2 and all("calib" in r for r in reasons)
+
+
+def test_rebase_vetoed_by_probe_source_sittings(tmp_path):
+    """The r10 selection-bias fix: sittings from scripts/calib_probe.py
+    (source "probe") count as veto evidence exactly like bench runs —
+    an in-band probe dip newer than the would-be chain kills the
+    re-base even when every CAPTURE sitting reads outside."""
+    import json
+
+    from barco_spark.calib import SITTINGS_FILE, rebased_reference
+
+    lines = [
+        {"ts": 10 * H, "sf": 0.1, "calib_shuffle_sec": 0.66,
+         "verdict_vs_committed": "outside", "source": "bench"},
+        {"ts": 12.5 * H, "sf": 0.1, "calib_shuffle_sec": 0.65,
+         "verdict_vs_committed": "outside", "source": "bench"},
+        # a cheap probe BETWEEN capture attempts catches the host
+        # dipping back into the old band
+        {"ts": 13 * H, "sf": 0.1, "calib_shuffle_sec": 0.37,
+         "verdict_vs_committed": "within", "source": "probe"},
+        {"ts": 15 * H, "sf": 0.1, "calib_shuffle_sec": 0.64,
+         "verdict_vs_committed": "outside", "source": "bench"},
+    ]
+    (tmp_path / SITTINGS_FILE).write_text(
+        "\n".join(json.dumps(r) for r in lines) + "\n"
+    )
+    assert rebased_reference(str(tmp_path), 0.1, OLD_REF) is None
+    # without the probe line the same log WOULD re-base — proving the
+    # probe is the decisive evidence
+    (tmp_path / SITTINGS_FILE).write_text(
+        "\n".join(json.dumps(r) for r in lines if r["source"] == "bench")
+        + "\n"
+    )
+    ref = rebased_reference(str(tmp_path), 0.1, OLD_REF)
+    assert ref is not None and ref["calib_shuffle_sec"] == 0.65
