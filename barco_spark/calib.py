@@ -182,18 +182,32 @@ def record_sitting(
 
 
 def rebased_reference(
-    repo_dir: str, sf: float | str, old_reference: dict | None
+    repo_dir: str,
+    sf: float | str,
+    old_reference: dict | None,
+    ts_cutoff: float | None = None,
 ) -> dict | None:
     """The escape hatch: a NEW reference derived from the sittings log
     when the host has durably changed (module docstring has the rule).
     Returns a reference dict (median shuffle calib + provenance) usable
     by certify(), or None when the evidence does not support re-basing
     — a noisy round must keep failing certification rather than
-    silently adopt the noise as the new normal."""
+    silently adopt the noise as the new normal.
+
+    ``ts_cutoff``: ignore sittings recorded at or after this timestamp.
+    Callers that append sittings as a side effect of the capture they
+    are judging (bench_guard --update runs bench.py subprocesses, each
+    of which records one) MUST pass the attempt's start time here, so
+    the capture's own probes can never become the durable-shift
+    evidence that waives the old pin's calib bands. bench.py gets the
+    same guarantee by ordering (rebase check BEFORE its own append);
+    this parameter gives out-of-process callers the same ordering."""
     old_cs = (old_reference or {}).get("calib_shuffle_sec")
     if not old_cs:
         return None  # nothing to escape from
     sittings = load_sittings(repo_dir, sf)
+    if ts_cutoff is not None:
+        sittings = [r for r in sittings if float(r["ts"]) < ts_cutoff]
     if not sittings:
         return None
 

@@ -993,6 +993,18 @@ CMS_D = 4  # count-min-sketch hash rows
 CMS_W = 256  # buckets per row
 CMS_CAND = 20  # candidate heavy keys to point-query
 
+# kmv_set_overlap pair-expansion guard: the pair list is quadratic in
+# the number of group keys, which is fine at the warehouse's 6 event
+# types but NOT at a 100 TB corpus keyed by, say, source domain
+# (thousands of values: 1000 types -> 499_500 pairs x K rows). Cap the
+# pair stage at the top KMV_MAX_TYPES types by estimated cardinality
+# (exact-integer ordering: sketch fill n DESC, theta ASC — smaller kth
+# minimum = larger set — then type name), so the expansion is bounded
+# at C(64,2)=2016 pairs regardless of key cardinality. The oracle SQL
+# applies the identical cap, so the pairing stays bit-exact on both
+# sides of the cap threshold.
+KMV_MAX_TYPES = 64
+
 
 @register(
     "kmv_set_overlap",
@@ -1006,7 +1018,12 @@ CMS_CAND = 20  # candidate heavy keys to point-query
         SELECT event_type, h,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
         FROM hashed) WHERE rn <= {KMV_K}),
-    ty AS (SELECT DISTINCT event_type FROM kmin),
+    ty AS (
+      SELECT event_type FROM (
+        SELECT event_type, COUNT(*) AS n, MAX(h) AS theta
+        FROM kmin GROUP BY event_type
+        ORDER BY n DESC, theta ASC, event_type ASC
+        LIMIT {KMV_MAX_TYPES})),
     pairs AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b
       FROM ty a JOIN ty b ON a.event_type < b.event_type),
@@ -1045,13 +1062,22 @@ CMS_CAND = 20  # candidate heavy keys to point-query
         "JACCARD, and INTERSECTION estimates for every unordered "
         "event-type pair, computed ONLY from the per-type k-min sets — "
         "the corpus is touched once to build the sketches; all 15 pair "
-        "combinations run in sketch space (<= types*K rows), which is "
+        "combinations run in sketch space (<= types*K rows). The pair "
+        "list is quadratic in key cardinality, so it is capped at the "
+        f"top {KMV_MAX_TYPES} types by estimated cardinality "
+        "(KMV_MAX_TYPES, exact-integer ordering mirrored in the "
+        "oracle): at a corpus keyed by thousands of domains the "
+        "expansion stays <= C(64,2) pairs instead of growing "
+        "unboundedly. This bounded shape is "
         "the entire point at 100 TB: audience-overlap questions answered "
         "from KBs of mergeable state instead of pairwise exact "
         "count_distincts. Estimators (Beyer et al. 2007): k smallest of "
         "the merged k-min sets give theta and union_est = "
         "(k-1)*space/theta; jaccard_est = |rows below theta present in "
-        "BOTH sketches| / k. Every count is an exact integer; the two "
+        "BOTH sketches| divided by min(k, merged distinct count) (n_u — "
+        "when the merged sets hold fewer than K values the estimator "
+        "degrades to the exact Jaccard over everything seen). Every "
+        "count is an exact integer; the two "
         "IEEE divisions and one multiply reproduce bit-for-bit in "
         "DuckDB, so the driver hash check covers even the estimation "
         "error. Oracle-paired sibling of kmv_distinct_sketch."
@@ -1073,7 +1099,21 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # sketch state: <= types*K rows, feeds pair list +
         # both sides of the pair expansion
     )
-    ty = kmin.select("event_type").distinct()
+    # Pair-expansion guard (KMV_MAX_TYPES comment above): keep only the
+    # top types by estimated cardinality before the quadratic pair
+    # stage. Exact-integer ordering (n DESC, theta ASC, name ASC) so
+    # the oracle reproduces the selection bit-for-bit; the groupBy runs
+    # on the sketch table (<= types*K rows) and TakeOrderedAndProject
+    # bounds the driver-side result at KMV_MAX_TYPES rows.
+    ty = (
+        kmin.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("theta"))
+        .orderBy(
+            F.col("n").desc(), F.col("theta").asc(), F.col("event_type").asc()
+        )
+        .limit(KMV_MAX_TYPES)
+        .select("event_type")
+    )
     pairs = (
         ty.alias("a")
         .join(

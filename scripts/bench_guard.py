@@ -44,6 +44,7 @@ import os
 import re
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PIN_PATH = os.path.join(REPO, "BENCH_PIN_sf0.01.json")
@@ -113,10 +114,21 @@ def latest_sf01_record() -> dict | None:
 
 
 def refresh_rejections(
-    result: dict, old_pin: dict | None, sf01_record: dict | None
+    result: dict,
+    old_pin: dict | None,
+    sf01_record: dict | None,
+    ts_cutoff: float | None = None,
 ) -> list[str]:
     """Sanity gate for --update: reasons this capture must NOT become
-    the pin. Pure function (tested in tests/test_bench_guard.py)."""
+    the pin. Pure function (tested in tests/test_bench_guard.py).
+
+    ``ts_cutoff`` (the --update attempt's start time) fences the
+    durable-shift escape hatch off from the capture's own calib probes:
+    each run_bench() subprocess appends a 'bench' sitting, and without
+    the fence those self-recorded sittings could become the newest
+    chain elements (or the median) of the very evidence that waives the
+    old pin's calib-band rejections — the hole bench.py closes by
+    checking the rebase before appending its own sitting."""
     reasons: list[str] = []
     timings: dict[str, float] = result["queries"]
     if sf01_record and sf01_record.get("sf") == 0.1:
@@ -156,7 +168,9 @@ def refresh_rejections(
                 "_path": "BENCH_PIN_sf0.01.json",
             }
             rebased = (
-                rebased_reference(REPO, sf, old_ref) if sf is not None else None
+                rebased_reference(REPO, sf, old_ref, ts_cutoff=ts_cutoff)
+                if sf is not None
+                else None
             )
             if (
                 rebased is not None
@@ -233,6 +247,10 @@ def main() -> int:
         # compare against an arbitrary committed per-query record
         # (BENCH_LOCAL_r{N}.json) — same "queries" map as the pin
         pin_path = os.path.join(REPO, args[args.index("--pin") + 1])
+    # Fence for the rebase escape hatch: sittings recorded at or after
+    # this moment are this attempt's own probes, not admissible
+    # durable-shift evidence (refresh_rejections docstring).
+    attempt_start = time.time()
     result = run_bench()
     timings: dict[str, float] = result["queries"]
 
@@ -261,7 +279,9 @@ def main() -> int:
                 r.get("calib_shuffle_sec") or 9e9 for r in runs
             ),
         }
-        reasons = refresh_rejections(result, old_pin, latest_sf01_record())
+        reasons = refresh_rejections(
+            result, old_pin, latest_sf01_record(), ts_cutoff=attempt_start
+        )
         if reasons and not force:
             print("PIN REFRESH REJECTED (capture not idle-clean):")
             for r in reasons:

@@ -467,3 +467,64 @@ def test_rebase_vetoed_by_probe_source_sittings(tmp_path):
     )
     ref = rebased_reference(str(tmp_path), 0.1, OLD_REF)
     assert ref is not None and ref["calib_shuffle_sec"] == 0.65
+
+
+def test_rebase_ts_cutoff_fences_out_self_evidence(tmp_path):
+    """The r11 fix for bench_guard --update's self-evidence hole: the
+    capture's own run_bench() subprocesses each append a sitting BEFORE
+    refresh_rejections consults rebased_reference, so without a fence
+    the attempt's own probes can complete (or re-median) the
+    durable-shift chain that waives the old pin's calib bands.
+    Passing ts_cutoff = attempt start time excludes them — mirroring
+    bench.py's check-before-append ordering."""
+    _sittings(
+        tmp_path,
+        [
+            (0.0, 0.35, "within"),
+            (10 * H, 0.78, "outside"),
+            (12.5 * H, 0.80, "outside"),
+            # the --update attempt starts at 20h; its three bench
+            # subprocesses appended these:
+            (20 * H, 0.79, "outside"),
+            (20.2 * H, 0.81, "outside"),
+        ],
+    )
+    from barco_spark.calib import rebased_reference
+
+    # unfenced, the attempt's own sittings complete the 3-element chain
+    assert rebased_reference(str(tmp_path), 0.1, OLD_REF) is not None
+    # fenced at the attempt start, only 2 admissible sittings remain ->
+    # no re-base; the calib-band rejections stand
+    assert (
+        rebased_reference(str(tmp_path), 0.1, OLD_REF, ts_cutoff=20 * H)
+        is None
+    )
+
+
+def test_refresh_rejections_passes_cutoff_through(tmp_path, monkeypatch):
+    """refresh_rejections(ts_cutoff=...) must actually thread the fence
+    into rebased_reference: with the fence, the calib-outside-band
+    rejection stands even when post-cutoff self-sittings would have
+    certified a durable shift."""
+    import scripts.bench_guard as bg
+    from barco_spark.calib import SITTINGS_FILE  # noqa: F401
+
+    _sittings(
+        tmp_path,
+        [
+            (10 * H, 0.78, "outside"),
+            (12.5 * H, 0.80, "outside"),
+            (20 * H, 0.79, "outside"),  # the attempt's own probe
+        ],
+    )
+    monkeypatch.setattr(bg, "REPO", str(tmp_path))
+    result = {"sf": 0.1, "queries": {}, "calib_sec": 0.3,
+              "calib_shuffle_sec": 0.79}
+    old_pin = {"calib_sec": 0.2, "calib_shuffle_sec": 0.36, "queries": {}}
+    # unfenced: the self-sitting completes the chain and waives the band
+    assert bg.refresh_rejections(result, old_pin, None) == []
+    # fenced at the attempt start: rejection stands
+    reasons = bg.refresh_rejections(
+        result, old_pin, None, ts_cutoff=20 * H
+    )
+    assert any("calib_shuffle_sec" in r for r in reasons)

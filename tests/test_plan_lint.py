@@ -42,8 +42,12 @@ BNLJ_OK = {
     # sketch-space set ops: the type-pair inequality join and the
     # pair x sketch OR-expansion both run on the k-min tables, which
     # are bounded at types*K rows BY CONSTRUCTION (the corpus is
-    # touched once, upstream, to build them) — the broadcast side can
-    # never grow with the data
+    # touched once, upstream, to build them). The type list itself is
+    # capped at KMV_MAX_TYPES (=64) by estimated cardinality before
+    # the quadratic pair stage, so even a corpus keyed by thousands of
+    # domains bounds the BNLJ sides at C(64,2) pairs x K rows — the
+    # broadcast side can never grow with the data OR the key domain
+    # (tested at 1000 synthetic types in test_relational_extra.py)
     "kmv_set_overlap",
     # same N_QUERY broadcast pool stage; greedy steps are broadcast
     # hash joins on query_id over N_QUERY*MMR_POOL rows

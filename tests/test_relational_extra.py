@@ -236,6 +236,68 @@ def test_kmv_set_overlap_exact_below_k(spark, tmp_path):
     assert abs(r.inter_est - 50.0) < 1e-9
 
 
+def test_kmv_set_overlap_caps_type_cardinality(spark, tmp_path):
+    """Pair-expansion guard (KMV_MAX_TYPES): at 1000 event types the
+    pair stage must engage the cap — only the top-64 types by estimated
+    cardinality survive, so the output is C(64,2)=2016 pairs instead of
+    C(1000,2)=499500. Types 0..63 are planted with 40 distinct users
+    each, types 64..999 with 2 each, so the exact-integer ordering
+    (n DESC, theta ASC, name ASC) keeps exactly the big types. The
+    DuckDB oracle applies the identical cap, keeping parity bit-exact
+    past the threshold."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from barco_spark.operators.relational2 import (
+        KMV_MAX_TYPES,
+        kmv_set_overlap,
+    )
+    from barco_spark.registry import load_all
+
+    d = str(tmp_path / "sf")
+    big = spark.range(64 * 40).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        # 40 distinct users per big type, disjoint across types
+        F.col("id").alias("user_id"),
+        F.format_string("big_%03d", (F.col("id") % 64)).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    small = spark.range(936 * 2).select(
+        (F.col("id") + 100_000).alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        (F.col("id") + 100_000).alias("user_id"),
+        F.format_string("sm_%03d", (F.col("id") % 936)).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    big.unionByName(small).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = kmv_set_overlap(spark, d).collect()
+    n = KMV_MAX_TYPES
+    assert len(out) == n * (n - 1) // 2  # cap engaged: 2016, not 499500
+    kept = {r.type_a for r in out} | {r.type_b for r in out}
+    assert kept == {f"big_{i:03d}" for i in range(64)}
+
+    # oracle applies the same cap -> identical pair set and values
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{d}/events.parquet/*.parquet'"
+    )
+    oracle = load_all()["kmv_set_overlap"].oracle
+    duck = con.execute(oracle).fetchall()
+    con.close()
+    assert len(duck) == len(out)
+    s_rows = sorted(
+        (r.type_a, r.type_b, r.common, round(r.union_est, 9)) for r in out
+    )
+    d_rows = sorted((a, b, c, round(u, 9)) for a, b, c, u, _, _ in duck)
+    assert s_rows == d_rows
+
+
 def test_cms_overestimates_and_bounds(spark, sf_dir):
     """CMS guarantee: est >= exact for every key, and the overestimate
     is bounded by the row with the fewest colliding counts."""
