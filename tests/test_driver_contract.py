@@ -1,22 +1,45 @@
-"""Pin the driver contract's curated CORRECTNESS window.
+"""Pin the driver contract's rotating CORRECTNESS window (r11 policy).
 
 The driver hash-checks exactly the FIRST 50 entries of
-``__spark_entry__.queries()`` in iteration order (observed unchanged
-r1-r9).  Round 10 curates that window (VERDICT r9 item 1): relational
-anchors that have been green since r1 stay in as regression canaries,
-and the LLM-pipeline flagships get their first driver-oracle exposure.
-These tests make the composition an explicit, reviewed contract instead
-of an import-order accident.
+``__spark_entry__.queries()`` in iteration order.  Round 10 curated the
+window once (relational anchors + LLM flagships); round 11 turns the
+curation into a standing ROTATION POLICY (VERDICT r10 item 2) so the
+whole registry cycles through driver-oracle coverage:
+
+* ``CANARY_CORE`` (10 fixed queries) appears in every round's window.
+* The other 40 slots rotate each round through oracle-paired entries
+  that have never had a driver-oracle row; when that pool drains, the
+  least-recently-checked return.
+* Each round's window must be >=60% disjoint from the previous round's
+  committed window.
+
+These tests make the policy an explicit, reviewed contract instead of
+an import-order accident.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
 
 import __spark_entry__ as entrymod
 from barco_spark.registry import load_all
 
 QUERIES = load_all()
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROTATION_ROUND = 11  # bump when a new ROTATION_R{N} list lands
 
-LLM_CATEGORIES = {"dedup", "similarity", "text", "pipeline", "sampling", "udf"}
+
+def _checked_before(round_n: int) -> set[str]:
+    """Names with a driver-oracle row in any committed CORRECTNESS file
+    from a round strictly before ``round_n``."""
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        digits = "".join(c for c in os.path.basename(path) if c.isdigit())
+        if digits and int(digits) < round_n:
+            seen |= set(json.load(open(path)).keys())
+    return seen
 
 
 def test_window_is_exactly_fifty_known_queries():
@@ -35,27 +58,61 @@ def test_queries_iteration_order_leads_with_the_window():
     assert len(names) == len(QUERIES)
 
 
-def test_window_has_oracled_llm_flagships_and_kept_anchors():
-    w = entrymod.DRIVER_WINDOW
+def test_canary_core_is_fixed_and_first():
+    """The 10 regression tripwires open every round's window, flagship
+    first (entry() depends on q1)."""
+    core = entrymod.CANARY_CORE
+    assert len(core) == 10 and len(set(core)) == 10
+    assert core[0] == "q1_pricing_summary"
+    assert entrymod.DRIVER_WINDOW[:10] == core
+    # every core member is oracle-paired — canaries must hash-check
+    assert all(QUERIES[n].oracle is not None for n in core)
+    # the anchors the verdicts watch hardest stay in the core
+    for anchor in (
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "scan_filter_project",
+        "events_exact_tokens",
+        "events_bucket_offsets",
+    ):
+        assert anchor in core
+
+
+def test_window_rotates_at_least_sixty_percent():
+    """Policy invariant: the current window shares at most 20 names with
+    the previous round's committed window (>=60% disjoint)."""
+    overlap = set(entrymod.DRIVER_WINDOW) & set(entrymod.WINDOW_R10)
+    assert len(overlap) <= 20, sorted(overlap)
+
+
+def test_rotating_slots_are_previously_unchecked_and_oracled():
+    """While the never-checked pool lasts, every rotating slot must be a
+    query with NO driver-oracle row in any earlier round, and must be
+    oracle-paired (the window spends at most 1 slot on a rows-only
+    entry)."""
+    rotation = entrymod.DRIVER_WINDOW[10:]
+    assert len(rotation) == 40
+    seen = _checked_before(ROTATION_ROUND)
+    stale = [n for n in rotation if n in seen]
+    assert not stale, f"rotating slots already driver-checked: {stale}"
+    rows_only = [
+        n for n in entrymod.DRIVER_WINDOW if QUERIES[n].oracle is None
+    ]
+    assert len(rows_only) <= 1, rows_only
+
+
+def test_rotation_spans_the_llm_pipeline_surface():
+    """Every round's window must exercise the LLM-pipeline surface, not
+    just relational anchors: >=15 oracle-paired entries from the
+    dedup/similarity/text/pipeline/sampling/udf categories."""
+    llm_categories = {"dedup", "similarity", "text", "pipeline", "sampling", "udf"}
     llm_oracled = [
         n
-        for n in w
-        if QUERIES[n].category in LLM_CATEGORIES and QUERIES[n].oracle is not None
+        for n in entrymod.DRIVER_WINDOW
+        if QUERIES[n].category in llm_categories
+        and QUERIES[n].oracle is not None
     ]
-    # VERDICT r9 item 1 done-criterion: >=15 LLM-pipeline operators with
-    # a real driver-oracle row (hash check, not rows-only)
     assert len(llm_oracled) >= 15, llm_oracled
-    # the flagship + the broker/window anchors the verdict called out
-    for anchor in (
-        "q1_pricing_summary",
-        "events_exact_tokens",
-        "consumer_lag_report",
-        "window_topk_per_group",
-    ):
-        assert anchor in w
-    # at most one rows-only entry spends window budget without a hash row
-    rows_only = [n for n in w if QUERIES[n].oracle is None]
-    assert len(rows_only) <= 1, rows_only
 
 
 def test_oracle_sql_matches_registry():
