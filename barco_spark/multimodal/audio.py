@@ -164,9 +164,22 @@ from barco_spark.registry import register  # noqa: E402
 
 @register(
     "audio_feature_extract",
-    None,  # real WAV parse: no SQL twin (rows-only); exactness is
-    # asserted against closed-form synthesis values in
-    # tests/test_multimodal.py
+    """
+    WITH files AS (
+      SELECT i,
+             CAST(100*(1+i%10) AS INTEGER) AS duration_bucket_ms,
+             8000+(i%8)*1000 AS amp,
+             8 * (100*(1+i%10)) AS n_frames
+      FROM generate_series(0,59) t(i))
+    SELECT duration_bucket_ms,
+           COUNT(*) AS n_files,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+           CAST(MIN(amp) AS INTEGER) AS min_rms,
+           CAST(MAX(amp) AS INTEGER) AS max_rms,
+           CAST(SUM(CASE WHEN amp >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
+             AS clipped_files
+    FROM files GROUP BY duration_bucket_ms ORDER BY duration_bucket_ms
+    """,
     "udf",
     doc=(
         "Audio feature extraction over REAL RIFF/WAVE blobs (stdlib "
@@ -177,6 +190,10 @@ from barco_spark.registry import register  # noqa: E402
         "rate (peak at full scale). Square-wave synthesis gives "
         "closed-form expected features (RMS == amplitude exactly), so "
         "the tests pin decode correctness without any audio library. "
+        "ORACLE-PAIRED (r11): the SQL recomputes the same aggregates "
+        "from the synthesis parameters directly (all integers) — the "
+        "Spark side goes through the REAL RIFF/WAVE encode->decode "
+        "roundtrip, so a hash mismatch means the codec broke. "
         "Map-only decode; the lone shuffle is the final tiny rollup."
     ),
 )

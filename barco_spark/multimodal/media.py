@@ -125,9 +125,12 @@ def _fake_pixels(blob: bytes, w: int, h: int) -> bytes:
 
     Stands in for a real codec (PIL.Image.open) which is unavailable
     here; same input -> same "pixels", so downstream stages are
-    testable.
+    testable.  Seeded from the blob's lowercase-hex digest (not the raw
+    bytes) so SQL oracles can rebuild the stub: DuckDB's sha256() takes
+    VARCHAR only, and ``sha256(lower(hex(blob)))`` there equals
+    ``sha256(blob.hex())`` here byte-for-byte.
     """
-    out = hashlib.sha256(blob).digest()
+    out = hashlib.sha256(blob.hex().encode()).digest()
     need = w * h
     return (out * (need // len(out) + 1))[:need]
 
@@ -290,8 +293,19 @@ from barco_spark.registry import register  # noqa: E402
 
 @register(
     "multimodal_profile",
-    None,  # binary decode/feature pipeline: no SQL twin (rows-only);
-    # stage-level behavior is asserted in tests/test_multimodal.py
+    """
+    WITH m AS (
+      SELECT i,
+             CASE i%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+             CASE WHEN i%3 = 1 THEN 1024  -- audio: stub decode default 32x32
+                  ELSE (64+(i%8)*32) * (64+(i%5)*32) END AS decoded_len
+      FROM generate_series(0,119) t(i))
+    SELECT kind, COUNT(*) AS n_items,
+           AVG(decoded_len) AS avg_decoded_bytes,
+           CAST(16 AS INTEGER) AS feature_dim
+    FROM m GROUP BY kind ORDER BY kind
+    """,
     "pipeline",
     doc=(
         "End-to-end multimodal pipeline over the deterministic synthetic "
@@ -299,7 +313,12 @@ from barco_spark.registry import register  # noqa: E402
         "decode (codec stubbed, Arrow batch shape real) -> feature "
         "extraction -> per-kind profile (counts, mean decoded bytes, "
         "feature dim). Exercises the exact schema/partitioning/UDF "
-        "plumbing a real codec would use at 100 TB."
+        "plumbing a real codec would use at 100 TB. ORACLE-PAIRED "
+        "(r11): decoded lengths are closed-form in the synthesis "
+        "parameters (w*h from the planted metadata; the audio default "
+        "32x32), so the SQL recomputes the profile from first "
+        "principles — a mismatch means the decode/feature plumbing "
+        "changed shape, which is exactly what the row should catch."
     ),
 )
 def multimodal_profile(spark, sf_dir):
@@ -329,6 +348,12 @@ def perceptual_hash(decoded: DataFrame, grid: int = 8) -> DataFrame:
     global mean, pack the bits. Identical pixels -> identical hash;
     the standard cheap perceptual key for image near-dup blocking
     (pHash/dHash swap in with the same mapInPandas plumbing).
+
+    Exact-integer thresholding: with equal cell sizes, ``cell_mean >=
+    global_mean`` is algebraically ``cells * cell_sum >= total_sum`` —
+    computed on int64 sums so the bit pattern is engine-independent
+    (no float-rounding flips on near-ties) and a SQL oracle reproduces
+    the hash bit-for-bit.
     """
     out_schema = StructType(
         [
@@ -350,12 +375,12 @@ def perceptual_hash(decoded: DataFrame, grid: int = 8) -> DataFrame:
                     continue
                 # mean-pool into `cells` buckets (pad the tail bucket)
                 pad = (-len(arr)) % cells
-                pooled = (
+                sums = (
                     np.pad(arr, (0, pad), mode="edge")
                     .reshape(cells, -1)
-                    .mean(axis=1)
+                    .sum(axis=1, dtype=np.int64)
                 )
-                bits = (pooled >= pooled.mean()).astype(np.uint64)
+                bits = (cells * sums >= sums.sum()).astype(np.uint64)
                 h = np.uint64(0)
                 for bit in bits:
                     h = (h << np.uint64(1)) | bit
@@ -370,8 +395,45 @@ def perceptual_hash(decoded: DataFrame, grid: int = 8) -> DataFrame:
 
 @register(
     "phash_image_dedup",
-    None,  # decode + perceptual hash: no SQL twin (rows-only); hash
-    # determinism and dup-grouping are asserted in tests/test_multimodal.py
+    """
+    WITH ids AS (SELECT i FROM generate_series(0,119) t(i) WHERE i%3=0),
+    all_media AS (
+      SELECT i AS media_id, i AS seed FROM ids
+      UNION ALL
+      SELECT i+1000 AS media_id, i AS seed FROM ids WHERE i%4=0),
+    blobs AS (
+      SELECT media_id,
+             repeat(sha256('media-' || seed), 8) AS blob_hex,
+             (64+(seed%8)*32) * (64+(seed%5)*32) AS len
+      FROM all_media),
+    pix AS (
+      SELECT media_id, len, (len // 64) AS bs,
+             substr(repeat(sha256(blob_hex), len // 32 + 1), 1, len * 2)
+               AS pixhex
+      FROM blobs),
+    bytes_ AS (
+      SELECT media_id, bs, p // bs AS cell,
+             ('0x' || substr(pixhex, 2*p + 1, 2))::BIGINT AS v
+      FROM pix, unnest(generate_series(0, len - 1)) u(p)),
+    cells AS (
+      SELECT media_id, cell, SUM(v) AS s
+      FROM bytes_ GROUP BY media_id, cell),
+    tot AS (SELECT media_id, SUM(s) AS total FROM cells GROUP BY media_id),
+    bits AS (
+      SELECT c.media_id, c.cell,
+             CASE WHEN 64 * c.s >= t.total THEN 1 ELSE 0 END AS bit
+      FROM cells c JOIN tot t USING (media_id)),
+    hashes AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN bit = 1 THEN
+                   CASE WHEN cell = 0 THEN -9223372036854775808
+                        ELSE (CAST(1 AS BIGINT)
+                              << (63 - CAST(cell AS INTEGER))) END
+                 ELSE 0 END) AS BIGINT) AS phash
+      FROM bits GROUP BY media_id)
+    SELECT phash, MIN(media_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM hashes GROUP BY phash HAVING COUNT(*) >= 2
+    """,
     "dedup",
     doc=(
         "Image dedup by perceptual hash: binary blobs -> mapInPandas "
@@ -379,9 +441,15 @@ def perceptual_hash(decoded: DataFrame, grid: int = 8) -> DataFrame:
         "(exact-dedup shuffle shape on an 8-byte key). The builder "
         "plants known duplicates (every 4th item re-produced under a "
         "new media_id), so the returned groups prove end-to-end that "
-        "identical pixels collapse to one keeper. At 100 TB the "
-        "decode+hash pass is map-only Arrow batches and the shuffle "
-        "carries (phash, media_id) pairs only."
+        "identical pixels collapse to one keeper. ORACLE-PAIRED (r11, "
+        "closing the window's one rows-only row): the synthetic corpus, "
+        "the hex-seeded stub decode, and the exact-integer aHash "
+        "thresholding (64*cell_sum >= total, two's-complement packing) "
+        "are all rebuilt in pure SQL, so DuckDB reproduces every hash "
+        "bit — including the degenerate all-ones hash the repeating "
+        "fake pixels produce — and the driver hash-checks the groups. "
+        "At 100 TB the decode+hash pass is map-only Arrow batches and "
+        "the shuffle carries (phash, media_id) pairs only."
     ),
 )
 def phash_image_dedup(spark, sf_dir):

