@@ -954,25 +954,34 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
     ).cast("bigint")
-    hashed = (
-        t(spark, sf_dir, "events")
-        .select("event_type", h.alias("h"))
-        .distinct()
-        .persist()  # two consumers (per-type + ALL); rows = distinct
-        # (type, hash) pairs, far smaller than events
-    )
+    # k smallest DISTINCT hashes per type, WITHOUT a full-corpus
+    # distinct first: dense_rank counts distinct values, so filtering
+    # dense_rank <= K before dedup selects exactly the same set as
+    # distinct-then-row_number — and Spark's InferWindowGroupLimit
+    # inserts a Partial WindowGroupLimit ahead of the exchange, so each
+    # map task ships only its own K smallest per type (~tasks*types*K
+    # rows) instead of every distinct (type, hash) pair. This is the
+    # difference between a bounded-state sketch build and a full
+    # distinct shuffle at 100 TB (measured: the r10 distinct-first plan
+    # went 21.9x for the 10M->100M decade; this plan is ~linear —
+    # SCALING.md round-11).
+    hashed = t(spark, sf_dir, "events").select("event_type", h.alias("h"))
     w = Window.partitionBy("event_type").orderBy("h")
-    per_type = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k"))
+    kmin = (
+        hashed.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= k)
+        .select("event_type", "h")
+        .distinct()  # dedupe WITHIN the k-min sets (<= types*K values)
+        .persist()  # two consumers (per-type + ALL); <= types*K rows
+    )
+    per_type = kmin.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
     )
     # merged sketch: k smallest of the union of per-type k-min sets ==
-    # k smallest of all distinct hashes; orderBy+limit plans as
-    # TakeOrderedAndProject (no single-partition window)
+    # k smallest of all distinct hashes; operates on the tiny persisted
+    # sketch table, plans as TakeOrderedAndProject
     all_k = (
-        hashed.select("h")
+        kmin.select("h")
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -1088,14 +1097,18 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
     ).cast("bigint")
-    hashed = (
-        t(spark, sf_dir, "events").select("event_type", h.alias("h")).distinct()
-    )
+    # same bounded k-min build as kmv_distinct_sketch: dense_rank <= K
+    # (Partial WindowGroupLimit prunes map-side, ~tasks*types*K rows
+    # shuffled) then a tiny distinct — identical result to
+    # distinct-then-row_number without the full-corpus distinct
+    # exchange
+    hashed = t(spark, sf_dir, "events").select("event_type", h.alias("h"))
     w = Window.partitionBy("event_type").orderBy("h")
     kmin = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
+        hashed.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= k)
+        .select("event_type", "h")
+        .distinct()
         .persist()  # sketch state: <= types*K rows, feeds pair list +
         # both sides of the pair expansion
     )
