@@ -528,3 +528,44 @@ def test_refresh_rejections_passes_cutoff_through(tmp_path, monkeypatch):
         result, old_pin, None, ts_cutoff=20 * H
     )
     assert any("calib_shuffle_sec" in r for r in reasons)
+
+
+def test_rotate_window_proposal_is_policy_compliant():
+    """scripts/rotate_window.py must propose exactly 40 oracle-paired
+    registry names, none from the canary core, category-stratified
+    (no single category floods the list), and all previously
+    driver-unchecked while the never-checked pool lasts."""
+    import re
+    import subprocess
+    import sys
+
+    import __spark_entry__ as entrymod
+    from barco_spark.registry import load_all
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "scripts/rotate_window.py", "99"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    ).stdout
+    names = re.findall(r'^\s+"([a-z0-9_]+)",$', out, re.M)
+    queries = load_all()
+    assert len(names) == 40 and len(set(names)) == 40
+    assert not set(names) & set(entrymod.CANARY_CORE)
+    assert all(queries[n].oracle is not None for n in names)
+    # stratified: with >=8 eligible categories no category may flood
+    from collections import Counter
+
+    cats = Counter(queries[n].category for n in names)
+    assert max(cats.values()) <= 40 - len(cats) + 1
+    assert len(cats) >= 5
+
+
+def test_rotate_window_stratified_round_robins():
+    import scripts.rotate_window as rw
+
+    pool = [("a1", "x"), ("a2", "x"), ("a3", "x"), ("b1", "y"), ("c1", "z")]
+    # one pick per category before any category repeats
+    assert rw.stratified(pool, 3) == ["a1", "b1", "c1"]
+    assert rw.stratified(pool, 5) == ["a1", "b1", "c1", "a2", "a3"]

@@ -355,3 +355,42 @@ def test_cms_merge_by_addition(spark, sf_dir):
     for k, v in hi.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_kmv_dense_rank_build_equals_distinct_row_number(spark):
+    """The r11 sketch-build re-plan is an identity: dense_rank <= K
+    then distinct selects exactly the K smallest DISTINCT hashes per
+    type that distinct-then-row_number selects — verified on skewed
+    synthetic data with heavy duplication (each user appears ~8x per
+    type, so the prune actually faces duplicates)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    k = 16
+    rows = spark.range(4000).select(
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        # duplicate-heavy 52-bit-ish hash domain
+        F.conv(
+            F.substring(
+                F.md5(((F.col("id") * 7) % 500).cast("string")), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    old = (
+        rows.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "h")
+    )
+    new = (
+        rows.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= k)
+        .select("event_type", "h")
+        .distinct()
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )
