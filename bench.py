@@ -272,6 +272,13 @@ def main() -> None:
         with open(local_out, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
             f.write("\n")
+    # always keep the last full capture on disk (gitignored): a capture
+    # whose stdout was piped through tail/head loses its per-query map
+    # forever (r11 attempt 2 — the round's best-certifiable run survives
+    # only as a summary). Costs one small file; saves a 10-minute rerun.
+    with open(os.path.join(repo_dir, ".bench_last.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
     # compact headline line AFTER the full per-query line: the driver's
     # tail capture has a fixed window and the per-query line outgrew it
     # at 68 queries (BENCH_r05.json parsed: null) — a trailing summary
