@@ -64,85 +64,64 @@ CANARY_CORE: list[str] = [
     "events_bucket_offsets",
 ]
 
-# The r10 committed window, kept for the disjointness invariant (this is
-# exactly the key list of CORRECTNESS_r10.json): 33 relational/broker
-# anchors + 17 LLM-pipeline flagships (16 oracle-paired, 1 rows-only).
-WINDOW_R10: list[str] = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "scan_filter_project", "join_broadcast_agg", "join_left_outer",
-    "join_semi", "join_anti", "join_range_interval", "join_full_outer",
-    "join_null_safe", "agg_distinct", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "sort_topk", "set_union_all", "set_intersect_all",
-    "set_except_all", "scalar_string_math", "scalar_dates",
-    "json_extract_agg", "variant_shred_stats", "map_functions",
-    "subquery_scalar_avg", "subquery_correlated_exists",
-    "q2_min_cost_supplier", "calendar_gap_fill", "interval_open_orders_daily",
-    "events_exact_tokens", "events_bucket_offsets", "consumer_lag_report",
-    "window_topk_per_group", "dedup_exact", "dedup_minhash_lsh",
-    "cross_split_leakage", "ann_cosine_topk", "ann_recall_report",
-    "ann_int8_recall", "graph_kcore_converged", "bm25_topdocs",
-    "tfidf_top_terms", "mmr_diverse_rerank", "hybrid_rrf_retrieval",
-    "curation_pipeline", "pretrain_corpus_pipeline", "pack_sequences",
-    "decontaminate_ngram_overlap", "quality_filter_c4", "phash_image_dedup",
-]
-
-# Round-11 rotation: 40 never-driver-checked, all oracle-paired.  The
-# first 12 are VERDICT r10 item 2's named tranche; the rest are
-# category-stratified picks from the never-checked pool.
-ROTATION_R11: list[str] = [
+# Round-12 rotation: 40 never-driver-checked, all oracle-paired.  The
+# first 24 are VERDICT r11 item 1's named tranche (heavily-used-by-users:
+# the dedup long tail, the quality filters, the five streaming snapshots,
+# SCD1/SCD2, the multimodal/audio oracle pairs landed in r11); the rest
+# are category-stratified picks from the never-checked pool
+# (scripts/rotate_window.py).  Disjointness vs the r11 committed window
+# is enforced by tests/test_driver_contract.py against git history.
+ROTATION_R12: list[str] = [
     # --- VERDICT-named tranche ---
-    "semdedup_prune",
-    "dedup_simhash_pairs",
-    "fuzzy_match_blocked",
-    "hard_negative_mining",
-    "dsir_importance_weights",
-    "bpe_merge_pairs",
-    "span_corruption_stats",
-    "vocab_coverage_report",
-    "ann_matryoshka_recall",
-    "kmv_distinct_sketch",
-    "kmv_set_overlap",
-    "decontaminate_bloom",
-    # --- graph ---
-    "pagerank_similarity_graph",
-    "graph_triangle_census",
+    "dedup_lsh_capped",
+    "dedup_incremental",
+    "dedup_exact_substring",
+    "dedup_containment",
+    "minhash_estimator_calibration",
+    "unigram_logprob_quality",
+    "gopher_dup_ngram_chars",
+    "boilerplate_strip",
+    "dedup_chunk_rewrite",
+    "mixture_temperature_sample",
+    "training_order_shard",
+    "packing_efficiency_report",
+    "audio_feature_extract",
+    "multimodal_profile",
+    "streaming_funnel_snapshot",
+    "streaming_join_snapshot",
+    "streaming_enrich_snapshot",
+    "streaming_sessionize_snapshot",
+    "streaming_debounce_snapshot",
+    "market_basket_lift",
+    "events_funnel",
+    "window_range_frame_1h",
+    "scd1_upsert_shape",
+    "scd2_history_build",
+    # --- aggregation ---
+    "cohort_retention_weekly",
+    "key_skew_report",
+    "numeric_profile_lineitem",
+    # --- dedup signatures ---
+    "minhash_signatures",
+    "simhash_signatures",
+    # --- join / relational / subquery ---
+    "join_lateral_topk",
+    "lineitem_unpivot_stats",
+    "subquery_not_in_nulls",
+    "division_all_parts_suppliers",
+    # --- sampling ---
+    "weighted_sample_priority",
+    "data_mixture_weights",
     # --- similarity ---
-    "dedup_embedding_cosine",
-    "ann_lsh_search",
-    "ann_ivf_index_search",
-    # --- dedup ---
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_ngram_jaccard",
-    "dedup_cdc_chunks",
+    "dedup_embedding_cosine_baseline",
+    "ann_lsh_buckets",
+    "ann_ivf_search_exact",
     # --- text ---
-    "text_metrics",
-    "lang_id_confusion",
-    "token_count_regex",
-    "doc_fingerprint",
-    "inverted_index_topdocs",
-    # --- sampling / splits ---
-    "train_split_assign",
-    "stratified_sample_hash",
-    "temporal_holdout_split",
-    # --- pipelines ---
-    "telemetry_sessions_pipeline",
-    "pii_pseudonymize",
-    "curation_stats",
-    # --- windows / sessionization / asof ---
-    "events_sessionize",
-    "asof_join_last_click",
-    "funnel_conversion_rates",
-    "skew_salted_topk",
-    # --- streaming snapshots ---
-    "streaming_dedup_snapshot",
-    "streaming_rollup_snapshot",
-    # --- broker ---
-    "topic_stats",
-    "consumer_poll_batch",
+    "top_terms",
+    "repetition_stats",
 ]
 
-DRIVER_WINDOW: list[str] = CANARY_CORE + ROTATION_R11
+DRIVER_WINDOW: list[str] = CANARY_CORE + ROTATION_R12
 
 
 def _curated_order() -> list[str]:

@@ -160,6 +160,10 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
             return default
         return int(v)
 
+    def meta_format(m) -> str:
+        v = m.get("format") if isinstance(m, dict) else getattr(m, "format", None)
+        return v if isinstance(v, str) else ""
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from barco_spark.multimodal.png import PNG_MAGIC, decode_png
 
@@ -171,6 +175,14 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 blob = bytes(blob)
                 if blob[:8] == PNG_MAGIC:
                     w, h, _ch, pixels = decode_png(blob)
+                elif meta_format(meta).startswith("fake/"):
+                    # synthetic blobs declare themselves: route straight to
+                    # the deterministic stub so the oracle-paired queries
+                    # (phash_image_dedup, multimodal_profile) hash the same
+                    # on hosts with and without PIL installed
+                    w = meta_int(meta, "width", 32)
+                    h = meta_int(meta, "height", 32)
+                    pixels = _fake_pixels(blob, w, h)
                 elif _HAS_PIL:
                     import io
 

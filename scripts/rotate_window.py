@@ -71,7 +71,10 @@ def main() -> None:
     never = [
         (n, s.category)
         for n, s in queries.items()
-        if s.oracle is not None and n not in latest and n not in core
+        if s.oracle is not None
+        and n not in latest
+        and n not in core
+        and n not in current
     ]
     picks = stratified(never, SLOTS)
     if len(picks) < SLOTS:
@@ -91,7 +94,11 @@ def main() -> None:
         )
         picks += [n for _, n in stale[: SLOTS - len(picks)]]
 
-    n_round = int(sys.argv[1]) if len(sys.argv) > 1 else max(latest.values()) + 1
+    n_round = (
+        int(sys.argv[1])
+        if len(sys.argv) > 1
+        else max(latest.values(), default=0) + 1
+    )
     print(f"# never-driver-checked oracle-paired remaining: {len(never)}")
     print(f"# proposed window overlap with current: "
           f"{len((core | set(picks)) & current)}/50")

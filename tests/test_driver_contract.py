@@ -19,26 +19,48 @@ an import-order accident.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
+import subprocess
 
 import __spark_entry__ as entrymod
 from barco_spark.registry import load_all
 
 QUERIES = load_all()
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ROTATION_ROUND = 11  # bump when a new ROTATION_R{N} list lands
+ROTATION_ROUND = 12  # bump when a new ROTATION_R{N} list lands
+
+
+def _committed_correctness_files() -> list[str]:
+    """CORRECTNESS_r*.json names tracked by git (the policy counts
+    COMMITTED windows only — an untracked/stale local file from an
+    abandoned round must not change which entries count as checked)."""
+    out = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_r*.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return [line for line in out.stdout.splitlines() if line]
 
 
 def _checked_before(round_n: int) -> set[str]:
     """Names with a driver-oracle row in any committed CORRECTNESS file
     from a round strictly before ``round_n``."""
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        digits = "".join(c for c in os.path.basename(path) if c.isdigit())
-        if digits and int(digits) < round_n:
-            seen |= set(json.load(open(path)).keys())
+    for name in _committed_correctness_files():
+        digits = "".join(c for c in name if c.isdigit())
+        if not digits or int(digits) >= round_n:
+            continue
+        blob = subprocess.run(
+            ["git", "show", f"HEAD:{name}"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        seen |= set(json.loads(blob).keys())
     return seen
 
 
@@ -78,10 +100,30 @@ def test_canary_core_is_fixed_and_first():
         assert anchor in core
 
 
+def _previous_committed_window() -> set[str]:
+    """Key set of the highest-round committed CORRECTNESS file strictly
+    below ROTATION_ROUND — the previous round's actual driver window."""
+    best_round, best_name = 0, None
+    for name in _committed_correctness_files():
+        digits = "".join(c for c in name if c.isdigit())
+        if digits and best_round < int(digits) < ROTATION_ROUND:
+            best_round, best_name = int(digits), name
+    if best_name is None:
+        return set()
+    blob = subprocess.run(
+        ["git", "show", f"HEAD:{best_name}"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return set(json.loads(blob).keys())
+
+
 def test_window_rotates_at_least_sixty_percent():
     """Policy invariant: the current window shares at most 20 names with
     the previous round's committed window (>=60% disjoint)."""
-    overlap = set(entrymod.DRIVER_WINDOW) & set(entrymod.WINDOW_R10)
+    overlap = set(entrymod.DRIVER_WINDOW) & _previous_committed_window()
     assert len(overlap) <= 20, sorted(overlap)
 
 

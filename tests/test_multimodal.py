@@ -34,14 +34,44 @@ def test_decode_deterministic(spark):
 
 
 def test_decode_strict_raises_without_codec(spark):
+    # a blob that declares a REAL format (jpeg) with no codec available
+    # must raise under strict; self-declared "fake/*" blobs never do
+    # (they route to the deterministic stub on every host — the oracle
+    # contract for phash_image_dedup / multimodal_profile)
     if _HAS_PIL:
         pytest.skip("real codec installed")
-    df = synthetic_media(spark, 3)
+    df = synthetic_media(spark, 3).withColumn(
+        "meta",
+        F.struct(
+            F.lit("jpeg").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ),
+    )
     with pytest.raises(Exception) as ei:
         decode_media(df, strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or "real media decode" in str(
         ei.value
     )
+
+
+def test_decode_fake_format_always_uses_stub(spark):
+    # fake/* blobs must decode to EXACTLY the deterministic stub bytes on
+    # every host, PIL or not (ADVICE r11 portability fix): any real-codec
+    # attempt on the synthetic sha256 blobs would either raise or produce
+    # different bytes, breaking the oracle pairing of phash_image_dedup /
+    # multimodal_profile
+    from barco_spark.multimodal.media import _fake_pixels
+
+    df = synthetic_media(spark, 6)
+    expect = {}
+    for r in df.collect():
+        w = r["meta"]["width"] or 32
+        h = r["meta"]["height"] or 32
+        expect[r["media_id"]] = _fake_pixels(bytes(r["blob"]), w, h)
+    got = {r["media_id"]: bytes(r["decoded"]) for r in decode_media(df).collect()}
+    assert got == expect
 
 
 def test_feature_extraction_shape(spark):
