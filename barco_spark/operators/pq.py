@@ -368,3 +368,251 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cosine_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Integer-quantized PQ twin: the oracle-paired ADC path (VERDICT r11 #4)
+# --------------------------------------------------------------------------
+PQ_DIM = 64  # embeddings table dimension (as ann_int8/matryoshka assume)
+PQ_SUB = PQ_DIM // M_SUB
+
+# DuckDB integer-L2 between two BIGINT[] slices (sequential fold, but the
+# values are integers so ordering is irrelevant — exact in any engine)
+_ID2_SQL = (
+    "list_reduce(list_transform(range(1, {n} + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+)
+
+
+def _register_pq_int8() -> None:
+    # imported lazily to avoid a hard import cycle at module load
+    from barco_spark.operators.similarity import (
+        _ABSMAX_SQL,
+        _IDOT_SQL,
+        _IN2_SQL,
+        _QUANT_SQL,
+        _absmax,
+        _cos_sql_fwd,
+        _emb_count,
+        _idot,
+        _in2,
+        _int8_quantize,
+        dot,
+        norm2,
+    )
+
+    oracle = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    z AS (SELECT vec_id, v, {_ABSMAX_SQL.format(v='v')} AS mx FROM e),
+    qz AS (SELECT vec_id, v, {_QUANT_SQL.format(v='v', m='mx')} AS qv FROM z),
+    st AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {K_CODES}.0) AS BIGINT)) AS s
+           FROM e WHERE vec_id >= {N_QUERY}),
+    ms AS (SELECT UNNEST(range(0, {M_SUB})) AS m),
+    books AS (
+      SELECT vec_id AS code_id, m,
+             qv[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS bsub
+      FROM qz, ms
+      WHERE vec_id >= {N_QUERY}
+        AND (vec_id - {N_QUERY}) % (SELECT s FROM st) = 0),
+    booksn AS (
+      SELECT code_id, m, bsub, {_IN2_SQL.format(q='bsub')} AS bn2 FROM books),
+    csub AS (
+      SELECT vec_id AS cand_id, m,
+             qv[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS cs
+      FROM qz, ms WHERE vec_id >= {N_QUERY}),
+    enc AS (
+      SELECT cand_id, m, code_id, bsub, bn2,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand_id, m
+               ORDER BY {_ID2_SQL.format(a='cs', b='bsub', n=PQ_SUB)}, code_id
+             ) AS rn
+      FROM csub JOIN booksn USING (m)),
+    codes AS (SELECT cand_id, m, code_id, bsub, bn2 FROM enc WHERE rn = 1),
+    qn AS (SELECT vec_id AS query_id, v AS qvec, qv,
+                  {_IN2_SQL.format(q='qv')} AS qn2
+           FROM qz WHERE vec_id < {N_QUERY}),
+    qsub AS (SELECT query_id, qn2, m,
+                    qv[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS qs
+             FROM qn, ms),
+    parts AS (
+      SELECT query_id, cand_id, qn2,
+             {_IDOT_SQL.format(a='qs', b='bsub')} AS ip, bn2
+      FROM qsub JOIN codes USING (m)),
+    adc AS (
+      SELECT query_id, cand_id,
+             CAST(CAST(SUM(ip) AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(ANY_VALUE(qn2) * CAST(SUM(bn2) AS BIGINT) AS DOUBLE))
+               AS adc_cos
+      FROM parts GROUP BY query_id, cand_id),
+    short AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_cos DESC, cand_id) AS sr
+        FROM adc) WHERE sr <= {SHORTLIST}),
+    rer AS (
+      SELECT query_id, cand_id, {_cos_sql_fwd('qvec', 'cv')} AS cosine_sim
+      FROM short
+      JOIN qn USING (query_id)
+      JOIN (SELECT vec_id AS cand_id, v AS cv FROM e
+            WHERE vec_id >= {N_QUERY}) c USING (cand_id)),
+    ranked AS (
+      SELECT query_id, cand_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, cand_id) AS rank
+      FROM rer)
+    SELECT query_id, cand_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+    @register(
+        "ann_pq_search_int8",
+        oracle,
+        "similarity",
+        doc=(
+            "Oracle-paired PQ ADC twin (VERDICT r11 item 4 — the "
+            "ann_int8_recall quantization trick applied to the ADC "
+            "distance): per-vector int8 symmetric quantization, "
+            f"codebooks = {K_CODES} stride-sampled quantized corpus "
+            f"vectors split into {M_SUB} subspaces (sample-init PQ, "
+            "zero Lloyd iterations — every codebook entry is integer, "
+            "so DuckDB rebuilds it bit-exactly), integer-L2 encode "
+            "argmin with lowest-code tie-break, integer ADC lookup "
+            "(score = intdot(q_sub, book[code]) summed over subspaces, "
+            "normalized by one mirrored IEEE sqrt/divide), shortlist "
+            f"of {SHORTLIST} then exact sequential-fold cosine rerank "
+            f"to top {TOP_K}. Proves the full encode->ADC->rerank "
+            "structure bit-for-bit at sf0.01; ann_pq_search (numpy "
+            "Lloyd codebooks over Arrow batches) remains the 100 TB "
+            "throughput path. Codebook/query broadcasts are KB-sized; "
+            "the only shuffles are the encode argmin and the two "
+            "per-query top-k windows."
+        ),
+    )
+    def ann_pq_search_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import math
+
+        e = t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        z = e.withColumn("mx", _absmax("v")).withColumn(
+            "qv", _int8_quantize("v", "mx")
+        )
+        n_corpus = _emb_count(spark, sf_dir, corpus_only=True)
+        stride = max(1, math.ceil(n_corpus / K_CODES))
+
+        def subspaces(col: str):
+            return F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice(col, m * PQ_SUB + 1, PQ_SUB).alias("s"),
+                        )
+                        for m in range(M_SUB)
+                    ]
+                )
+            )
+
+        books = (
+            z.filter(
+                (F.col("vec_id") >= N_QUERY)
+                & ((F.col("vec_id") - N_QUERY) % stride == 0)
+            )
+            .select(F.col("vec_id").alias("code_id"), subspaces("qv"))
+            .select("code_id", "m", F.col("s").alias("bsub"))
+            .withColumn("bn2", _in2("bsub"))
+        )
+
+        csub = (
+            z.filter(F.col("vec_id") >= N_QUERY)
+            .select(F.col("vec_id").alias("cand_id"), subspaces("qv"))
+            .select("cand_id", "m", F.col("s").alias("cs"))
+        )
+
+        d2 = F.aggregate(
+            F.zip_with("cs", "bsub", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        # integer-L2 argmin per (cand, m), lowest code_id on ties — a
+        # partial-aggregating min_by, not a window (map-side combine)
+        enc = (
+            csub.join(F.broadcast(books), "m")
+            .select("cand_id", "m", "code_id", "bsub", "bn2", d2.alias("d2"))
+            .groupBy("cand_id", "m")
+            .agg(
+                F.min_by(
+                    F.struct("code_id", "bsub", "bn2"),
+                    F.struct("d2", "code_id"),
+                ).alias("c")
+            )
+            .select("cand_id", "m", "c.code_id", "c.bsub", "c.bn2")
+        )
+
+        qn = z.filter(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qvec"),
+            "qv",
+            _in2("qv").alias("qn2"),
+        )
+        qsub = qn.select("query_id", "qn2", subspaces("qv")).select(
+            "query_id", "qn2", "m", F.col("s").alias("qs")
+        )
+        parts = F.broadcast(qsub).join(enc, "m").select(
+            "query_id",
+            "cand_id",
+            "qn2",
+            _idot("qs", "bsub").alias("ip"),
+            "bn2",
+        )
+        adc = (
+            parts.groupBy("query_id", "cand_id")
+            .agg(
+                F.sum("ip").alias("adc_int"),
+                F.any_value("qn2").alias("qn2"),
+                F.sum("bn2").alias("an2"),
+            )
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    F.col("adc_int").cast("double")
+                    / F.sqrt((F.col("qn2") * F.col("an2")).cast("double"))
+                ).alias("adc_cos"),
+            )
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("adc_cos").desc(), F.col("cand_id")
+        )
+        short = (
+            adc.withColumn("sr", F.row_number().over(ws))
+            .filter(F.col("sr") <= SHORTLIST)
+            .select("query_id", "cand_id")
+        )
+
+        c = e.filter(F.col("vec_id") >= N_QUERY).select(
+            F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+        )
+        rer = (
+            short.join(F.broadcast(qn.select("query_id", "qvec")), "query_id")
+            .join(c, "cand_id")
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    dot("qvec", "cv")
+                    / F.sqrt(norm2("qvec") * norm2("cv"))
+                ).alias("cosine_sim"),
+            )
+        )
+        wf = Window.partitionBy("query_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("cand_id")
+        )
+        return (
+            rer.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "cand_id", "cosine_sim", "rank")
+        )
+
+
+_register_pq_int8()

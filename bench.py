@@ -107,6 +107,7 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "kmv_distinct_sketch",
     "kmv_set_overlap",
+    "ann_pq_search_int8",
 ]
 
 

@@ -104,3 +104,32 @@ def test_ivfpq_recall_and_determinism(spark, sf_dir):
 
     res2 = pq.ann_ivfpq_search(spark, sf_dir).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
+
+
+def test_pq_int8_recall_and_determinism(spark, sf_dir):
+    """The oracle-paired integer-ADC twin (ann_pq_search_int8) must be a
+    genuine ANN pipeline, not just hash-stable: recall@k vs brute force
+    through the 64-deep shortlist + exact rerank, and deterministic
+    across runs (everything integer or a single mirrored IEEE op)."""
+    from barco_spark.registry import load_all
+
+    build = load_all()["ann_pq_search_int8"].build
+    res = build(spark, sf_dir).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r.query_id, []).append((r.rank, r.cand_id))
+    truth = _brute_topk(spark, sf_dir, pq.TOP_K)
+    assert set(got) == set(range(N_QUERY))
+    hits = total = 0
+    for qid, rows in got.items():
+        assert len(rows) == pq.TOP_K
+        ids = [cid for _, cid in rows]
+        total += pq.TOP_K
+        hits += len(set(ids) & set(truth[qid]))
+    recall = hits / total
+    # sample-init codebooks are coarser than Lloyd's, but the exact
+    # rerank over a 64-deep shortlist recovers most of the true top-3
+    assert recall >= 0.6, f"recall@{pq.TOP_K} too low: {recall}"
+
+    again = sorted((r.query_id, r.rank, r.cand_id) for r in build(spark, sf_dir).collect())
+    assert again == sorted((r.query_id, r.rank, r.cand_id) for r in res)
