@@ -46,6 +46,13 @@ class EngineConfig:
     # Retention (internal/conf/config.go:291-302)
     retention_hours: int = 168
 
+    # Chunk/segment compression level. Default 3 = the reference's
+    # zstd.SpeedDefault (internal/producing/coalescer.go:49 parity).
+    # The tuned profile (throughput.py --tuned) drops to 1: the r8
+    # study measured ~17% more produce throughput at zstd-1 on this
+    # payload mix, rejected for the PARITY benchmark only.
+    zstd_level: int = 3
+
     # Consumer-offsets store: the reference upserts into SQLite
     # (internal/localdb/migrations.go:37-48) so its store is always
     # compact; our append-only parquet log compacts itself once it

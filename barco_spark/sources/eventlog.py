@@ -397,6 +397,7 @@ class EventLog:
                     tbl,
                     f"{d}/part-{_uuid.uuid4().hex}-arrow.zstd.parquet",
                     compression="zstd",
+                    compression_level=self.config.zstd_level,
                 )
             # drop the memoized listing NOW, inside the lock: a
             # back-to-back produce_arrow (coalescer at linger_ms=0) can
@@ -577,6 +578,10 @@ class EventLog:
                 out.write.mode("append")
                 .partitionBy("topic", "bucket")
                 .option("compression", "zstd")
+                .option(
+                    "parquet.compression.codec.zstd.level",
+                    str(self.config.zstd_level),
+                )
                 # Small row groups for the log's access pattern: a live
                 # poll reads a ~KB slice but must decompress whole row
                 # groups, so parquet's 128 MB default put ~85 MB of

@@ -26,9 +26,27 @@ REPS = 3  # best-of-REPS per metric (see steady-state note below)
 
 
 def main() -> None:
+    import sys
+
+    from barco_spark.config import DEFAULT, EngineConfig
+
+    # --tuned: the headroom profile the r8 study measured and the parity
+    # benchmark deliberately rejected (SCALING.md round-8): 32 buckets
+    # (produce parallelism = bucket count; at cluster scale you raise
+    # buckets with the hardware) + zstd level 1 (~17% cheaper chunk
+    # compression than the reference's SpeedDefault). The default run
+    # keeps the reference's 12-bucket / zstd-3 geometry so the
+    # BASELINE.md comparison stays apples-to-apples.
+    tuned = "--tuned" in sys.argv[1:]
+    config = EngineConfig(brokers=8, zstd_level=1) if tuned else DEFAULT
+
     spark = get_spark(app_name="barco-throughput")
     spark.sparkContext.setLogLevel("ERROR")
-    out = {}
+    out = {
+        "profile": "tuned" if tuned else "parity",
+        "buckets": config.buckets,
+        "zstd_level": config.zstd_level,
+    }
 
     src_keyed = spark.range(N).select(
         (F.col("id") % 1000).cast("string").alias("partition_key"),
@@ -46,7 +64,7 @@ def main() -> None:
     # (interleaved r8 reps: 771k -> 1025k -> 1086k unkeyed). Best-of-N
     # is the same estimator bench.py's best-of-two run() uses and the
     # standard wall-clock noise treatment (BENCH_PIN methodology).
-    warm_log = EventLog(spark, tempfile.mkdtemp() + "/warmlog")
+    warm_log = EventLog(spark, tempfile.mkdtemp() + "/warmlog", config=config)
     warm_log.produce("warm", src_keyed)
 
     def best(fn) -> int:
@@ -58,7 +76,7 @@ def main() -> None:
     src_unkeyed = src_keyed.drop("partition_key")
 
     def produce_rate(src) -> float:
-        log = EventLog(spark, tempfile.mkdtemp() + "/log")
+        log = EventLog(spark, tempfile.mkdtemp() + "/log", config=config)
         t0 = time.perf_counter()
         n = log.produce("t", src)
         return n / (time.perf_counter() - t0)
@@ -69,7 +87,7 @@ def main() -> None:
     out["produce_unkeyed_msgs_per_s"] = best(lambda: produce_rate(src_unkeyed))
 
     # read path: footer scan + vectorized reader over a fresh log
-    read_log = EventLog(spark, tempfile.mkdtemp() + "/readlog")
+    read_log = EventLog(spark, tempfile.mkdtemp() + "/readlog", config=config)
     read_log.produce("keyed", src_keyed)
     read_log.poll("gw", "keyed", max_records_per_bucket=10**9, auto_commit=False).count()
 
