@@ -101,6 +101,121 @@ def build_corpus(spark, out_dir: str, n_docs: int, embeddings: bool) -> None:
         )
 
 
+def build_media(spark, out_dir: str, n_media: int) -> None:
+    """MEDIA_SCHEMA-shaped image table at n_media rows, built
+    DISTRIBUTEDLY (spark.range -> sha256 blob expression; no driver
+    loop, unlike the 120-row demo table) and written to parquet so
+    reads come from storage with size-based splits — the
+    media_from_files geometry. Same seed scheme as
+    multimodal.media.synthetic_media (blob = sha256('media-<i>') x 8,
+    width/height cycling 64..288) plus 25% planted duplicates
+    (media_id + 1e9, identical pixels), so the phash groupBy has real
+    collisions to collapse at every size."""
+    from pyspark.sql import functions as F
+
+    digest = F.to_binary(
+        F.sha2(F.concat(F.lit("media-"), F.col("id").cast("string")), 256),
+        F.lit("hex"),
+    )
+    base = spark.range(n_media).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(*([digest] * 8)).alias("blob"),
+        F.struct(
+            F.lit("fake/image").alias("format"),
+            (64 + F.pmod(F.col("id"), 8) * 32).cast("int").alias("width"),
+            (64 + F.pmod(F.col("id"), 5) * 32).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    dups = base.filter(F.col("media_id") % 4 == 0).withColumn(
+        "media_id", F.col("media_id") + 1_000_000_000
+    )
+    base.unionByName(dups).write.mode("overwrite").parquet(
+        out_dir + "/media.parquet"
+    )
+
+
+def build_audio(spark, out_dir: str, n_media: int) -> None:
+    """MEDIA_SCHEMA audio table at n_media rows: REAL RIFF/WAVE blobs
+    (synth_wav, 100..1000 ms square waves) synthesized DISTRIBUTEDLY in
+    a mapInPandas stage (32-way parallel, no driver loop) and written
+    to parquet."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from barco_spark.multimodal.audio import synth_wav
+    from barco_spark.multimodal.media import MEDIA_SCHEMA
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                dur = 100 * (1 + int(i) % 10)
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": "audio",
+                        "blob": synth_wav(int(i), dur),
+                        "meta": {
+                            "format": "audio/wav",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": dur,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    spark.range(n_media).repartition(32).mapInPandas(
+        synth, MEDIA_SCHEMA
+    ).write.mode("overwrite").parquet(out_dir + "/media.parquet")
+
+
+def audio_pipeline(spark, sf_dir: str):
+    """audio_feature_extract's code path (decode_audio -> duration
+    rollup) over the parquet-backed audio table."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.multimodal.audio import decode_audio
+
+    audio = spark.read.parquet(sf_dir + "/media.parquet")
+    feats = decode_audio(audio)
+    return (
+        feats.groupBy(F.col("duration_ms").alias("duration_bucket_ms"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+            F.min("rms").alias("min_rms"),
+            F.max("rms").alias("max_rms"),
+            F.sum((F.col("peak") >= 32767).cast("long"))
+            .cast("bigint")
+            .alias("clipped_files"),
+        )
+        .orderBy("duration_bucket_ms")
+    )
+
+
+def media_pipeline(spark, sf_dir: str):
+    """The exact phash_image_dedup pipeline (decode_media ->
+    perceptual_hash -> hash-groupBy keep-min) over the parquet-backed
+    media table — the registered query's code path at study scale."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.multimodal.media import decode_media, perceptual_hash
+
+    media = spark.read.parquet(sf_dir + "/media.parquet")
+    return (
+        perceptual_hash(decode_media(media))
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
 def build_events(spark, out_dir: str, n_events: int) -> None:
     """Warehouse-shaped events table at n_events rows: 6 zipf-weighted
     event types (view 45%, click 25%, add_to_cart 12%, purchase 8%,
@@ -132,10 +247,12 @@ def build_events(spark, out_dir: str, n_events: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("queries", nargs="+")
+    ap.add_argument("queries", nargs="*")
     ap.add_argument("--sizes", default="5000,50000,500000")
     ap.add_argument("--embeddings", action="store_true")
     ap.add_argument("--events", action="store_true")
+    ap.add_argument("--media", action="store_true")
+    ap.add_argument("--audio", action="store_true")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -159,6 +276,35 @@ def main() -> None:
 
     for n in sizes:
         with tempfile.TemporaryDirectory(prefix=f"scale-{n}-") as d:
+            if args.media or args.audio:
+                build = build_audio if args.audio else build_media
+                pipe = audio_pipeline if args.audio else media_pipeline
+                label = "audio_pipeline" if args.audio else "phash_pipeline"
+                build(spark, d, n)
+
+                def run_media() -> float:
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    pipe(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    return time.perf_counter() - t0
+
+                reps = 1 if n >= 500_000 else 2
+                t = min(run_media() for _ in range(reps))
+                plan = pipe(spark, d)._jdf.queryExecution().executedPlan().toString()
+                print(
+                    json.dumps(
+                        {
+                            "query": label,
+                            "media_rows": n,
+                            "sec": round(t, 1),
+                            "exchanges_in_plan": plan.count("Exchange"),
+                        }
+                    ),
+                    flush=True,
+                )
+                continue
             if args.events:
                 build_events(spark, d, n)
             else:

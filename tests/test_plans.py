@@ -516,3 +516,31 @@ def test_hybrid_rrf_is_takeordered_fusion_no_shuffle(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
     assert shuffle_count(df) == 0, plan
+
+
+def test_media_pipelines_decode_is_map_only(spark, tmp_path):
+    """The storage-scale multimodal pipelines (scripts/scale_study.py
+    --media/--audio — the registered phash_image_dedup /
+    audio_feature_extract code paths over a parquet-backed media
+    table): decode (mapInPandas) must sit BELOW every exchange (a
+    narrow map over the scan, never re-decoded post-shuffle), and the
+    only shuffles are the 8-byte-key hash-groupBy (phash: exactly 1)
+    and the rollup + 10-row global sort (audio: exactly 2)."""
+    import scripts.scale_study as ss
+
+    d = str(tmp_path)
+    ss.build_media(spark, d, 200)
+    df = ss.media_pipeline(spark, d)
+    plan = explain_str(df)
+    assert shuffle_count(df) == 1, plan
+    assert "MapInPandas" in plan
+    # explain prints root-first: every Exchange line must come BEFORE
+    # (i.e. sit above) the decode stage's MapInPandas lines
+    assert plan.index("Exchange") < plan.index("MapInPandas"), plan
+
+    ss.build_audio(spark, d, 60)
+    adf = ss.audio_pipeline(spark, d)
+    aplan = explain_str(adf)
+    assert shuffle_count(adf) == 2, aplan
+    assert "MapInPandas" in aplan
+    assert aplan.index("Exchange") < aplan.index("MapInPandas"), aplan
