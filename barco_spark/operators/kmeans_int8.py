@@ -1,0 +1,221 @@
+"""Integer-quantized k-means: the oracle-paired clustering twin.
+
+kmeans_embeddings (similarity.py) is rows-only by a recorded r11
+decline: float Lloyd updates accumulate per-partition partial sums and
+float addition is non-associative, so centroids depend on the
+row-to-partition mapping. This module applies the ann_int8_recall /
+ann_pq_search_int8 quantization trick to the Lloyd loop itself:
+per-vector int8 quantization makes every distance an exact integer and
+every centroid update an integer sum + one mirrored IEEE
+floor-division — associative, partition-independent, reproducible
+bit-for-bit in DuckDB SQL, so the whole fixed-iteration fit can be
+driver-hash-checked. kmeans_embeddings (numpy over Arrow batches, real
+Lloyd convergence) remains the 100 TB throughput path; this twin
+proves the assign/update/empty-cluster structure exactly.
+
+Scale shape: each assignment is a broadcast of K x dim integers probed
+by one JVM-codegen pass over the corpus (no corpus shuffle); each
+update shuffles only tasks x K x dim partial sums (posexplode is
+pipelined into a partial hash aggregate — map-side combine keeps the
+exchange KB-sized at any corpus size). Centroids (K x dim longs) are
+collected per iteration — a bounded aggregate, the same pattern as
+kmeans_embeddings' fit.
+
+Reference surface parity: the reference is a byte broker with no
+clustering op (SURVEY.md §2); this extends the LLM-pipeline tranche
+the brief asks for beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from barco_spark.registry import register
+from barco_spark.tables import t
+
+KM_K = 8  # clusters
+KM_ITERS = 2  # fixed Lloyd rounds (unrolled in the SQL oracle)
+KM_DIM = 64  # embeddings table dimension
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.operators.similarity import _absmax, _int8_quantize
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.select(
+        "vec_id", _int8_quantize("v", _absmax("v")).alias("qv")
+    ).localCheckpoint(eager=False)  # read+quantize once across 3 passes
+
+
+def _assign(z: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """vec_id -> (cid, d2) for the nearest centroid: integer L2 argmin,
+    lowest cid on ties. Centroids ride in as array literals (K x dim
+    longs, KB-sized), so the pass is one codegen projection over the
+    corpus — least() over K exact-integer struct comparisons, no join,
+    no shuffle."""
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    "qv",
+                    F.array(*[F.lit(x).cast("bigint") for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.lit(cid).cast("int").alias("cid"),
+        )
+        for cid, c in cents
+    ]
+    best = F.least(*dists) if len(dists) > 1 else dists[0]
+    return z.select(
+        "vec_id", "qv", best["cid"].alias("cid"), best["d2"].alias("d2")
+    )
+
+
+def _update(
+    assigned: DataFrame, cents: list[tuple[int, list[int]]]
+) -> list[tuple[int, list[int]]]:
+    """New centroid = element-wise floor(sum/count) over the members
+    (exact integers + one mirrored IEEE divide+floor); an empty cluster
+    keeps its old centroid. The posexplode feeds a partial hash
+    aggregate, so the exchange carries tasks x K x dim rows; the
+    collect is K x dim longs — bounded."""
+    rows = (
+        assigned.select("cid", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cid",
+            "pos",
+            F.floor(F.col("s") / F.col("cnt")).cast("bigint").alias("xc"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "xc"))),
+                lambda s: s["xc"],
+            ).alias("c")
+        )
+        .collect()
+    )
+    new = {r.cid: list(r.c) for r in rows}
+    return [(cid, new.get(cid, old)) for cid, old in cents]
+
+
+_KM_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+st AS (SELECT CAST(CEIL(COUNT(*) / {KM_K}.0) AS BIGINT) AS s FROM e),
+z AS (SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x * 127.0 /
+               greatest(list_reduce(list_transform(v, y -> abs(y)),
+                        (acc, y) -> greatest(acc, y)), 1e-30)
+               + 0.5) AS BIGINT)) AS qv
+      FROM e),
+c0 AS (SELECT CAST(vec_id // (SELECT s FROM st) AS INT) AS cid, qv AS c
+       FROM z WHERE vec_id % (SELECT s FROM st) = 0),
+a1 AS (
+  SELECT vec_id, qv, cid, d2 FROM (
+    SELECT z.vec_id, z.qv, c.cid,
+           list_reduce(list_transform(range(1, {KM_DIM} + 1),
+             i -> (z.qv[i] - c.c[i]) * (z.qv[i] - c.c[i])),
+             (acc, x) -> acc + x) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                              ORDER BY list_reduce(
+                                list_transform(range(1, {KM_DIM} + 1),
+                                i -> (z.qv[i] - c.c[i]) * (z.qv[i] - c.c[i])),
+                                (acc, x) -> acc + x), c.cid) AS rn
+    FROM z CROSS JOIN c0 c) WHERE rn = 1),
+u1 AS (
+  SELECT cid, pos,
+         CAST(FLOOR(CAST(SUM(qv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS xc
+  FROM a1, generate_series(1, {KM_DIM}) g(pos)
+  GROUP BY cid, pos),
+c1n AS (SELECT cid, list(xc ORDER BY pos) AS c FROM u1 GROUP BY cid),
+c1 AS (SELECT c0.cid, COALESCE(c1n.c, c0.c) AS c
+       FROM c0 LEFT JOIN c1n USING (cid)),
+a2 AS (
+  SELECT vec_id, qv, cid, d2 FROM (
+    SELECT z.vec_id, z.qv, c.cid,
+           list_reduce(list_transform(range(1, {KM_DIM} + 1),
+             i -> (z.qv[i] - c.c[i]) * (z.qv[i] - c.c[i])),
+             (acc, x) -> acc + x) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                              ORDER BY list_reduce(
+                                list_transform(range(1, {KM_DIM} + 1),
+                                i -> (z.qv[i] - c.c[i]) * (z.qv[i] - c.c[i])),
+                                (acc, x) -> acc + x), c.cid) AS rn
+    FROM z CROSS JOIN c1 c) WHERE rn = 1),
+u2 AS (
+  SELECT cid, pos,
+         CAST(FLOOR(CAST(SUM(qv[pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS xc
+  FROM a2, generate_series(1, {KM_DIM}) g(pos)
+  GROUP BY cid, pos),
+c2n AS (SELECT cid, list(xc ORDER BY pos) AS c FROM u2 GROUP BY cid),
+c2 AS (SELECT c1.cid, COALESCE(c2n.c, c1.c) AS c
+       FROM c1 LEFT JOIN c2n USING (cid)),
+a3 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT z.vec_id, c.cid,
+           list_reduce(list_transform(range(1, {KM_DIM} + 1),
+             i -> (z.qv[i] - c.c[i]) * (z.qv[i] - c.c[i])),
+             (acc, x) -> acc + x) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY z.vec_id
+                              ORDER BY list_reduce(
+                                list_transform(range(1, {KM_DIM} + 1),
+                                i -> (z.qv[i] - c.c[i]) * (z.qv[i] - c.c[i])),
+                                (acc, x) -> acc + x), c.cid) AS rn
+    FROM z CROSS JOIN c2 c) WHERE rn = 1)
+SELECT cid AS cluster_id,
+       COUNT(*) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(d2) AS BIGINT) AS inertia_int
+FROM a3 GROUP BY cid
+"""
+
+
+@register(
+    "kmeans_int8_clusters",
+    _KM_ORACLE,
+    "similarity",
+    doc=(
+        "Oracle-paired k-means twin (the quantization trick applied to "
+        "the Lloyd LOOP, not just a distance): per-vector int8 "
+        f"quantization, {KM_K} stride-sampled initial centroids, "
+        f"{KM_ITERS} fixed Lloyd rounds where assignment is an exact "
+        "integer-L2 argmin (lowest cid on ties) and the update is an "
+        "integer sum + one mirrored floor-division per dimension — "
+        "every step associative and partition-independent, which is "
+        "precisely the non-associativity that keeps the float "
+        "kmeans_embeddings rows-only (its decline rationale, r11). "
+        "Empty clusters keep their previous centroid on both sides. "
+        "Output: per final cluster, member count, vec_id checksum and "
+        "exact integer inertia — all integers, so the driver hash "
+        "check covers the entire fit. Assignments broadcast K x dim "
+        "long literals through one codegen pass (no corpus shuffle); "
+        "updates shuffle only map-combined partial sums."
+    ),
+)
+def kmeans_int8_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    z = _quantized(spark, sf_dir)
+    n = z.count()  # bounded driver scalar, mirrors the oracle's st CTE
+    stride = max(1, math.ceil(n / KM_K))
+    cents = [
+        (int(r.vec_id // stride), list(r.qv))
+        for r in z.filter(F.col("vec_id") % stride == 0).collect()
+    ]
+    cents.sort()
+    for _ in range(KM_ITERS):
+        cents = _update(_assign(z, cents), cents)
+    final = _assign(z, cents)
+    return final.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+        F.sum("d2").cast("bigint").alias("inertia_int"),
+    )

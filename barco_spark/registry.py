@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
     import barco_spark.operators.similarity  # noqa: F401
     import barco_spark.operators.ann_index  # noqa: F401
     import barco_spark.operators.pq  # noqa: F401
+    import barco_spark.operators.kmeans_int8  # noqa: F401
     import barco_spark.operators.text  # noqa: F401
     import barco_spark.operators.quality  # noqa: F401
     import barco_spark.operators.corpus_lm  # noqa: F401

@@ -108,6 +108,7 @@ HEADLINE = [
     "kmv_distinct_sketch",
     "kmv_set_overlap",
     "ann_pq_search_int8",
+    "kmeans_int8_clusters",
 ]
 
 

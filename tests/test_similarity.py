@@ -243,3 +243,28 @@ def test_mmr_defers_planted_near_duplicate(spark, tmp_path):
     out = QUERIES["mmr_diverse_rerank"].build(spark, d).collect()
     picks = [r.cand_id for r in sorted(out, key=lambda r: r.mmr_rank)]
     assert picks == [6, 7, 5], out
+
+
+def test_kmeans_int8_covering_and_deterministic(spark, sf_dir):
+    """The oracle-paired integer twin (kmeans_int8_clusters): every
+    vector lands in exactly one cluster, inertia is a non-negative
+    exact integer, and the whole fit is run-to-run deterministic
+    (associative integer sums — the property the float fit lacks)."""
+    from pyspark.sql import functions as F
+
+    from barco_spark.operators.kmeans_int8 import KM_K, kmeans_int8_clusters
+    from barco_spark.tables import t
+
+    n = t(spark, sf_dir, "embeddings").count()
+    out = kmeans_int8_clusters(spark, sf_dir).collect()
+    assert 1 <= len(out) <= KM_K
+    assert sum(r.n_members for r in out) == n
+    assert all(r.inertia_int >= 0 for r in out)
+    # vec_id checksum partitions the id space: totals must match too
+    total_ids = t(spark, sf_dir, "embeddings").agg(
+        F.sum("vec_id")
+    ).collect()[0][0]
+    assert sum(r.sum_vec_id for r in out) == total_ids
+
+    again = kmeans_int8_clusters(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
