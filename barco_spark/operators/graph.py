@@ -97,23 +97,31 @@ _PR_ITERS = ",".join(
     ),
 )
 def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the PAIR list before the symmetrizing union
+    # references it twice (r12, guide §2.4/§5): building the union
+    # plan over an un-materialized cached subtree made AQE run one
+    # table-cache stage per reference — the interpreted-HOF signature
+    # pass executed up to 8x inside the first action (measured 21.0 s
+    # cold / 3.3 s warm for the edge build at sf0.1; with the pair
+    # cache materialized first it is 4.6 s cold / 2.8 s warm).
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    n_pairs = pairs.count()  # scalar; materializes the pair cache
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
+    n_edges = 2 * n_pairs  # exact: the union mirrors every pair once
     # the pair graph is tiny relative to the corpus; persist it so the
     # per-iteration joins do not re-run the LSH pipeline
     edges = edges.persist()
-    n_edges = edges.count()  # scalar; also materializes the persist
     if n_edges < 1_000_000:
         # small graph: 32-partition shuffles per round are pure task
-        # overhead — re-persist the cached edges into a handful of
-        # partitions (reads from cache, no recompute; measured 4.4 s
+        # overhead — persist the edges into a handful of partitions
+        # (reads from the pair cache, no recompute; measured 4.4 s
         # -> 3.9 s at sf0.1 together with the rank broadcast below)
-        wide = edges
+        edges.unpersist()
         edges = edges.coalesce(8).persist()
-        edges.count()  # materialize from the wide cache, then free it
-        wide.unpersist()
+    edges.count()  # materialize from the pair cache, then free it
+    pairs.unpersist()
     # nodes and the degree-annotated edge list are ITERATION-INVARIANT:
     # persist them once so each of the N_ITER rounds is only
     # (rank join + dst agg + left join), not a re-run of the distinct/
@@ -413,6 +421,12 @@ def _kcore_peel(
     before = persistent_rdd_ids(spark)
     pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
     try:
+        # materialize the pair cache BEFORE the symmetrizing union
+        # references it twice (the pagerank r12 finding, guide §2.4:
+        # un-materialized cache + multi-reference plan = one AQE
+        # table-cache stage per reference, re-running the signature
+        # pass up to 8x on the first action)
+        pairs.count()
         edges = (
             pairs.selectExpr("doc_a AS src", "doc_b AS dst")
             .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))

@@ -45,6 +45,17 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # The quantize + every Lloyd pass are interpreted higher-order
+    # functions (CodegenFallback) — expensive per ROW, not per byte.
+    # A small parquet file arrives as 1-3 splits, so on local[32] the
+    # whole fit ran on <=3 cores (measured r12: 2.6 s executor time in
+    # the quantize stage alone at sf0.1).  When the scan's split count
+    # is below the session parallelism, spread rows round-robin before
+    # the heavy math; at warehouse scale the corpus already has >=
+    # parallelism splits and no extra shuffle is added (guide §2.5/§6).
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
     return e.select(
         "vec_id", _int8_quantize("v", _absmax("v")).alias("qv")
     ).localCheckpoint(eager=False)  # read+quantize once across 3 passes
@@ -52,28 +63,41 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assign(z: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """vec_id -> (cid, d2) for the nearest centroid: integer L2 argmin,
-    lowest cid on ties. Centroids ride in as array literals (K x dim
-    longs, KB-sized), so the pass is one codegen projection over the
-    corpus — least() over K exact-integer struct comparisons, no join,
-    no shuffle."""
-    dists = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    "qv",
-                    F.array(*[F.lit(x).cast("bigint") for x in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-            F.lit(cid).cast("int").alias("cid"),
+    lowest cid on ties. Centroids ride in as ONE K x dim array-of-array
+    literal (KB-sized) inside a single SQL expression, so the pass is
+    one projection over the corpus — array_min() over K exact-integer
+    (d2, cid) structs, no join, no shuffle.
+
+    r12 shape note: the original form built K separate F.struct(
+    F.aggregate(F.zip_with(qv, <64 F.lit columns>, ...))) Column trees
+    — ~4,600 py4j/Catalyst nodes per assign, re-built and re-analyzed
+    for every iteration (measured: ~5 s of DRIVER gaps per fit at
+    sf0.1), and F.least(...)[field] referenced the un-collapsible
+    expression twice, double-evaluating every interpreted fold.  One
+    SQL string with a literal 2-D array is a ~30-node tree, and the
+    struct min is evaluated once per row in its own projection (the
+    field extraction happens in a separate Project that CollapseProject
+    will not inline, because the struct expression is non-cheap).
+    Integer argmin semantics are unchanged: struct comparison orders by
+    (d2, cid), i.e. lowest distance then lowest centroid id."""
+    cents_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x}L" for x in c) + ")" for _, c in cents
         )
-        for cid, c in cents
-    ]
-    best = F.least(*dists) if len(dists) > 1 else dists[0]
-    return z.select(
-        "vec_id", "qv", best["cid"].alias("cid"), best["d2"].alias("d2")
+        + ")"
+    )
+    cids_sql = "array(" + ",".join(str(cid) for cid, _ in cents) + ")"
+    best = (
+        f"array_min(zip_with({cents_sql}, {cids_sql}, (c, id) -> struct("
+        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)), 0L,"
+        " (a, x) -> a + x) AS d2, cast(id AS int) AS cid)))"
+    )
+    return z.select("vec_id", "qv", F.expr(best).alias("b")).select(
+        "vec_id",
+        "qv",
+        F.col("b.cid").alias("cid"),
+        F.col("b.d2").alias("d2"),
     )
 
 

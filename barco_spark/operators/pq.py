@@ -494,8 +494,21 @@ def _register_pq_int8() -> None:
         e = t(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
-        z = e.withColumn("mx", _absmax("v")).withColumn(
-            "qv", _int8_quantize("v", "mx")
+        # quantize ONCE and in parallel (the kmeans_int8 discipline,
+        # r12): z feeds books, csub and qn — without a lineage cut the
+        # interpreted-HOF quantize re-ran for each consumer, and a
+        # small parquet file arrives as 1-3 splits so the encode stage
+        # (cand x code integer-L2 folds, the query's dominant CPU) ran
+        # on one core (measured: 1.9 s single-task encode at sf0.1).
+        # At warehouse scale the scan already has >= parallelism
+        # splits and no repartition happens (guide §2.5/§4.5).
+        par = spark.sparkContext.defaultParallelism
+        if e.rdd.getNumPartitions() < par:
+            e = e.repartition(par)
+        z = (
+            e.withColumn("mx", _absmax("v"))
+            .withColumn("qv", _int8_quantize("v", "mx"))
+            .localCheckpoint(eager=False)
         )
         n_corpus = _emb_count(spark, sf_dir, corpus_only=True)
         stride = max(1, math.ceil(n_corpus / K_CODES))
@@ -590,7 +603,9 @@ def _register_pq_int8() -> None:
             .select("query_id", "cand_id")
         )
 
-        c = e.filter(F.col("vec_id") >= N_QUERY).select(
+        # rerank vectors come from the SAME checkpointed z (v rides
+        # along), not a second scan+repartition of the table
+        c = z.filter(F.col("vec_id") >= N_QUERY).select(
             F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
         )
         rer = (

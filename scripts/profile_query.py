@@ -23,10 +23,34 @@ from barco_spark.registry import load_all  # noqa: E402
 from barco_spark.session import free_persistent_rdds, get_spark  # noqa: E402
 
 
-def parse_eventlog(path: str) -> None:
+def _read_eventlog_lines(evdir: str, app_id: str):
+    """Yield JSON lines from a Spark 4 event log (rolled dir, zstd)."""
+    import glob
+    import io
+
+    base = os.path.join(evdir, app_id)
+    paths = (
+        sorted(glob.glob(os.path.join(f"{base}*", "events_*")))
+        or glob.glob(f"{base}*")
+    )
+    for p in paths:
+        if os.path.isdir(p):
+            continue
+        if p.endswith(".zstd"):
+            import subprocess
+
+            out = subprocess.run(
+                ["zstd", "-dc", p], capture_output=True, check=True
+            ).stdout
+            yield from io.StringIO(out.decode("utf-8"))
+        else:
+            yield from open(p)
+
+
+def parse_eventlog(evdir: str, app_id: str) -> None:
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    for line in open(path):
+    for line in _read_eventlog_lines(evdir, app_id):
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:
@@ -50,15 +74,15 @@ def parse_eventlog(path: str) -> None:
             sid = si["Stage ID"]
             sub = si.get("Submission Time")
             comp = si.get("Completion Time")
-            stages[sid] = {
-                "wall_ms": (comp - sub) if sub and comp else 0,
-                "tasks": si.get("Number of Tasks", 0),
-                "name": si.get("Stage Name", "")[:50],
-            }
+            st = stages.setdefault(sid, {})
+            st["wall_ms"] = (comp - sub) if sub and comp else 0
+            st["tasks"] = si.get("Number of Tasks", 0)
+            st["name"] = si.get("Stage Name", "")[:50]
         elif kind == "SparkListenerTaskEnd":
             sid = ev["Stage ID"]
             m = ev.get("Task Metrics") or {}
             st = stages.setdefault(sid, {"wall_ms": 0, "tasks": 0, "name": ""})
+
             st["run_ms"] = st.get("run_ms", 0) + m.get("Executor Run Time", 0)
             st["gc_ms"] = st.get("gc_ms", 0) + m.get("JVM GC Time", 0)
             st["deser_ms"] = st.get("deser_ms", 0) + m.get(
@@ -75,7 +99,6 @@ def parse_eventlog(path: str) -> None:
             st["sh_write"] = st.get("sh_write", 0) + swm.get(
                 "Shuffle Bytes Written", 0
             )
-            pyb = m.get("Python Boundary") or {}
 
     total_wall = 0
     print(f"{'job':>4} {'wall_ms':>8} {'desc'}")
@@ -110,6 +133,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -133,7 +158,7 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
     # event log flushes on stop
-    parse_eventlog(os.path.join(evdir, app_id))
+    parse_eventlog(evdir, app_id)
 
 
 if __name__ == "__main__":
