@@ -340,7 +340,9 @@ def multimodal_profile(spark, sf_dir):
     # persist: the join references decoded on both sides (directly and
     # through the featurizer); without it the decode mapInPandas runs
     # twice
-    decoded = decode_media(media).persist()
+    from barco_spark.session import eager_persist
+
+    decoded = eager_persist(decode_media(media))
     feats = extract_features(decoded, dim=16)
     joined = decoded.join(feats, "media_id")  # decoded keeps kind
     return (

@@ -307,10 +307,15 @@ def _lsh_pairs(
     # sf0.1); the cache is small (one row per doc: shingle hashes +
     # 8 ints) and LRU-evicted. At warehouse scale this stage is a
     # persisted signatures table instead.
-    sig = (
-        _hashed_shingles(spark, sf_dir)
-        .select("doc_id", "shingles", *_minhash_cols())
-        .persist()
+    from barco_spark.session import eager_persist
+
+    # EAGER (r12): the plan references sig 3-4x (bands + both verify
+    # sides); an un-materialized cache under a multi-reference AQE plan
+    # re-ran this interpreted-HOF pass up to 8x — see eager_persist.
+    sig = eager_persist(
+        _hashed_shingles(spark, sf_dir).select(
+            "doc_id", "shingles", *_minhash_cols()
+        )
     )
 
     cand = _band_candidates(sig, bucket_cap)
@@ -462,9 +467,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: both sides of the block join share this subtree (see the
-    # persist-vs-checkpoint note in _lsh_pairs)
-    sig = simhash_signatures(spark, sf_dir).persist()
+    from barco_spark.session import eager_persist
+
+    # eager persist: both sides of the block join share this subtree —
+    # materialize before the double-reference plan runs (eager_persist)
+    sig = eager_persist(simhash_signatures(spark, sf_dir))
     n_blocks, block_bits = 4, 7
     mask = (1 << block_bits) - 1
     blocks = F.expr(
@@ -904,7 +911,11 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the band self-join references the signature subtree on
     # both sides; without this the shingle/minhash work runs twice
     # (same rationale as _lsh_pairs)
-    sig = _hashed_shingles(spark, sf_dir).select("doc_id", *_minhash_cols()).persist()
+    from barco_spark.session import eager_persist
+
+    sig = eager_persist(
+        _hashed_shingles(spark, sf_dir).select("doc_id", *_minhash_cols())
+    )
     cand = _band_candidates(sig, _LSH_BUCKET_CAP)
     p = t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("prefix")
@@ -1136,7 +1147,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = d.filter(F.col("doc_id") % 2 == 0)
     # the batch side is small and referenced twice (key probe + flag
     # join): persist it, never the index
-    incoming = d.filter(F.col("doc_id") % 2 == 1).persist()
+    from barco_spark.session import eager_persist
+
+    incoming = eager_persist(d.filter(F.col("doc_id") % 2 == 1))
     # ONE index pass: both key kinds melted to a uniform stream and
     # probed against the broadcast batch keys in a single equi-join;
     # .distinct() keeps the matched set bounded by the batch size
@@ -1252,10 +1265,12 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = (
-        _hashed_shingles(spark, sf_dir)
-        .select("doc_id", "shingles", *_minhash_cols())
-        .persist()
+    from barco_spark.session import eager_persist
+
+    sig = eager_persist(
+        _hashed_shingles(spark, sf_dir).select(
+            "doc_id", "shingles", *_minhash_cols()
+        )
     )
     pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
     x = sig.select(

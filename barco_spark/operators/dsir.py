@@ -184,11 +184,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     else:
-        fbd = (
+        from barco_spark.session import eager_persist
+
+        fbd = eager_persist(
             _feats(docs)
             .groupBy("doc_id", "lang", "b")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .persist()
         )
         sc = (
             fbd.groupBy("b")

@@ -142,6 +142,7 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "deg")
         .persist()
     )
+    src_deg.count()  # materialize: the final action references it 3x
     for _ in range(N_ITER):
         pj = F.broadcast(p) if bcast_rank else p
         contrib = (
@@ -239,7 +240,11 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each triangle {x<y<z by (deg,id)} is counted exactly once as the
     # wedge x->y, x->z closed by y->z. Same triangles, same census as
     # the (orientation-free) DuckDB oracle above.
-    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    from barco_spark.session import eager_persist
+
+    pairs = eager_persist(
+        _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
     o = None
     try:
         deg = (
@@ -270,8 +275,8 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("deg_a"))
                 .alias("dst_deg"),
             )
-            .persist()  # feeds both wedge legs + the closing join
         )
+        o = eager_persist(o)  # feeds both wedge legs + the closing join
         e1 = o.selectExpr("src", "dst AS b", "dst_deg AS bdeg")
         e2 = o.selectExpr("src AS src2", "dst AS c", "dst_deg AS cdeg")
         wedge = e1.join(

@@ -610,10 +610,10 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline's widest stage) runs once (3.6 s -> 3.2 s at sf0.1).
     # At 100 TB this is rewritten-corpus-sized: MEMORY_AND_DISK, or a
     # materialized intermediate table between pipeline stages.
-    rw = (
-        chunk_rewrite_frame(kept)
-        .select("doc_id", "n_dropped", "new_text")
-        .persist()
+    from barco_spark.session import eager_persist
+
+    rw = eager_persist(
+        chunk_rewrite_frame(kept).select("doc_id", "n_dropped", "new_text")
     )
 
     from barco_spark.operators.text import h28

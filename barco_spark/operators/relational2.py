@@ -880,12 +880,16 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def hll_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per = (
+    from barco_spark.session import eager_persist
+
+    # eager: one sketch pass feeds both branches of the union (a
+    # handful of rows; without the persist the union re-scans events,
+    # and without the materialization the two cache references can
+    # each recompute the scan — see eager_persist)
+    per = eager_persist(
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
-        .persist()  # one sketch pass feeds both branches of the union
-        # (a handful of rows; without it the union re-scans events)
     )
     per_type = per.select(
         "event_type",
@@ -972,8 +976,10 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dr") <= k)
         .select("event_type", "h")
         .distinct()  # dedupe WITHIN the k-min sets (<= types*K values)
-        .persist()  # two consumers (per-type + ALL); <= types*K rows
     )
+    from barco_spark.session import eager_persist
+
+    kmin = eager_persist(kmin)  # two consumers (per-type + ALL)
     per_type = kmin.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k")
     )
@@ -1109,9 +1115,12 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dr") <= k)
         .select("event_type", "h")
         .distinct()
-        .persist()  # sketch state: <= types*K rows, feeds pair list +
-        # both sides of the pair expansion
     )
+    from barco_spark.session import eager_persist
+
+    # sketch state: <= types*K rows, feeds pair list + both sides of
+    # the pair expansion — materialized before the multi-reference plan
+    kmin = eager_persist(kmin)
     # Pair-expansion guard (KMV_MAX_TYPES comment above): keep only the
     # top types by estimated cardinality before the quadratic pair
     # stage. Exact-integer ordering (n DESC, theta ASC, name ASC) so

@@ -1965,10 +1965,12 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny (N_QUERY x MMR_POOL rows) but referenced by all three greedy
     # steps; persisting keeps the corpus scoring pass single-run (same
     # discipline as _lsh_pairs' signature cache, LRU-evicted)
-    pool = (
-        scored.select("*", F.row_number().over(wrel).alias("rnk"))
-        .filter(F.col("rnk") <= MMR_POOL)
-        .persist()
+    from barco_spark.session import eager_persist
+
+    pool = eager_persist(
+        scored.select("*", F.row_number().over(wrel).alias("rnk")).filter(
+            F.col("rnk") <= MMR_POOL
+        )
     )
     s1 = pool.filter(F.col("rnk") == 1).select(
         "query_id",

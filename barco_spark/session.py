@@ -115,3 +115,22 @@ def free_persistent_rdds(spark: SparkSession, blocking: bool = False) -> int:
     session owners between independent requests — never inside an
     operator, which must free only the blocks it created."""
     return unpersist_rdds(spark, persistent_rdd_ids(spark), blocking)
+
+
+def eager_persist(df):
+    """persist() + materialize NOW (one count job); returns df.
+
+    A cached relation referenced MORE THAN ONCE inside a single action
+    must be materialized before that action runs: Spark 4.1's AQE plans
+    one TableCacheQueryStage per reference, and when the cache is not
+    yet populated those stages can EACH recompute the full subtree
+    instead of sharing one materialization (measured r12: the LSH
+    signature pass ran up to 8x inside one action — 21.0 s vs 4.6 s
+    cold, and 4 sequential ~1.2 s recomputes even warm).  One count()
+    over the freshly persisted frame makes the cache state
+    deterministic: compute once, read N times.  The count job itself
+    IS the materialization pass — it adds no second computation.
+    """
+    df.persist()
+    df.count()
+    return df
