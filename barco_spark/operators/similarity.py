@@ -82,6 +82,33 @@ def _emb_count(spark: SparkSession, sf_dir: str, corpus_only: bool = False) -> i
     return n
 
 
+# (sf_dir) -> embeddings scan split count: one plan-only probe per
+# dataset path per session (no Spark job; partition math only).
+_EMB_PARTS_CACHE: dict[str, int] = {}
+
+
+def _spread(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin a corpus-side embeddings frame across the session
+    parallelism when the underlying scan is narrower (r12, guide §2.5).
+
+    The cosine/assignment folds are interpreted higher-order functions
+    (CodegenFallback) — expensive per ROW, not per byte — and a small
+    parquet file arrives as 1-3 splits, so on local[N] the scoring
+    stage ran on 1-3 cores (event-log evidence: 1.4 s single-task
+    scoring stages behind ann_recall_report).  Spreading costs one
+    exchange of the tiny frame; at warehouse scale the scan already
+    has >= parallelism splits and this is a NO-OP (no exchange added).
+    Only oracle-paired consumers use it: their outputs are proven
+    partition-independent (they hash-match a partition-agnostic DuckDB
+    computation)."""
+    par = spark.sparkContext.defaultParallelism
+    n = _EMB_PARTS_CACHE.get(sf_dir)
+    if n is None:
+        n = t(spark, sf_dir, "embeddings").rdd.getNumPartitions()
+        _EMB_PARTS_CACHE[sf_dir] = n
+    return df.repartition(par) if n < par else df
+
+
 @register(
     "ann_cosine_topk",
     f"""
@@ -254,7 +281,8 @@ def _cell_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("n2cent"),
     )
     assigned = (
-        e.join(F.broadcast(cent))
+        _spread(e, spark, sf_dir)
+        .join(F.broadcast(cent))
         .select(
             "vec_id",
             "v",
@@ -583,10 +611,14 @@ def ann_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         norm2("v").alias("n2q"),
     )
-    c = e.filter(F.col("vec_id") >= N_QUERY).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("v").alias("cv"),
-        norm2("v").alias("n2c"),
+    c = _spread(
+        e.filter(F.col("vec_id") >= N_QUERY).select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("v").alias("cv"),
+            norm2("v").alias("n2c"),
+        ),
+        spark,
+        sf_dir,
     )
     # nlist ~ sqrt(N): stride = ceil(sqrt(corpus)) sampled centroids.
     # The count is a parquet-metadata read; the oracle computes the
@@ -1352,7 +1384,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("n2cent"),
     )
     assigned = (
-        e.join(F.broadcast(cent))
+        _spread(e, spark, sf_dir)
+        .join(F.broadcast(cent))
         .select(
             "vec_id",
             "label",
@@ -1754,11 +1787,20 @@ def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("qq"),
         F.col("qn2").alias("qqn2"),
     )
-    c = e.filter(F.col("vec_id") >= N_QUERY).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("v").alias("cvec"),
-        F.col("qv").alias("cq"),
-        F.col("qn2").alias("cqn2"),
+    from barco_spark.session import eager_persist
+
+    # materialize once: BOTH rankings (exact + quantized) reference
+    # this frame — without the cache the interpreted quantize fold
+    # runs twice (eager_persist).  A repartition before the quantize
+    # was A/B-measured NEGATIVE here (1.95 s plain vs 2.28 s spread:
+    # one thin pass over 2k rows does not amortize the exchange).
+    c = eager_persist(
+        e.filter(F.col("vec_id") >= N_QUERY).select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("v").alias("cvec"),
+            F.col("qv").alias("cq"),
+            F.col("qn2").alias("cqn2"),
+        )
     )
     exact = _topk_ids(
         F.broadcast(q)
