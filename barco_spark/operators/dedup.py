@@ -685,7 +685,12 @@ def dedup_clusters(
         rows = [(n, find(n)) for n in parent]
         # the result is driver-local rows: nothing distributed survives
         pairs.unpersist()
-        return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+        # Arrow path (r12): the plain-list createDataFrame spun 32
+        # Python workers to unpickle 477 rows (0.6-4.3 s; see
+        # session.local_rows_df)
+        from barco_spark.session import local_rows_df
+
+        return local_rows_df(spark, rows, "doc_id long, cluster_id long")
 
     before_edges = persistent_rdd_ids(spark)
     edges = (

@@ -327,7 +327,10 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r["doc_id"], r["degree"], r["triangles"], r["local_clustering"])
             for r in out.collect()
         ]
-        return spark.createDataFrame(
+        from barco_spark.session import local_rows_df
+
+        return local_rows_df(
+            spark,
             rows,
             "doc_id long, degree long, triangles long, local_clustering double",
         )

@@ -82,31 +82,16 @@ def _emb_count(spark: SparkSession, sf_dir: str, corpus_only: bool = False) -> i
     return n
 
 
-# (sf_dir) -> embeddings scan split count: one plan-only probe per
-# dataset path per session (no Spark job; partition math only).
-_EMB_PARTS_CACHE: dict[str, int] = {}
-
-
 def _spread(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-robin a corpus-side embeddings frame across the session
-    parallelism when the underlying scan is narrower (r12, guide §2.5).
+    parallelism when the underlying scan is narrower (r12, guide §2.5;
+    see tables.spread — this is the embeddings-table instance).  The
+    cosine/assignment folds are interpreted higher-order functions
+    (CodegenFallback), expensive per ROW; applied only at the
+    assignment-heavy sites where the same-JVM A/B showed a win."""
+    from barco_spark.tables import spread
 
-    The cosine/assignment folds are interpreted higher-order functions
-    (CodegenFallback) — expensive per ROW, not per byte — and a small
-    parquet file arrives as 1-3 splits, so on local[N] the scoring
-    stage ran on 1-3 cores (event-log evidence: 1.4 s single-task
-    scoring stages behind ann_recall_report).  Spreading costs one
-    exchange of the tiny frame; at warehouse scale the scan already
-    has >= parallelism splits and this is a NO-OP (no exchange added).
-    Only oracle-paired consumers use it: their outputs are proven
-    partition-independent (they hash-match a partition-agnostic DuckDB
-    computation)."""
-    par = spark.sparkContext.defaultParallelism
-    n = _EMB_PARTS_CACHE.get(sf_dir)
-    if n is None:
-        n = t(spark, sf_dir, "embeddings").rdd.getNumPartitions()
-        _EMB_PARTS_CACHE[sf_dir] = n
-    return df.repartition(par) if n < par else df
+    return spread(df, spark, sf_dir, "embeddings")
 
 
 @register(

@@ -134,3 +134,22 @@ def eager_persist(df):
     df.persist()
     df.count()
     return df
+
+
+def local_rows_df(spark: SparkSession, rows, ddl: str):
+    """Driver-local rows -> DataFrame via the pandas/Arrow fast path.
+
+    ``spark.createDataFrame(list, ddl)`` pickles the rows into an RDD
+    sliced across defaultParallelism and spins one Python worker per
+    partition just to unpickle them — measured r12: 0.58-4.3 s of
+    worker setup for a 477-row result (32 near-empty partitions),
+    vs 0.13-0.27 s through pandas/Arrow, where the JVM reads the
+    Arrow batch directly and no Python worker ever starts.  Only for
+    flat numeric/string schemas (DDL "name type, ..."); rows may be
+    tuples or Rows.
+    """
+    import pandas as pd
+
+    names = [c.strip().split()[0] for c in ddl.split(",")]
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
+    return spark.createDataFrame(pdf, schema=ddl)

@@ -67,3 +67,43 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLE_NAMES:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# (sf_dir, table) -> scan split count: one plan-only probe per dataset
+# path per session (no Spark job; partition math only) — the same
+# session-constant discipline as the schema cache above.
+_SPLITS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    n = _SPLITS_CACHE.get(key)
+    if n is None:
+        n = t(spark, sf_dir, name).rdd.getNumPartitions()
+        _SPLITS_CACHE[key] = n
+    return n
+
+
+def spread(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str = "documents"
+) -> DataFrame:
+    """Round-robin a scan-derived frame across the session parallelism
+    when the underlying scan is narrower (r12, guide §2.5).
+
+    The expensive passes downstream of a corpus scan are interpreted
+    higher-order folds (shingle md5, MinHash permutations, chunk
+    hashing) — costed per ROW, not per byte — and a small parquet file
+    arrives as 1-3 splits, so on local[N] those stages otherwise run
+    on 1-3 of N cores (event-log evidence: 0.9-1.9 s 1-3-task scan
+    stages behind the dedup/text family).  Spreading costs one
+    exchange of the narrow frame; at warehouse scale the scan already
+    has >= parallelism splits and this is a NO-OP — no exchange is
+    added to the plan.  Only partition-independent consumers may use
+    it (integer aggregates, hash joins, windows keyed+ordered by
+    deterministic columns); every caller is oracle-paired against a
+    partition-agnostic DuckDB computation, which proves the output
+    does not depend on the placement this helper changes."""
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits(spark, sf_dir, name) < par:
+        return df.repartition(par)
+    return df
