@@ -1057,10 +1057,21 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.pos").alias("pos"),
         F.col("a.h").alias("h"),
     )
-    dup = anchors.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") > 1
+    # duplicated anchors via ONE window count over the anchor hash
+    # (r12, guide §1.2/§2.3): the agg+join form referenced `anchors`
+    # twice, so the md5-per-window explode — the dominant pass — ran
+    # TWICE (two sequential ~0.6 s single-task stages in the profile).
+    # The window count co-partitions exactly like the join would (same
+    # hash exchange on h), every rep measured faster (min 2.53 s vs
+    # 3.74 s, ABBA interleaved same-JVM), and the row set is identical
+    # (h kept iff its corpus-wide count > 1) — the _band_candidates
+    # bucket-cap idiom applied to the dup test.
+    wh = Window.partitionBy("h")
+    hits = (
+        anchors.withColumn("c", F.count(F.lit(1)).over(wh))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "n_chars", "pos")
     )
-    hits = anchors.join(dup.select("h"), "h").select("doc_id", "n_chars", "pos")
     worder = Window.partitionBy("doc_id").orderBy("pos")
     lagd = hits.withColumn("ppos", F.lag("pos").over(worder))
     isl = lagd.withColumn(
@@ -1158,7 +1169,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE index pass: both key kinds melted to a uniform stream and
     # probed against the broadcast batch keys in a single equi-join;
     # .distinct() keeps the matched set bounded by the batch size
-    matched = (
+    # matched is referenced twice (exact + near splits) and is bounded
+    # by the BATCH key count — eager-persist it so the index-side melt
+    # join (the query's dominant pass at a petabyte index) runs ONCE,
+    # not once per broadcast build.  r12 A/B: wall-neutral at sf0.1
+    # (the two ~0.6 s duplicate builds overlap on idle cores) but the
+    # event log shows 2 index passes -> 1, which is the whole point of
+    # this operator's "index scanned once" posture (guide §5/§2.4)
+    matched = eager_persist(
         _melt_dup_keys(existing)
         .join(F.broadcast(_melt_dup_keys(incoming).distinct()), ["kind", "key"])
         .distinct()

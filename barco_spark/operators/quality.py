@@ -921,9 +921,18 @@ CDC_CHUNKS_SQL = f"""
     ),
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.tables import spread
+
     chunks = cdc_chunk_array()
+    # spread the narrow scan below the Gear-hash chunker fold (r12,
+    # guide §2.5): the fold is an interpreted per-row accumulator — the
+    # query's dominant cost, ~1.1 s on ONE task at sf0.1 (profile) —
+    # and parallelizing it wins every interleaved rep (min 0.99 s vs
+    # 1.46 s plain, ABBA same-JVM).  No-op at warehouse scan widths;
+    # the sibling text feeders measured as washes and stay unspread
+    # (see OPTIMIZATION_r12.md).
     c = (
-        t(spark, sf_dir, "documents")
+        spread(t(spark, sf_dir, "documents"), spark, sf_dir)
         .select("doc_id", "source", F.explode(chunks).alias("chunk"))
         .select(
             "doc_id",

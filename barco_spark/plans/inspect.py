@@ -47,13 +47,24 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (pre-AQE).
+    """Number of DISTINCT shuffle exchanges in the physical plan (pre-AQE).
 
     Counts only data shuffles (hash/range/single-partition exchange);
-    BroadcastExchange is not a shuffle of the probe side.
+    BroadcastExchange is not a shuffle of the probe side.  Exchanges are
+    deduplicated by plan_id: when a cached relation is referenced more
+    than once, every InMemoryRelation reference reprints the cached
+    subtree's full lineage, so the SAME physical exchange (one plan_id,
+    executed once at cache materialization) appears several times in the
+    text — textual occurrences would overcount the runtime shuffles.
     """
     plan = explain_str(df, "simple")
-    return len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
+    matches = re.findall(
+        r"(?<!Broadcast)Exchange (?:hash|range|Single)\S*[^\n]*?(?:\[plan_id=(\d+)\])?\n",
+        plan + "\n",
+    )
+    ids = [m for m in matches if m]
+    anon = len(matches) - len(ids)
+    return len(set(ids)) + anon
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
