@@ -94,8 +94,14 @@ _HASHED_SHINGLES_SQL = f"""
 
 
 def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.tables import spread_rows
+
+    # row-sized hash-spread below the shingle/minhash interpreted folds
+    # (r12, guide §2.5): the raw text scan arrives 1-3 splits and the
+    # folds are costed per row — see tables.spread_rows for the A/B
+    # (8-way won every rep on every LSH-family query; 32-way washed)
     return (
-        t(spark, sf_dir, "documents")
+        spread_rows(t(spark, sf_dir, "documents"), spark, sf_dir, "doc_id")
         .select("doc_id", F.split(F.col("text"), " ").alias("words"))
         .select("doc_id", _shingles_col().alias("shingles"))
         .select(

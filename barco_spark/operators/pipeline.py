@@ -596,7 +596,18 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     train = docs.filter(~is_eval)
 
-    kept_ids = (
+    from barco_spark.session import eager_persist
+
+    # kept_ids is referenced by BOTH the rewrite frame below and the
+    # per-doc funnel join; un-persisted, the second reference re-ran the
+    # whole unigram_scores subtree — two more corpus text-explode passes
+    # (event-log r12: the 1861/74271/29452-byte shuffle stages each ran
+    # twice).  Persisting the doc_id-only proxy (guide §8: decide with
+    # small rows) makes the quality filter run once; the funnel join
+    # then costs one NARROW (doc_id, source) corpus scan.  A/B at sf0.1
+    # is a wash (±0.15 s, the duplicated stages overlap on idle cores);
+    # kept for the pass count at scale: 4 text explodes -> 2.
+    kept_ids = eager_persist(
         unigram_scores(train)
         .filter(
             (F.col("lang_pct") >= KEEP_LO) & (F.col("lang_pct") <= KEEP_HI)
@@ -610,8 +621,6 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline's widest stage) runs once (3.6 s -> 3.2 s at sf0.1).
     # At 100 TB this is rewritten-corpus-sized: MEMORY_AND_DISK, or a
     # materialized intermediate table between pipeline stages.
-    from barco_spark.session import eager_persist
-
     rw = eager_persist(
         chunk_rewrite_frame(kept).select("doc_id", "n_dropped", "new_text")
     )
@@ -687,4 +696,5 @@ def pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1 corpus-sized persisted RDD after every call at 50k-1M docs)
     out = out.localCheckpoint()
     rw.unpersist()
+    kept_ids.unpersist()
     return out

@@ -107,3 +107,51 @@ def spread(
     if scan_splits(spark, sf_dir, name) < par:
         return df.repartition(par)
     return df
+
+
+# (sf_dir, table) -> row count: a parquet-footer read (metadata-cheap,
+# no data scan), constant per dataset path for a session.
+_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def scan_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    n = _ROWS_CACHE.get(key)
+    if n is None:
+        n = t(spark, sf_dir, name).count()
+        _ROWS_CACHE[key] = n
+    return n
+
+
+def spread_rows(
+    df: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    key: str,
+    name: str = "documents",
+    rows_per_task: int = 600,
+) -> DataFrame:
+    """Hash-spread a scan-derived frame under an interpreted per-row
+    fold, sized by ROWS rather than the session parallelism (r12,
+    guide §2.5).
+
+    ``spread`` above targets full parallelism, which is right for the
+    cheap-row embeddings family; for full-text rows it overshoots —
+    measured r12: 32-way spread of the shingle/minhash pass washed out
+    (every downstream stage of the 32-partition cache launches 32
+    tasks on KB-sized inputs), while ceil(rows/600)-way (8 at sf0.1's
+    5k docs) won every rep on every LSH-family query (lsh 1.22 vs
+    1.68 s, kcore 2.31 vs 2.97, clusters 1.14 vs 1.64, pagerank 3.78
+    vs 4.03; width 16 measured equal to 8).  600 rows/task keeps each
+    task ~0.3-0.6 s of fold work — large enough to amortize task
+    setup, small enough to engage idle cores.  Hash-partition on a
+    deterministic unique key (no round-robin: keyless repartition
+    pays a full local sort of the text rows — §2.5 sortBeforeRepartition
+    — and retries must be deterministic).  At warehouse widths the
+    scan already has >= ceil(rows/600) splits capped by parallelism,
+    so this is a NO-OP by the same guard as ``spread``."""
+    par = spark.sparkContext.defaultParallelism
+    n = min(par, -(-scan_rows(spark, sf_dir, name) // rows_per_task))
+    if scan_splits(spark, sf_dir, name) < n:
+        return df.repartition(n, key)
+    return df
