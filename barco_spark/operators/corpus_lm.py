@@ -238,7 +238,15 @@ def chunk_rewrite_frame(docs: DataFrame) -> DataFrame:
     ),
 )
 def dedup_chunk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_rewrite_frame(t(spark, sf_dir, "documents"))
+    from barco_spark.tables import spread_rows
+
+    # row-sized spread below the chunk explode (r12, guide §2.5): A/B
+    # 0.41 s vs 0.54 s plain.  Applied at THIS call site, not inside
+    # chunk_rewrite_frame: pretrain_corpus_pipeline feeds the shared
+    # frame from a join output and measured as a wash with the spread.
+    return chunk_rewrite_frame(
+        spread_rows(t(spark, sf_dir, "documents"), spark, sf_dir, "doc_id")
+    )
 
 
 @register(
@@ -711,8 +719,13 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(w, j * CHUNK + 1, CHUNK)).alias("chunk"),
         ),
     )
+    from barco_spark.tables import spread_rows
+
+    # row-sized spread below the chunk slice/concat explode + md5
+    # (r12, guide §2.5): A/B 0.45 s vs 0.55 s plain — see
+    # tables.spread_rows
     c = (
-        t(spark, sf_dir, "documents")
+        spread_rows(t(spark, sf_dir, "documents"), spark, sf_dir, "doc_id")
         .select("doc_id", F.explode(chunk_structs).alias("s"))
         .select("doc_id", F.col("s.j").alias("j"), F.col("s.chunk").alias("chunk"))
         .withColumn("h", h28(F.col("chunk")))

@@ -432,7 +432,14 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost >1s of py4j round trips at plan-build time (the same driver-
     # latency fix as the LSH bucket expressions, see SCALING.md)
     h28_s = h28_spark_sql("x")
-    d = t(spark, sf_dir, "documents").select(
+    from barco_spark.tables import spread_rows
+
+    # row-sized spread below the per-token md5 explode (r12, guide
+    # §2.5): A/B dedup_simhash_pairs 0.80 s vs 1.22 s plain — see
+    # tables.spread_rows
+    d = spread_rows(
+        t(spark, sf_dir, "documents"), spark, sf_dir, "doc_id"
+    ).select(
         "doc_id",
         F.expr(f"explode(transform(split(text, ' '), x -> {h28_s}))").alias("h"),
     )

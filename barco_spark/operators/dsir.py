@@ -161,10 +161,20 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   persisted frame is |docs| x |distinct buckets per doc| rows,
     #   Zipf-compressed far below occurrence count; at 100 TB use
     #   MEMORY_AND_DISK or accept the recompute.
-    docs = t(spark, sf_dir, "documents")
+    from barco_spark.tables import scan_rows, spread_rows
+
+    # row-sized spread below the unigram+bigram explode + md5 bucket
+    # hash (r12, guide §2.5): A/B 1.12 s vs 1.87 s plain at sf0.1 —
+    # see tables.spread_rows.  Applied to the _feats feeder in BOTH
+    # adaptive paths; the path decision reads the cached footer count
+    # (scan_rows), never the spread frame (a count() on the
+    # repartitioned frame would execute the exchange).
+    docs = spread_rows(
+        t(spark, sf_dir, "documents"), spark, sf_dir, "doc_id"
+    )
     qlog = lambda c: F.floor(F.log2(c + F.lit(1))).cast("bigint")  # noqa: E731
     fbd = None
-    if docs.count() < 20_000:
+    if scan_rows(spark, sf_dir, "documents") < 20_000:
         fb = _feats(docs)
         sc = (
             fb.groupBy("b")

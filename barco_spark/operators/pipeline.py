@@ -221,10 +221,12 @@ def _decon_shingles(docs: DataFrame) -> DataFrame:
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barco_spark.operators.text import h28
-    from barco_spark.tables import t
+    from barco_spark.tables import spread_rows, t
 
     docs = t(spark, sf_dir, "documents")
-    hs = _decon_shingles(docs).select(
+    # row-sized spread below the shingle explode + md5 (r12, guide
+    # §2.5): A/B 0.52 s vs 1.15 s plain — see tables.spread_rows
+    hs = _decon_shingles(spread_rows(docs, spark, sf_dir, "doc_id")).select(
         "doc_id", "source", h28(F.col("shingle")).alias("h")
     )
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
@@ -434,10 +436,15 @@ def _bloom_oracle_sql() -> str:
     ),
 )
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from barco_spark.tables import t
+    from barco_spark.tables import spread_rows, t
 
     docs = t(spark, sf_dir, "documents")
-    sh = _decon_shingles(docs)
+    # row-sized spread below the shingle explode + double-md5 probe
+    # (r12, guide §2.5): A/B 1.20 s vs 1.40 s plain.  Unlike the
+    # REJECTED probe-stage split above the Arrow kernel (see
+    # OPTIMIZATION_r12.md), this exchange sits BELOW the explode so
+    # the md5 + numpy kernel stay fused in the spread stage.
+    sh = _decon_shingles(spread_rows(docs, spark, sf_dir, "doc_id"))
     is_eval = F.col("doc_id") % _DECON_EVAL_MOD == 0
     table, m = bloom_bitmap(sh.filter(is_eval).select("shingle").distinct())
     probed = (

@@ -759,9 +759,14 @@ def pii_incidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gopher_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barco_spark.operators.text import kgrams
-    from barco_spark.tables import t
+    from barco_spark.tables import spread_rows, t
 
-    docs = t(spark, sf_dir, "documents")
+    # row-sized spread below the trigram sort+fold — an interpreted
+    # per-row aggregate over the whole trigram array (r12, guide §2.5):
+    # A/B 0.39 s vs 0.69 s plain — see tables.spread_rows
+    docs = spread_rows(
+        t(spark, sf_dir, "documents"), spark, sf_dir, "doc_id"
+    )
     tg = kgrams(F.split(F.col("text"), " "), 3)
     # fold over the sorted trigram array: total chars, and chars in
     # duplicated runs (on the 2nd occurrence the 1st retroactively

@@ -418,3 +418,34 @@ def test_cross_split_leakage_detects_planted_pair(spark, tmp_path):
         (0, 8, "train", "test")
     ], out
     assert out[0].jaccard >= 0.4
+
+
+def test_spread_rows_is_noop_below_one_task_of_rows(spark, sf_dir):
+    """spread_rows must add NO exchange when the corpus fits one task's
+    row budget (the small-SF / warehouse-width no-op guard): the
+    driver's correctness SFs run the exact pre-spread plans."""
+    from barco_spark.plans import explain_str
+    from barco_spark.tables import spread_rows, t
+
+    base = t(spark, sf_dir, "documents")
+    out = spread_rows(base, spark, sf_dir, "doc_id")  # 500 rows -> n=1
+    assert out is base
+
+
+def test_spread_rows_hash_partitions_without_row_change(spark, sf_dir):
+    """With a small rows_per_task the helper must hash-repartition on
+    the key (deterministic, no round-robin sort) and preserve the row
+    set exactly — the property every spread call site relies on."""
+    from barco_spark.plans import explain_str
+    from barco_spark.tables import spread_rows, t
+
+    base = t(spark, sf_dir, "documents").select("doc_id")
+    out = spread_rows(base, spark, sf_dir, "doc_id", rows_per_task=50)
+    plan = explain_str(out, "simple")
+    assert "hashpartitioning(doc_id" in plan
+    assert "roundrobin" not in plan.lower()
+    par = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == min(par, 10)  # ceil(500/50)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in base.collect()
+    )
