@@ -29,6 +29,7 @@ the log can absorb instead of ballooning driver memory).
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 
@@ -61,6 +62,7 @@ class ProduceCoalescer:
         max_pending_records: int = 100_000,
         lock: threading.Lock | None = None,
         metrics: dict | None = None,
+        linger_max_ms: float | None = None,
     ) -> None:
         self.log = log
         # optional broker_metrics() dict (C9): the flusher observes
@@ -68,6 +70,21 @@ class ProduceCoalescer:
         # coalescer feeding CoalescerMessagesProcessed/PerGroup
         self._metrics = metrics
         self.linger_s = linger_ms / 1000.0
+        # quiescence cap: a window that KEEPS receiving requests stays
+        # open until arrivals pause for linger_ms, but never longer
+        # than this (bounds worst-case ack latency). The reference gets
+        # the same adaptivity implicitly — its next group accumulates
+        # for as long as the previous write+replicate runs
+        # (coalescer.go:85-138); with the ms-class arrow fast path that
+        # implicit accumulation vanished, so the window must close on
+        # arrival quiescence instead of a fixed fuse or steady
+        # request-per-event traffic fragments into straggler flushes.
+        self.linger_max_s = (
+            linger_max_ms / 1000.0
+            if linger_max_ms is not None
+            else 5 * self.linger_s
+        )
+        self._last_enqueue = 0.0
         self.max_pending_records = max_pending_records
         self._lock = lock if lock is not None else threading.Lock()
         self._cond = threading.Condition()
@@ -134,6 +151,7 @@ class ProduceCoalescer:
             self._queue.append(req)
             self._queued_records += len(records)
             self.requests += 1
+            self._last_enqueue = time.monotonic()
             self._cond.notify_all()
         return req
 
@@ -163,9 +181,25 @@ class ProduceCoalescer:
             # linger outside the lock: let a burst accumulate before the
             # drain (the reference's coalescing window). While the flush
             # below runs its Spark job, further requests pile up for the
-            # NEXT window — batch size adapts to job latency.
+            # NEXT window — batch size adapts to job latency. The window
+            # additionally stays open while arrivals CONTINUE (closes
+            # after linger_s of enqueue silence, hard-capped at
+            # linger_max_s): steady request-per-event traffic coalesces
+            # into full windows instead of fragmenting into straggler
+            # flushes now that the arrow fast path made the write itself
+            # ms-class (see linger_max_s note in __init__).
             if self.linger_s > 0:
-                threading.Event().wait(self.linger_s)
+                pause = threading.Event()
+                deadline = time.monotonic() + self.linger_max_s
+                pause.wait(self.linger_s)
+                while True:
+                    now = time.monotonic()
+                    quiet_for = now - self._last_enqueue
+                    if quiet_for >= self.linger_s or now >= deadline:
+                        break
+                    pause.wait(
+                        min(self.linger_s - quiet_for, deadline - now)
+                    )
             with self._cond:
                 batch, self._queue = self._queue, []
                 self._queued_records = 0

@@ -252,6 +252,38 @@ class BrokerHttpServer:
                 # buckets re-deal to survivors immediately, not after
                 # the R13 inactivity timeout
                 try:
+                    remaining = getattr(self, "_linger_drain", 0)
+                    if remaining > 0:
+                        # lingering close for a rejected oversized
+                        # body: flush the response, half-close the
+                        # write side (FIN lets the client read the
+                        # 400), then DISCARD the client's in-flight
+                        # body bytes so its blocked send() completes
+                        # instead of dying on RST/EPIPE. Bounded both
+                        # ways: at most the declared remainder is
+                        # read (64 KiB chunks, nothing buffered) and
+                        # a 10 s deadline caps a trickling client.
+                        self._linger_drain = 0
+                        import socket as _socket
+                        import time as _time
+
+                        try:
+                            self.wfile.flush()
+                            self.connection.shutdown(_socket.SHUT_WR)
+                            deadline = _time.monotonic() + 10
+                            self.connection.settimeout(2)
+                            while (
+                                remaining > 0
+                                and _time.monotonic() < deadline
+                            ):
+                                chunk = self.connection.recv(
+                                    min(remaining, 65536)
+                                )
+                                if not chunk:
+                                    break
+                                remaining -= len(chunk)
+                        except OSError:
+                            pass
                     super().finish()
                 finally:
                     token = getattr(self, "_conn_token", None)
@@ -289,12 +321,18 @@ class BrokerHttpServer:
                     if remaining > outer.log.config.max_message_size_bytes:
                         # a body the MaxMessageSize validation already
                         # rejected (or a lying Content-Length) is not
-                        # worth draining: reading it would buffer up to
-                        # the client's declared size (or block forever
-                        # on bytes that never come) — drop the
-                        # connection instead, like the reference's
-                        # rejected oversized requests
+                        # worth draining into the keep-alive path:
+                        # drop the connection instead, like the
+                        # reference's rejected oversized requests.
+                        # But closing while the client is still
+                        # WRITING the body RSTs the socket and the
+                        # client may die on EPIPE before it ever reads
+                        # this response — so finish() does a bounded
+                        # LINGERING close (half-close write, discard
+                        # up to the declared remainder under a
+                        # deadline) instead of an abrupt one.
                         self.close_connection = True
+                        self._linger_drain = remaining
                     else:
                         try:
                             # bounded chunks: no single giant allocation
