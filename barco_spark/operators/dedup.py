@@ -189,13 +189,22 @@ _LSH_PAIRS_CTES = f"""
 """
 
 
-def _band_candidates(sig: DataFrame, bucket_cap: int | None) -> DataFrame:
+def _band_candidates(
+    sig: DataFrame, bucket_cap: int | None, dedup_parts: int | None = None
+) -> DataFrame:
     """Banded candidate pairs (doc_a < doc_b, distinct) from a minhash
     signature frame with columns doc_id, s0..s7. With a cap, buckets
     larger than `bucket_cap` are dropped before the self-join (window
     count over the band key, which co-partitions with the join — one
     shuffle serves both). Shared by the Jaccard/containment verifies
-    and the fuzzy (edit-distance) verify so the blocking cannot drift."""
+    and the fuzzy (edit-distance) verify so the blocking cannot drift.
+
+    ``dedup_parts`` (r12, guide §2.4): when the caller's next step is a
+    verify join keyed on doc_a at that width, key the pair dedup's
+    exchange on doc_a too — hash-partitioning by doc_a alone already
+    clusters (doc_a, doc_b), so ONE exchange serves both the distinct
+    and the join's probe side (plan: Exchange(a,b) + Exchange(a) ->
+    Exchange(a)). Identical row set either way."""
     from pyspark.sql import Window
 
     # one Generate over an array of (band_idx, band_val) structs instead
@@ -233,15 +242,16 @@ def _band_candidates(sig: DataFrame, bucket_cap: int | None) -> DataFrame:
     # verify-join comment in _lsh_pairs — the graph_kcore 500k
     # driver-OOM class)
     b_ = bands.alias("b").hint("shuffle_hash")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    joined = a.join(
+        b_,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if dedup_parts is None:
+        return joined.distinct()
+    return joined.repartition(dedup_parts, "doc_a").dropDuplicates(
+        ["doc_a", "doc_b"]
     )
 
 
@@ -324,14 +334,13 @@ def _lsh_pairs(
         )
     )
 
-    cand = _band_candidates(sig, bucket_cap)
-    if pair_filter is not None:
-        cand = pair_filter(cand)
-
     # scale the verify join's exchange width with the corpus so the
     # per-partition SHJ build stays bounded (see _verify_join_parts;
     # identical plan at bench SFs where n_parts == shuffle.partitions)
     n_parts = _verify_join_parts(spark, sf_dir)
+    cand = _band_candidates(sig, bucket_cap, dedup_parts=n_parts)
+    if pair_filter is not None:
+        cand = pair_filter(cand)
     x = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     ).repartition(n_parts, "doc_a")
@@ -934,12 +943,12 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = eager_persist(
         _hashed_shingles(spark, sf_dir).select("doc_id", *_minhash_cols())
     )
-    cand = _band_candidates(sig, _LSH_BUCKET_CAP)
+    # corpus-scaled exchange width, same SHJ-build bound as _lsh_pairs
+    n_parts = _verify_join_parts(spark, sf_dir)
+    cand = _band_candidates(sig, _LSH_BUCKET_CAP, dedup_parts=n_parts)
     p = t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("prefix")
     )
-    # corpus-scaled exchange width, same SHJ-build bound as _lsh_pairs
-    n_parts = _verify_join_parts(spark, sf_dir)
     x = p.select(
         F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")
     ).repartition(n_parts, "doc_a")

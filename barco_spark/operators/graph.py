@@ -122,34 +122,38 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = edges.coalesce(8).persist()
     edges.count()  # materialize from the pair cache, then free it
     pairs.unpersist()
-    # nodes and the degree-annotated edge list are ITERATION-INVARIANT:
-    # persist them once so each of the N_ITER rounds is only
-    # (rank join + dst agg + left join), not a re-run of the distinct/
-    # degree/join derivations against the edge cache (3x job overhead
-    # at bench scale, 3x cache scans at any scale)
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # the degree table is ITERATION-INVARIANT and NODE-sized; persist it
+    # once — it carries the node set too (every node of the symmetrized
+    # edge list appears as a src), so the old separate nodes
+    # distinct+persist+count and the EDGE-sized src_deg persist+count
+    # are both gone (r12: two fewer materialization jobs, one fewer
+    # edge-wide cache; the pagerank driver-gap audit measured ~0.37 s
+    # of driver time per job at bench scale)
+    deg_nodes = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
-    n_nodes = nodes.count()  # scalar; also materializes the node cache
+    nodes = deg_nodes.select("node")
+    n_nodes = deg_nodes.count()  # scalar; also materializes the cache
     # rank table is one row per NODE: broadcast it only when measurably
     # small — at petabyte pair graphs it stays a shuffled hash join
     bcast_rank = n_nodes < 500_000
     base = (15 * SCALE // 100) // n_nodes
     p = nodes.select("node", F.lit(SCALE // n_nodes).alias("p"))
-    src_deg = (
-        edges.join(deg, edges.src == deg.node)
-        .select("src", "dst", "deg")
-        .persist()
-    )
-    src_deg.count()  # materialize: the final action references it 3x
     for _ in range(N_ITER):
-        pj = F.broadcast(p) if bcast_rank else p
+        # per-node share FIRST (node-sized join + integer div once per
+        # NODE), then probe the edge cache with the small side: the
+        # old shape joined rank onto a persisted (src, dst, deg) edge
+        # copy and divided per EDGE row — same integers, more work,
+        # one more corpus... er, edge-scale cache to build and hold
+        share = p.join(deg_nodes, "node").select(
+            F.col("node").alias("src"),
+            F.expr("p div deg").cast("bigint").alias("share"),
+        )
+        sj = F.broadcast(share) if bcast_rank else share
         contrib = (
-            src_deg.join(pj, src_deg.src == pj.node)
-            .select(
-                "dst", F.expr("p div deg").cast("bigint").alias("share")
-            )
+            edges.join(sj, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("contrib"))
         )
@@ -173,8 +177,7 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = p.select(
         F.col("node").alias("doc_id"), F.col("p").alias("rank_fp")
     ).localCheckpoint()
-    src_deg.unpersist()
-    nodes.unpersist()
+    deg_nodes.unpersist()
     edges.unpersist()
     return out
 
