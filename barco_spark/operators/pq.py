@@ -62,6 +62,31 @@ SHORTLIST = 64  # ADC candidates kept per query before exact rerank
 TOP_K = 3  # final neighbors per query (matches the other ann_* ops)
 
 
+def _pq_codes(Xs, books):
+    """codes[i, m] = argmin_j ||Xs[i, m, :] - books[m, j, :]||^2,
+    computed ONE SUBSPACE AT A TIME (r12, guide §4.2: bound the
+    per-batch temporaries).  Bit-identical to the one-shot 4-D
+    broadcast ``((Xs[:,:,None,:] - books[None])**2).sum(axis=3)
+    .argmin(axis=2)`` — same per-element subtract/square, same
+    contiguous last-axis sum, same argmin tie-break — but the live
+    temporary is (batch, k, sub) instead of (batch, m_sub, k, sub)
+    and is squared in place: ~16x less allocation per Arrow batch
+    (330 MB -> 20 MB at 10k rows).  The 4-D form was measured
+    collapsing 0.3 s -> 4.5-11.5 s on its single-task stage under
+    host memory-bandwidth contention; at scale every executor runs
+    this kernel per batch, so bounded temporaries are the difference
+    between compute-bound and allocator-bound encode."""
+    import numpy as np
+
+    n, m_sub, _sub = Xs.shape
+    codes = np.empty((n, m_sub), dtype=np.int64)
+    for m in range(m_sub):
+        diff = Xs[:, m, None, :] - books[m][None, :, :]
+        np.square(diff, out=diff)
+        codes[:, m] = diff.sum(axis=2).argmin(axis=1)
+    return codes
+
+
 def _train_codebooks(sample, m_sub: int = M_SUB, k: int = K_CODES):
     """Per-subspace Lloyd's k-means on a driver-side sample.
 
@@ -150,11 +175,9 @@ def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             M = np.stack(pdf["v"].map(np.asarray).values)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             Xs = Mn.reshape(len(Mn), m_sub, sub)
-            # codes[i, m] = argmin_j ||x_im - B[m, j]||^2
-            d2 = (
-                (Xs[:, :, None, :] - B[None, :, :, :]) ** 2
-            ).sum(axis=3)
-            codes = np.argmin(d2, axis=2)  # batch x m_sub
+            # codes[i, m] = argmin_j ||x_im - B[m, j]||^2 — bounded
+            # per-subspace temporaries, bit-identical (see _pq_codes)
+            codes = _pq_codes(Xs, B)  # batch x m_sub
             # ADC: score[i, q] = sum_m luts[q, m, codes[i, m]]
             scores = luts_[:, np.arange(m_sub)[None, :], codes].sum(axis=2)
             cand = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -303,8 +326,8 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             cells = np.argmax(Mn @ CMn_.T, axis=1)
             R = (Mn - CMn_[cells]).reshape(len(Mn), m_sub, sub)
-            d2 = ((R[:, :, None, :] - books_[None, :, :, :]) ** 2).sum(axis=3)
-            codes = np.argmin(d2, axis=2)  # batch x m_sub
+            # bounded per-subspace temporaries, bit-identical
+            codes = _pq_codes(R, books_)  # batch x m_sub
             resid_score = luts_[
                 :, np.arange(m_sub)[None, :], codes
             ].sum(axis=2)  # n_query x batch
