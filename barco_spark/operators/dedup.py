@@ -264,16 +264,24 @@ def _verify_join_parts(spark: SparkSession, sf_dir: str) -> int:
     500k docs / 32 partitions built fine, 1M / 32 failed with "Can't
     acquire 67108864 bytes memory to build hash relation" on
     local[32]. Bound the build at ~16k shingle-array rows per
-    partition (half the measured-good 500k/32 density) and never go
-    below the session's shuffle parallelism, so small corpora keep
-    their plans byte-identical while large ones scale the exchange
-    width with the data — exactly what a cluster operator does by
-    raising spark.sql.shuffle.partitions with input size. The doc
-    count is a parquet-footer read (metadata-cheap, the
-    dsir/dedup_clusters adaptive-plan pattern)."""
+    partition (half the measured-good 500k/32 density); large corpora
+    scale the exchange width with the data — exactly what a cluster
+    operator does by raising spark.sql.shuffle.partitions with input
+    size. The doc count is a parquet-footer read (metadata-cheap, the
+    dsir/dedup_clusters adaptive-plan pattern).
+
+    Row-sized LOWER bound (r12, guide §2.5 — the spread_rows density):
+    at small corpora a session-width exchange launches parallelism-many
+    tasks on KB-sized partitions, and the task-launch overhead swamps
+    the work.  Clamp to ceil(rows/600) when that is below the session
+    width (ABBA A/B at sf0.1, both orders: lsh 1.87 vs 2.13 /
+    2.66 vs 3.66, clusters 1.78 vs 2.07 / 1.93 vs 2.38, leakage 2.10
+    vs 2.51 / 1.93 vs 2.88, kcore + fuzzy small wins to wash).  At
+    warehouse scale ceil(rows/600) >= the session width, so the clamp
+    is inert and the SHJ-build bound governs as before."""
     n_docs = _corpus_count(spark, sf_dir)
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(base, -(-n_docs // 16_000))
+    return max(min(base, -(-n_docs // 600)), -(-n_docs // 16_000))
 
 
 # (sf_dir -> documents row count): the count is a parquet-footer read,

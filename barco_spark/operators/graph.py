@@ -42,6 +42,16 @@ SCALE = 1_000_000_000  # fixed-point: 1.0 == 1e9
 N_ITER = 3
 DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping as an exact ratio
 
+# Driver fast-path bound, same class as dedup._CLUSTER_DRIVER_MAX_EDGES:
+# the pair graph is the OUTPUT of LSH+verify — near-dup pairs only,
+# orders of magnitude smaller than the corpus — so up to ~32 MB of
+# (long, long) pairs the whole fixed-point loop is cheaper on the
+# driver than N_ITER rounds of join+aggregate job scheduling.  The
+# arithmetic is INTEGER throughout (that is the point of the operator),
+# so the local loop is bit-identical to the distributed one; beyond the
+# cap the distributed loop below remains the only path.
+_GRAPH_DRIVER_MAX_PAIRS = 2_000_000
+
 
 def _one_iter_sql(prev: str, out: str) -> str:
     """One unrolled fixed-point PageRank update in DuckDB SQL."""
@@ -96,7 +106,9 @@ _PR_ITERS = ",".join(
         "banding-bounded and far smaller than the corpus."
     ),
 )
-def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_similarity_graph(
+    spark: SparkSession, sf_dir: str, driver_max_pairs: int | None = None
+) -> DataFrame:
     # Materialize the PAIR list before the symmetrizing union
     # references it twice (r12, guide §2.4/§5): building the union
     # plan over an un-materialized cached subtree made AQE run one
@@ -105,6 +117,41 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cold / 3.3 s warm for the edge build at sf0.1; with the pair
     # cache materialized first it is 4.6 s cold / 2.8 s warm).
     pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    cap = _GRAPH_DRIVER_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
+    # Adaptive small-graph path (r12, the dedup_clusters pattern),
+    # decided by ONE capped probe job: when the pair graph fits on the
+    # driver, run the integer fixed point locally — the distributed
+    # loop costs N_ITER rounds of join+aggregate JOB SCHEDULING on a
+    # node-count-sized relation (measured: ~45 jobs, 16.7 s of driver
+    # gaps under contamination), while the same integer arithmetic over
+    # a collected edge list is milliseconds.  Bit-identical by
+    # construction: every step is bigint div on positive operands
+    # (Python // == Spark div there).
+    head = pairs.limit(cap + 1).collect()
+    if len(head) <= cap:
+        pairs.unpersist()
+        from barco_spark.session import local_rows_df
+
+        deg: dict[int, int] = {}
+        for r in head:
+            deg[r.doc_a] = deg.get(r.doc_a, 0) + 1
+            deg[r.doc_b] = deg.get(r.doc_b, 0) + 1
+        n_nodes = len(deg)
+        if n_nodes == 0:
+            return local_rows_df(spark, [], "doc_id long, rank_fp long")
+        base = (15 * SCALE // 100) // n_nodes
+        p = {v: SCALE // n_nodes for v in deg}
+        for _ in range(N_ITER):
+            share = {v: p[v] // deg[v] for v in deg}
+            contrib = dict.fromkeys(deg, 0)
+            for r in head:
+                contrib[r.doc_b] += share[r.doc_a]
+                contrib[r.doc_a] += share[r.doc_b]
+            p = {v: base + DAMP_NUM * contrib[v] // DAMP_DEN for v in deg}
+        return local_rows_df(
+            spark, sorted(p.items()), "doc_id long, rank_fp long"
+        )
+
     n_pairs = pairs.count()  # scalar; materializes the pair cache
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
@@ -409,7 +456,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_peel(
-    spark: SparkSession, sf_dir: str, rounds: int | None
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int | None,
+    driver_max_pairs: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Shared k-core peel loop.
 
@@ -417,6 +467,14 @@ def _kcore_peel(
     ``rounds=None`` peels to fixpoint (edge count stable round over
     round — peeling is monotone, so an unchanged count IS convergence).
     Returns (distributed result frame, rounds actually run).
+
+    Adaptive small-graph path (r12, the dedup_clusters pattern): one
+    capped probe job collects the undirected pair list; when it fits
+    (see _GRAPH_DRIVER_MAX_PAIRS) the peel runs on the driver — integer
+    degree counting and set filtering, identical round/convergence
+    semantics — instead of per-round aggregate + two semi-joins + a
+    localCheckpoint job on a near-empty relation.  Beyond the cap the
+    distributed loop below is unchanged.
 
     Block discipline: each round localCheckpoints (the plan references
     `edges` three times per round — degree agg + both semi-join probes
@@ -431,6 +489,42 @@ def _kcore_peel(
 
     before = persistent_rdd_ids(spark)
     pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    cap = _GRAPH_DRIVER_MAX_PAIRS if driver_max_pairs is None else driver_max_pairs
+    head = pairs.limit(cap + 1).collect()
+    if len(head) <= cap:
+        pairs.unpersist()
+        from barco_spark.session import local_rows_df
+
+        und = [(r.doc_a, r.doc_b) for r in head]
+        n_edges = 2 * len(und) if rounds is None else -1
+        done = 0
+        while True:
+            if rounds is not None and done >= rounds:
+                break
+            deg: dict[int, int] = {}
+            for a, b in und:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            und = [
+                (a, b)
+                for a, b in und
+                if deg[a] >= KCORE_K and deg[b] >= KCORE_K
+            ]
+            done += 1
+            if rounds is None:
+                n = 2 * len(und)
+                if n == n_edges:
+                    break
+                n_edges = n
+        core: dict[int, int] = {}
+        for a, b in und:
+            core[a] = core.get(a, 0) + 1
+            core[b] = core.get(b, 0) + 1
+        rows = sorted(core.items(), key=lambda kv: (-kv[1], kv[0]))
+        return (
+            local_rows_df(spark, rows, "doc_id long, core_degree long"),
+            done,
+        )
     try:
         # materialize the pair cache BEFORE the symmetrizing union
         # references it twice (the pagerank r12 finding, guide §2.4:

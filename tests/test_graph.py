@@ -50,6 +50,42 @@ def test_kcore_registered_variant_is_converged(spark, sf_dir):
     assert a == sorted(tuple(r) for r in b.collect())
 
 
+def test_pagerank_driver_path_matches_distributed(spark, sf_dir):
+    """The adaptive driver fixed-point (active whenever the pair graph
+    fits _GRAPH_DRIVER_MAX_PAIRS) must be bit-identical to the
+    distributed loop — every step is bigint div on positive operands in
+    both, so any divergence is a bug, not rounding."""
+    from barco_spark.operators.graph import pagerank_similarity_graph
+
+    fast = sorted(
+        map(tuple, pagerank_similarity_graph(spark, sf_dir).collect())
+    )
+    slow = sorted(
+        map(
+            tuple,
+            pagerank_similarity_graph(
+                spark, sf_dir, driver_max_pairs=0
+            ).collect(),
+        )
+    )
+    assert fast == slow
+    assert len(fast) > 0
+
+
+def test_kcore_driver_path_matches_distributed(spark, sf_dir):
+    """Local peel == distributed peel, for both the fixed unroll and
+    the run-to-convergence variant (same rounds count too)."""
+    for rounds in (KCORE_ROUNDS, None):
+        fast, rf = _kcore_peel(spark, sf_dir, rounds=rounds)
+        slow, rs = _kcore_peel(
+            spark, sf_dir, rounds=rounds, driver_max_pairs=0
+        )
+        assert rf == rs
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+
+
 def test_pagerank_releases_iteration_caches(spark, sf_dir):
     """pagerank persists three iteration-invariant relations (edges,
     nodes, src+degree); a library caller must not leak them — after the
