@@ -1184,8 +1184,11 @@ def _melt_dup_keys(df: DataFrame) -> DataFrame:
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barco_spark.operators.text import fingerprint5
+    from barco_spark.tables import spread_rows
 
-    d = t(spark, sf_dir, "documents").select(
+    d = spread_rows(
+        t(spark, sf_dir, "documents"), spark, sf_dir, "doc_id"
+    ).select(
         "doc_id",
         F.md5(F.col("text")).alias("fp"),
         fingerprint5(F.split(F.col("text"), " ")).alias("minfp"),

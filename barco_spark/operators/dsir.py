@@ -145,7 +145,9 @@ def _bigrams_sql(ws: str) -> str:
         "map-only after one shared explode."
     ),
 )
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str, small_max_docs: int | None = None
+) -> DataFrame:
     # Adaptive plan, decided by one metadata-cheap count (the
     # dedup_clusters pattern). Both shapes produce identical integers:
     #
@@ -174,7 +176,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qlog = lambda c: F.floor(F.log2(c + F.lit(1))).cast("bigint")  # noqa: E731
     fbd = None
-    if scan_rows(spark, sf_dir, "documents") < 20_000:
+    cutoff = 20_000 if small_max_docs is None else small_max_docs
+    if scan_rows(spark, sf_dir, "documents") < cutoff:
         fb = _feats(docs)
         sc = (
             fb.groupBy("b")
