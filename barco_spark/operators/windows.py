@@ -795,10 +795,12 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fragment is individually oracle-verified (events_debounce, "
         "events_sessionize); this entry verifies their COMPOSITION — "
         "filters feeding windows feeding islands, the ordering-"
-        "sensitive part Catalyst must not break while fusing. Two "
-        "window shuffles ((user,type) then user) + one tiny rollup; at "
-        "100 TB both windows hash-partition on user keys and the "
-        "rollup is counters-only."
+        "sensitive part Catalyst must not break while fusing. ONE "
+        "window shuffle (user_id) + one tiny rollup: the debounce lag "
+        "runs inside the user partition sorted by (type, ts) with a "
+        "type-change guard, so the sessionize window reuses the "
+        "exchange (sort-only) — the event stream crosses the network "
+        "once at any scale."
     ),
 )
 def telemetry_sessions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,13 +810,23 @@ def telemetry_sessions_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
     )
-    w_d = Window.partitionBy("user_id", "event_type").orderBy(
-        "ts_us", "event_id"
+    # Debounce inside ONE user_id exchange: within a user partition
+    # sorted by (event_type, ts, event_id), same-type rows are
+    # contiguous and time-ordered, so lag() is exactly the per-(user,
+    # type) predecessor whenever the type did not change — and a type
+    # change marks the first row of a group (kept, like a NULL lag).
+    # eqNullSafe mirrors partitionBy's null grouping. The sessionize
+    # window below then reuses the user_id partitioning (sort-only, no
+    # second exchange of the event stream).
+    w_d = Window.partitionBy("user_id").orderBy(
+        "event_type", "ts_us", "event_id"
     )
     kept = (
         ev.withColumn("prev_us", F.lag("ts_us").over(w_d))
+        .withColumn("prev_ty", F.lag("event_type").over(w_d))
         .where(
-            F.col("prev_us").isNull()
+            ~F.col("prev_ty").eqNullSafe(F.col("event_type"))
+            | F.col("prev_us").isNull()
             | (F.col("ts_us") - F.col("prev_us") >= _DEBOUNCE_US)
         )
         .select("user_id", "event_id", "ts_us")

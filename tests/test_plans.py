@@ -544,3 +544,15 @@ def test_media_pipelines_decode_is_map_only(spark, tmp_path):
     assert shuffle_count(adf) == 2, aplan
     assert "MapInPandas" in aplan
     assert aplan.index("Exchange") < aplan.index("MapInPandas"), aplan
+
+
+def test_telemetry_pipeline_single_event_stream_exchange(spark, sf_dir):
+    """The composed telemetry pipeline shuffles the EVENT STREAM once:
+    debounce runs inside the user_id partition (type,ts)-sorted with a
+    type-change guard, and the sessionize window reuses that exchange
+    (sort-only).  The only other exchanges are the counters-only
+    rollups: 3 total, and exactly one hash-partitioning on user keys."""
+    df = QUERIES["telemetry_sessions_pipeline"].build(spark, sf_dir)
+    plan = explain_str(df)
+    assert shuffle_count(df) == 3, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
