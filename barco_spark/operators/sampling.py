@@ -288,15 +288,30 @@ _MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         "rows via df.unpivot (Expand node: one scan, no join/union of "
         "4 scans on the Spark side), then one hash aggregation. The "
         "oracle spells the same relation as UNION ALL. Decimal sums "
-        "keep cross-engine determinism."
+        "keep cross-engine determinism. The 4x Expand + decimal "
+        "partial-agg is spread across the session when the scan is "
+        "narrower than ceil(rows/20k) (r12: the 10.8 MB sf0.1 file is "
+        "row-group-bound at 3 splits, so the whole expand ran on 3 of "
+        "32 cores; the guard makes this a no-op at tiny SFs and at "
+        "warehouse scan widths)."
     ),
 )
 def lineitem_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.tables import spread
+
     li = (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") >= "1997-01-01")
         .select(*_MEASURES)
     )
+    # compact pre-expand rows cross the exchange once; the 4x Expand
+    # and the decimal sums run at session width above it (guide §2.5
+    # narrow-scan spread; A/B r12 session 6: 1.016 vs 1.286 and 1.056
+    # vs 1.416 min on two sittings, wash on a contended third).
+    # rows_per_task=20k reproduces the winning width (~32 at sf0.1's
+    # 600k rows) and keeps the spread a NO-OP at the driver's
+    # correctness SFs and at warehouse scan widths.
+    li = spread(li, spark, sf_dir, "lineitem", rows_per_task=20_000)
     long = li.unpivot([], _MEASURES, "measure", "value")
     return long.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"),

@@ -85,7 +85,11 @@ def scan_splits(spark: SparkSession, sf_dir: str, name: str) -> int:
 
 
 def spread(
-    df: DataFrame, spark: SparkSession, sf_dir: str, name: str = "documents"
+    df: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "documents",
+    rows_per_task: int | None = None,
 ) -> DataFrame:
     """Round-robin a scan-derived frame across the session parallelism
     when the underlying scan is narrower (r12, guide §2.5).
@@ -102,10 +106,20 @@ def spread(
     it (integer aggregates, hash joins, windows keyed+ordered by
     deterministic columns); every caller is oracle-paired against a
     partition-agnostic DuckDB computation, which proves the output
-    does not depend on the placement this helper changes."""
+    does not depend on the placement this helper changes.
+
+    ``rows_per_task`` (optional, r12 session 6) adds the spread_rows
+    row guard to the keyless form: the target width is capped at
+    ceil(rows/rows_per_task), so the spread is a NO-OP at the driver's
+    correctness SFs (width 1) and engages progressively as the table
+    grows — used by callers whose frame has no unique key column to
+    hash on (e.g. the unpivot's measure projection)."""
     par = spark.sparkContext.defaultParallelism
-    if scan_splits(spark, sf_dir, name) < par:
-        return df.repartition(par)
+    n = par
+    if rows_per_task is not None:
+        n = min(par, -(-scan_rows(spark, sf_dir, name) // rows_per_task))
+    if n > 1 and scan_splits(spark, sf_dir, name) < n:
+        return df.repartition(n)
     return df
 
 

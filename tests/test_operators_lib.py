@@ -432,6 +432,30 @@ def test_spread_rows_is_noop_below_one_task_of_rows(spark, sf_dir):
     assert out is base
 
 
+def test_spread_row_guard_is_noop_on_small_tables(spark, sf_dir):
+    """spread(..., rows_per_task=N): the keyless spread's row guard
+    (r12) must return the frame UNCHANGED when the table fits one
+    task's row budget — the driver's correctness SFs keep their exact
+    pre-spread plans (the unpivot contract depends on this) — and
+    must round-robin to ceil(rows/N) capped at the parallelism when
+    the budget is exceeded, preserving the row set."""
+    from barco_spark.tables import spread, t
+
+    base = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    out = spread(base, spark, sf_dir, "lineitem", rows_per_task=10**9)
+    assert out is base
+
+    n_rows = base.count()
+    out2 = spread(base, spark, sf_dir, "lineitem", rows_per_task=100)
+    par = spark.sparkContext.defaultParallelism
+    want = min(par, -(-n_rows // 100))
+    if want > 1:
+        assert out2.rdd.getNumPartitions() == want
+        assert sorted(r.l_orderkey for r in out2.collect()) == sorted(
+            r.l_orderkey for r in base.collect()
+        )
+
+
 def test_spread_rows_hash_partitions_without_row_change(spark, sf_dir):
     """With a small rows_per_task the helper must hash-repartition on
     the key (deterministic, no round-robin sort) and preserve the row
