@@ -1334,9 +1334,15 @@ def test_connection_bound_consumer_evicted_on_disconnect(spark, tmp_path):
 
         # kill the socket: cb must unregister promptly (no 2-min R13)
         conn.close()
+        # poll BOTH conditions: the server pops _consumers and then
+        # rebalances under its lock, but this thread reads without the
+        # lock, so it can observe the pop before the leave() lands
         deadline = _t.monotonic() + 5
         while _t.monotonic() < deadline:
-            if "cb" not in srv._consumers:
+            if (
+                "cb" not in srv._consumers
+                and set(srv.membership.buckets_for("g", "ca")) == all_buckets
+            ):
                 break
             _t.sleep(0.05)
         assert "cb" not in srv._consumers
