@@ -94,6 +94,97 @@ def _spread(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(df, spark, sf_dir, "embeddings")
 
 
+# --------------------------------------------------------------------------
+# Bit-exact numpy cell assignment (r12, guide §4.2)
+# --------------------------------------------------------------------------
+# The stride-centroid argmax-cosine assignment is the N x sqrt(N) hot
+# loop of the embedding-dedup family (dedup_embedding_cosine /
+# semdedup_prune / hard_negative_mining / ann_ivf_search_exact).  The
+# JVM form — broadcast cross join + aggregate(zip_with) folds +
+# groupBy(max_by) — evaluates the folds INTERPRETED (CodegenFallback):
+# ~75 s of task time cold / ~9 s warm at sf0.1 (event-log evidence,
+# OPTIMIZATION_r12.md).  This kernel computes the SAME doubles
+# bit-for-bit: each dimension step is a separate vectorized float64
+# mul + add, so per (row, centroid) the IEEE operation sequence is
+# exactly the sequential fold's (one rounding per mul, one per add,
+# dims in ascending order).  np.matmul/gemm would NOT be (it
+# blocks/reorders/FMAs — measured bitwise-different on ~70% of
+# normalized vectors, see the ann_ivf_search registration note); the
+# dim-order loop is the reason this path can serve ORACLE-PAIRED
+# queries.  argmax ties break to the FIRST index — the lowest centroid
+# id once the collected centroids are sorted — matching
+# max_by(struct(cos, -centroid_id)); all-NaN rows (zero vectors)
+# likewise argmax to index 0 = lowest id, the max_by tie-break result.
+_ASSIGN_NUMPY = True  # A/B + parity hook: scripts/ab_assign_numpy.py
+
+
+def _np_seq_norm2(M):
+    """Sequential-order squared norms: bit-exact twin of norm2()."""
+    import numpy as np
+
+    n2 = np.zeros(M.shape[0], dtype=np.float64)
+    for i in range(M.shape[1]):
+        c = M[:, i]
+        n2 += c * c
+    return n2
+
+
+def _np_seq_dots(M, C):
+    """(rows x cents) dot products folded dim-by-dim: bit-exact twin
+    of dot() — one (rows, cents) accumulator, dims in order."""
+    import numpy as np
+
+    acc = np.zeros((M.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(M.shape[1]):
+        acc += M[:, i, None] * C[None, :, i]
+    return acc
+
+
+def _assign_cells_numpy(
+    df: DataFrame,
+    spark: SparkSession,
+    cent_df: DataFrame,
+    schema: str,
+    passthrough: tuple[str, ...],
+    vec_col: str,
+    n2_name: str = "n2",
+    cell_name: str = "cell",
+) -> DataFrame:
+    """(passthrough..., vec, n2, cell) in ONE Arrow pass (mapInPandas),
+    replacing the broadcast cross join + interpreted folds +
+    groupBy(max_by).  `cent_df` is the bounded stride sample
+    ((centroid_id, vector) — ~sqrt(N) rows, the ann_ivf_search collect
+    precedent): collected once, broadcast to every task.  `schema`
+    must list passthrough columns, then vec_col, then n2, then cell."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cent_df.collect()
+    # ascending centroid ids: np.argmax breaks ties toward the FIRST
+    # index, which must be the lowest id (the max_by tie-break)
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    n2c = _np_seq_norm2(C)
+    bc = spark.sparkContext.broadcast((ids, C, n2c))
+
+    def assign(batches):
+        ids_, C_, n2c_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].map(np.asarray).values)
+            n2 = _np_seq_norm2(M)
+            cos = _np_seq_dots(M, C_) / np.sqrt(n2[:, None] * n2c_[None, :])
+            data = {c: pdf[c] for c in passthrough}
+            data[vec_col] = pdf[vec_col]
+            data[n2_name] = n2
+            data[cell_name] = ids_[np.argmax(cos, axis=1)]
+            yield pd.DataFrame(data)
+
+    return df.mapInPandas(assign, schema)
+
+
 @register(
     "ann_cosine_topk",
     f"""
@@ -239,9 +330,12 @@ def dedup_embedding_cosine_baseline(spark: SparkSession, sf_dir: str) -> DataFra
         "(21x fewer pairs at 500 vectors; the gap widens as "
         "N^2/nlist). The pair count is sum(|cell|^2)/2 ~ N^1.5 for "
         "balanced cells; at 100 TB cell assignment happens at ingest "
-        "and this is one co-partitioned self-join. Same "
-        "sequential-fold arithmetic as the oracle, so cosines match "
-        "bit-for-bit."
+        "and this is one co-partitioned self-join. The assignment "
+        "runs as one Arrow pass (numpy folding dim-by-dim — the same "
+        "IEEE operation sequence as the oracle's list_reduce, so "
+        "cells match bit-for-bit; r12, see _assign_cells_numpy); the "
+        "within-cell pair cosines are sequential JVM folds. All "
+        "doubles match the oracle bit-for-bit."
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,35 +351,46 @@ def _cell_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    e = e.withColumn("n2", norm2("v"))
     n = _emb_count(spark, sf_dir)  # cached parquet-metadata count
     stride = max(1, math.ceil(math.sqrt(n)))
-    cent = e.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("centv"),
-        F.col("n2").alias("n2cent"),
-    )
-    assigned = (
-        _spread(e, spark, sf_dir)
-        .join(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "v",
-            "n2",
-            "centroid_id",
-            (dot("v", "centv") / F.sqrt(F.col("n2") * F.col("n2cent"))).alias(
-                "cos"
-            ),
+    if _ASSIGN_NUMPY:
+        assigned = _assign_cells_numpy(
+            _spread(e, spark, sf_dir),
+            spark,
+            e.filter(F.col("vec_id") % stride == 0),
+            "vec_id long, v array<double>, n2 double, cell long",
+            passthrough=("vec_id",),
+            vec_col="v",
         )
-        .groupBy("vec_id")
-        .agg(
-            F.any_value("v").alias("v"),
-            F.any_value("n2").alias("n2"),
-            F.max_by(
-                "centroid_id", F.struct(F.col("cos"), -F.col("centroid_id"))
-            ).alias("cell"),
+    else:
+        e2 = e.withColumn("n2", norm2("v"))
+        cent = e2.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("centv"),
+            F.col("n2").alias("n2cent"),
         )
-    )
+        assigned = (
+            _spread(e2, spark, sf_dir)
+            .join(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                "n2",
+                "centroid_id",
+                (
+                    dot("v", "centv") / F.sqrt(F.col("n2") * F.col("n2cent"))
+                ).alias("cos"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.any_value("v").alias("v"),
+                F.any_value("n2").alias("n2"),
+                F.max_by(
+                    "centroid_id",
+                    F.struct(F.col("cos"), -F.col("centroid_id")),
+                ).alias("cell"),
+            )
+        )
     a = assigned.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
@@ -575,13 +680,15 @@ def _cos_sql(a: str, b: str) -> str:
     "similarity",
     doc=(
         "Oracle-parity twin of ann_ivf_search: identical IVF structure "
-        "(stride-sampled centroids, max_by cell assignment, "
-        f"{NPROBE}-cell probes) computed with sequential JVM folds so "
-        "cosines match the DuckDB oracle bit-for-bit. The folds are "
-        "interpreted HOFs — N*sqrt(N) work per corpus vector — so this "
-        "twin exists to PROVE the structure correct at sf0.01, while "
-        "ann_ivf_search (numpy matmul over Arrow batches) is what the "
-        "headline bench and 100 TB deployments run."
+        "(stride-sampled centroids, max-cosine cell assignment, "
+        f"{NPROBE}-cell probes) with every double matching the DuckDB "
+        "oracle bit-for-bit. The N*sqrt(N) corpus assignment runs as "
+        "one Arrow pass (numpy folding dim-by-dim — the identical IEEE "
+        "operation sequence to the oracle's sequential list_reduce, "
+        "unlike gemm; r12, see _assign_cells_numpy); the query scoring "
+        "and probe-side cosines are sequential JVM folds. "
+        "ann_ivf_search (numpy matmul, not bit-exact) remains the "
+        "unpaired throughput variant of the same structure."
     ),
 )
 def ann_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,15 +702,6 @@ def ann_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         norm2("v").alias("n2q"),
-    )
-    c = _spread(
-        e.filter(F.col("vec_id") >= N_QUERY).select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("v").alias("cv"),
-            norm2("v").alias("n2c"),
-        ),
-        spark,
-        sf_dir,
     )
     # nlist ~ sqrt(N): stride = ceil(sqrt(corpus)) sampled centroids.
     # The count is a parquet-metadata read; the oracle computes the
@@ -624,25 +722,54 @@ def ann_ivf_search_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cos(a: str, b: str, n2a: str, n2b: str) -> Column:
         return dot(a, b) / F.sqrt(F.col(n2a) * F.col(n2b))
 
-    assigned = (
-        c.join(F.broadcast(cent))
-        .select(
-            "cand_id",
-            "cv",
-            "n2c",
-            "centroid_id",
-            cos("cv", "centv", "n2c", "n2cent").alias("cos"),
+    if _ASSIGN_NUMPY:
+        assigned = _assign_cells_numpy(
+            _spread(
+                e.filter(F.col("vec_id") >= N_QUERY).select(
+                    F.col("vec_id").alias("cand_id"),
+                    F.col("v").alias("cv"),
+                ),
+                spark,
+                sf_dir,
+            ),
+            spark,
+            cent.select("centroid_id", "centv"),
+            "cand_id long, cv array<double>, n2c double, cell long",
+            passthrough=("cand_id",),
+            vec_col="cv",
+            n2_name="n2c",
         )
-        .groupBy("cand_id")
-        .agg(
-            F.any_value("cv").alias("cv"),
-            F.any_value("n2c").alias("n2c"),
-            F.max_by(
+    else:
+        c = _spread(
+            e.filter(F.col("vec_id") >= N_QUERY).select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("v").alias("cv"),
+                norm2("v").alias("n2c"),
+            ),
+            spark,
+            sf_dir,
+        )
+        assigned = (
+            c.join(F.broadcast(cent))
+            .select(
+                "cand_id",
+                "cv",
+                "n2c",
                 "centroid_id",
-                F.struct(F.col("cos"), (-F.col("centroid_id")).cast("double")),
-            ).alias("cell"),
+                cos("cv", "centv", "n2c", "n2cent").alias("cos"),
+            )
+            .groupBy("cand_id")
+            .agg(
+                F.any_value("cv").alias("cv"),
+                F.any_value("n2c").alias("n2c"),
+                F.max_by(
+                    "centroid_id",
+                    F.struct(
+                        F.col("cos"), (-F.col("centroid_id")).cast("double")
+                    ),
+                ).alias("cell"),
+            )
         )
-    )
     qscore = (
         F.broadcast(q)
         .join(F.broadcast(cent))
@@ -1346,51 +1473,62 @@ HARD_NEG_J = 3  # hard negatives mined per anchor
         "dedup_embedding_cosine, so scores match the oracle "
         "bit-for-bit; ties break on candidate id in both engines. At "
         "100 TB cell assignment happens at ingest and this is a "
-        "co-partitioned join + window, the exact shape shipped here."
+        "co-partitioned join + window, the exact shape shipped here. "
+        "The cell assignment is the shared bit-exact Arrow pass "
+        "(_assign_cells_numpy, r12); the pair cosines stay sequential "
+        "JVM folds."
     ),
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    e = (
-        t(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.col("label").cast("bigint").alias("label"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        )
-        .withColumn("n2", norm2("v"))
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.col("embedding").cast("array<double>").alias("v"),
     )
     n = _emb_count(spark, sf_dir)  # cached parquet-metadata count
     stride = max(1, math.ceil(math.sqrt(n)))
-    cent = e.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("centv"),
-        F.col("n2").alias("n2cent"),
-    )
-    assigned = (
-        _spread(e, spark, sf_dir)
-        .join(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            "n2",
-            "centroid_id",
-            (dot("v", "centv") / F.sqrt(F.col("n2") * F.col("n2cent"))).alias(
-                "cos"
-            ),
+    if _ASSIGN_NUMPY:
+        assigned = _assign_cells_numpy(
+            _spread(e, spark, sf_dir),
+            spark,
+            e.filter(F.col("vec_id") % stride == 0).select("vec_id", "v"),
+            "vec_id long, label long, v array<double>, n2 double, cell long",
+            passthrough=("vec_id", "label"),
+            vec_col="v",
         )
-        .groupBy("vec_id")
-        .agg(
-            F.any_value("label").alias("label"),
-            F.any_value("v").alias("v"),
-            F.any_value("n2").alias("n2"),
-            F.max_by(
-                "centroid_id", F.struct(F.col("cos"), -F.col("centroid_id"))
-            ).alias("cell"),
+    else:
+        e2 = e.withColumn("n2", norm2("v"))
+        cent = e2.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("centv"),
+            F.col("n2").alias("n2cent"),
         )
-    )
+        assigned = (
+            _spread(e2, spark, sf_dir)
+            .join(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "label",
+                "v",
+                "n2",
+                "centroid_id",
+                (
+                    dot("v", "centv") / F.sqrt(F.col("n2") * F.col("n2cent"))
+                ).alias("cos"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.any_value("label").alias("label"),
+                F.any_value("v").alias("v"),
+                F.any_value("n2").alias("n2"),
+                F.max_by(
+                    "centroid_id",
+                    F.struct(F.col("cos"), -F.col("centroid_id")),
+                ).alias("cell"),
+            )
+        )
     a = assigned.select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),

@@ -268,3 +268,51 @@ def test_kmeans_int8_covering_and_deterministic(spark, sf_dir):
 
     again = kmeans_int8_clusters(spark, sf_dir).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_numpy_assign_kernel_bitexact_vs_sequential_fold():
+    """The dim-order numpy kernels must equal a scalar left-to-right
+    fold BIT-FOR-BIT (==, not approx): that equality is what lets the
+    mapInPandas assignment serve oracle-paired queries. np.matmul
+    would fail this test (blocked/FMA'd summation)."""
+    import numpy as np
+
+    from barco_spark.operators.similarity import _np_seq_dots, _np_seq_norm2
+
+    rng = np.random.default_rng(7)
+    M = rng.standard_normal((37, 64))
+    C = rng.standard_normal((11, 64))
+    n2 = _np_seq_norm2(M)
+    dots = _np_seq_dots(M, C)
+    for r in range(M.shape[0]):
+        acc = 0.0
+        for i in range(64):
+            acc += M[r, i] * M[r, i]
+        assert acc == n2[r]
+        for j in range(C.shape[0]):
+            acc = 0.0
+            for i in range(64):
+                acc += M[r, i] * C[j, i]
+            assert acc == dots[r, j]
+
+
+def test_numpy_assign_path_matches_jvm_fold_path(spark, sf_dir):
+    """Both _ASSIGN_NUMPY arms must produce IDENTICAL rows (cells and
+    cosines bit-equal) on every consumer — the guarantee that flipping
+    the flag can never change what a declared query computes."""
+    from barco_spark.operators import similarity
+
+    for name in (
+        "dedup_embedding_cosine",
+        "hard_negative_mining",
+        "ann_ivf_search_exact",
+    ):
+        try:
+            similarity._ASSIGN_NUMPY = True
+            a = sorted(map(tuple, QUERIES[name].build(spark, sf_dir).collect()))
+            similarity._ASSIGN_NUMPY = False
+            b = sorted(map(tuple, QUERIES[name].build(spark, sf_dir).collect()))
+        finally:
+            similarity._ASSIGN_NUMPY = True
+        assert a == b, name
+        assert a, name  # non-empty at every test SF
