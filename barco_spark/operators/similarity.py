@@ -185,6 +185,134 @@ def _assign_cells_numpy(
     return df.mapInPandas(assign, schema)
 
 
+# The broadcast brute query-scoring pass (broadcast(q).crossJoin(c) +
+# per-pair interpreted cosine folds) is the other family hot loop:
+# N_QUERY folds per corpus row, plus per-pair norm folds where the
+# norms are not factored out.  Same treatment as _assign_cells_numpy:
+# the query set is bounded (N_QUERY rows), collected and broadcast;
+# the corpus crosses the Arrow boundary once; dim-order numpy folds
+# keep every double bit-identical to the JVM/DuckDB sequential folds.
+_SCORE_NUMPY = True  # A/B + parity hook: scripts/ab_score_numpy.py
+
+
+def _collect_queries(q_df):
+    """Collect a bounded (query_id, vector) frame, sorted by id."""
+    import numpy as np
+
+    rows = q_df.collect() if not isinstance(q_df, list) else q_df
+    rows = sorted(rows, key=lambda r: r[0])
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return qids, Q
+
+
+def _cos_scores_numpy(
+    spark: SparkSession,
+    q_df,
+    c_df: DataFrame,
+    c_id: str = "cand_id",
+    c_vec: str = "cv",
+    out: str = "cosine_sim",
+    ndims: int | None = None,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(query_id, c_id[, c_vec], out) for every (query, candidate)
+    pair — the brute scoring pass as ONE Arrow pass over the corpus.
+    `q_df` is the bounded query frame (query_id, vector) or its
+    pre-collected rows.  With `ndims`, both sides fold over the
+    dimension prefix only (the matryoshka gate's sliced cosine).
+    cos = dot / sqrt(n2q * n2c) with dim-order folds: bit-identical to
+    the JVM/DuckDB form (multiplication is commutative-exact)."""
+    import numpy as np
+    import pandas as pd
+
+    qids, Q = _collect_queries(q_df)
+    if ndims is not None:
+        Q = Q[:, :ndims]
+    n2q = _np_seq_norm2(Q)
+    bc = spark.sparkContext.broadcast((qids, Q, n2q))
+    vec_field = f"{c_vec} array<double>, " if carry_vec else ""
+    schema = f"query_id long, {c_id} long, {vec_field}{out} double"
+
+    def score(batches):
+        qids_, Q_, n2q_ = bc.value
+        k = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[c_vec].map(np.asarray).values)
+            Mt = M[:, :ndims] if ndims is not None else M
+            n2c = _np_seq_norm2(Mt)
+            cos = _np_seq_dots(Mt, Q_) / np.sqrt(n2q_[None, :] * n2c[:, None])
+            n = len(pdf)
+            data = {
+                "query_id": np.tile(qids_, n),
+                c_id: np.repeat(pdf[c_id].to_numpy(dtype=np.int64), k),
+            }
+            if carry_vec:
+                data[c_vec] = np.repeat(pdf[c_vec].values, k)
+            data[out] = cos.reshape(-1)
+            yield pd.DataFrame(data)
+
+    return c_df.mapInPandas(score, schema)
+
+
+def _np_int8_quant(M):
+    """Per-row symmetric int8 quantization, the exact scalar sequence
+    of _absmax/_int8_quantize/_in2: absmax (max is order-free-exact),
+    floor(x * 127.0 / m + 0.5) per element (same three roundings),
+    integer sum of squares (associative — any order is exact)."""
+    import numpy as np
+
+    m = np.maximum(np.abs(M).max(axis=1), 1e-30)
+    q = np.floor(M * 127.0 / m[:, None] + 0.5).astype(np.int64)
+    return q, (q * q).sum(axis=1)
+
+
+def _int8_scores_numpy(
+    spark: SparkSession,
+    q_df,
+    c_df: DataFrame,
+    c_id: str = "cand_id",
+    c_vec: str = "cvec",
+    out: str = "q8cos",
+) -> DataFrame:
+    """Quantized-int8 brute scoring pass: both sides quantized inside
+    the kernel (bit-exact, see _np_int8_quant); the score is
+    intdot / sqrt(double(qn2a * qn2b)).  Integer dots are associative,
+    so the matmul is exact — no dim-order loop needed here."""
+    import numpy as np
+    import pandas as pd
+
+    qids, Q = _collect_queries(q_df)
+    QQ, qqn2 = _np_int8_quant(Q)
+    bc = spark.sparkContext.broadcast((qids, QQ, qqn2))
+    schema = f"query_id long, {c_id} long, {out} double"
+
+    def score(batches):
+        qids_, QQ_, qqn2_ = bc.value
+        k = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[c_vec].map(np.asarray).values)
+            CQ, cqn2 = _np_int8_quant(M)
+            idot = CQ @ QQ_.T
+            s = idot.astype(np.float64) / np.sqrt(
+                (cqn2[:, None] * qqn2_[None, :]).astype(np.float64)
+            )
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids_, n),
+                    c_id: np.repeat(pdf[c_id].to_numpy(dtype=np.int64), k),
+                    out: s.reshape(-1),
+                }
+            )
+
+    return c_df.mapInPandas(score, schema)
+
+
 @register(
     "ann_cosine_topk",
     f"""
@@ -206,9 +334,11 @@ def _assign_cells_numpy(
     """,
     "similarity",
     doc=(
-        "Brute-force cosine top-k: broadcast the query set against the "
-        "corpus scan (the cross join's left side is tiny => BroadcastNestedLoop "
-        "with no corpus shuffle), then per-query ranking window."
+        "Brute-force cosine top-k: the bounded query set is collected "
+        "and broadcast, and scoring runs as ONE Arrow pass over the "
+        "corpus scan (bit-exact dim-order numpy folds, r12 — see "
+        "_cos_scores_numpy; no corpus shuffle), then per-query ranking "
+        "window."
     ),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,11 +351,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= N_QUERY).select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
     )
-    scored = F.broadcast(q).crossJoin(c).select(
-        "query_id",
-        "cand_id",
-        (dot("qv", "cv") / F.sqrt(norm2("qv") * norm2("cv"))).alias("cosine_sim"),
-    )
+    if _SCORE_NUMPY:
+        scored = _cos_scores_numpy(spark, q, c)
+    else:
+        scored = F.broadcast(q).crossJoin(c).select(
+            "query_id",
+            "cand_id",
+            (dot("qv", "cv") / F.sqrt(norm2("qv") * norm2("cv"))).alias(
+                "cosine_sim"
+            ),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("cand_id")
     )
@@ -1890,13 +2025,33 @@ def _recall_report(exact_ids: DataFrame, approx_ids: DataFrame) -> DataFrame:
         "ranking. Every arithmetic step is either integer-exact or a "
         "single IEEE op mirrored in the oracle, so the pairing is "
         "bit-for-bit. At 100 TB the corpus is quantized once at "
-        "ingest (a codegen'd map over the scan, no shuffle) and this "
+        "ingest (a vectorized map over the scan, no shuffle) and this "
         "report runs over the fixed eval query set — the exact shape "
         "here: broadcast queries against one corpus pass each for the "
-        "exact and quantized rankings."
+        "exact and quantized rankings, both scored inside bit-exact "
+        "Arrow kernels (r12, _cos_scores_numpy/_int8_scores_numpy)."
     ),
 )
 def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if _SCORE_NUMPY:
+        e0 = t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        q_rows = (
+            e0.filter(F.col("vec_id") < N_QUERY)
+            .select(F.col("vec_id").alias("query_id"), "v")
+            .collect()
+        )
+        c = e0.filter(F.col("vec_id") >= N_QUERY).select(
+            F.col("vec_id").alias("cand_id"), F.col("v").alias("cvec")
+        )
+        # both rankings quantize/score inside their Arrow kernel from
+        # the raw scan — no quantize columns, no persist needed
+        exact = _topk_ids(
+            _cos_scores_numpy(spark, q_rows, c, c_vec="cvec", out="s"), "s"
+        )
+        q8 = _topk_ids(_int8_scores_numpy(spark, q_rows, c), "q8cos")
+        return _recall_report(exact, q8)
     e = (
         t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -1976,9 +2131,10 @@ MRL_DIMS = 16  # truncated prefix width (of 64) the matryoshka gate tests
         "the full-dimension exact ranking per query. The truncated "
         "cosine is the same sequential fold over a sliced array, so "
         "the pairing is bit-for-bit. Same 100 TB shape as "
-        "ann_int8_recall: truncation happens at the scan (a codegen'd "
-        "slice), the report runs over the fixed eval query set, two "
-        "broadcast-query corpus passes total."
+        "ann_int8_recall: truncation happens at the scan (a prefix "
+        "slice inside the scoring kernel), the report runs over the "
+        "fixed eval query set, two broadcast-query corpus passes "
+        "total (bit-exact Arrow scoring kernels, r12)."
     ),
 )
 def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1986,6 +2142,27 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    if _SCORE_NUMPY:
+        q_rows = (
+            e.filter(F.col("vec_id") < N_QUERY)
+            .select(F.col("vec_id").alias("query_id"), "v")
+            .collect()
+        )
+        c0 = e.filter(F.col("vec_id") >= N_QUERY).select(
+            F.col("vec_id").alias("cand_id"), F.col("v").alias("cvec")
+        )
+        # the truncated cosine folds the same dims the sliced-array
+        # fold would — a numpy prefix slice of the identical doubles
+        exact = _topk_ids(
+            _cos_scores_numpy(spark, q_rows, c0, c_vec="cvec", out="s"), "s"
+        )
+        trunc = _topk_ids(
+            _cos_scores_numpy(
+                spark, q_rows, c0, c_vec="cvec", out="ts", ndims=MRL_DIMS
+            ),
+            "ts",
+        )
+        return _recall_report(exact, trunc)
     q = e.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qvec"),
@@ -2119,6 +2296,10 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cos(a: str, b: str) -> Column:
         return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
 
+    # numpy scoring (_cos_scores_numpy carry_vec=True) A/B-measured
+    # NEGATIVE here (1.88 vs 1.68 min, loses every rep): the pool needs
+    # the candidate vector, and re-emitting it N_QUERY x through Arrow
+    # costs more than the fold saving. Stays the JVM fold pass.
     scored = (
         F.broadcast(q)
         .crossJoin(c)

@@ -101,13 +101,18 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 
 
 def test_ann_broadcasts_queries_not_corpus(spark, sf_dir):
+    """The brute scoring pass must stream the corpus ONCE against the
+    bounded query set: since r12 that is one Arrow pass (MapInPandas,
+    bit-exact numpy folds — the bounded queries ride a broadcast
+    variable, replacing the BroadcastNestedLoopJoin form); the only
+    exchange allowed is the ranking window's partition-by query_id,
+    and no join may appear at all."""
     from barco_spark.plans import explain_str
 
     df = QUERIES["ann_cosine_topk"].build(spark, sf_dir)
     plan = explain_str(df)
-    assert "BroadcastNestedLoopJoin" in plan
-    # corpus side must not be exchanged for the join itself: the only
-    # exchange allowed is the ranking window's partition-by query_id
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
     assert shuffle_count(df) <= 1
 
 

@@ -316,3 +316,44 @@ def test_numpy_assign_path_matches_jvm_fold_path(spark, sf_dir):
             similarity._ASSIGN_NUMPY = True
         assert a == b, name
         assert a, name  # non-empty at every test SF
+
+
+def test_numpy_int8_quant_bitexact_vs_scalar_formula():
+    """_np_int8_quant must reproduce the _absmax/_int8_quantize/_in2
+    scalar sequence exactly: same absmax floor, same three roundings
+    per element, exact integer sums."""
+    import math
+
+    import numpy as np
+
+    from barco_spark.operators.similarity import _np_int8_quant
+
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((23, 64))
+    q, n2 = _np_int8_quant(M)
+    for r in range(M.shape[0]):
+        m = max(max(abs(x) for x in M[r]), 1e-30)
+        qs = [math.floor(x * 127.0 / m + 0.5) for x in M[r]]
+        assert qs == list(q[r])
+        assert sum(x * x for x in qs) == n2[r]
+
+
+def test_numpy_score_path_matches_jvm_fold_path(spark, sf_dir):
+    """Both _SCORE_NUMPY arms must produce IDENTICAL rows on every
+    consumer of the brute scoring pass."""
+    from barco_spark.operators import similarity
+
+    for name in (
+        "ann_cosine_topk",
+        "ann_int8_recall",
+        "ann_matryoshka_recall",
+    ):
+        try:
+            similarity._SCORE_NUMPY = True
+            a = sorted(map(tuple, QUERIES[name].build(spark, sf_dir).collect()))
+            similarity._SCORE_NUMPY = False
+            b = sorted(map(tuple, QUERIES[name].build(spark, sf_dir).collect()))
+        finally:
+            similarity._SCORE_NUMPY = True
+        assert a == b, name
+        assert a, name  # non-empty at every test SF
