@@ -61,6 +61,11 @@ KM_ITERS = 5  # Lloyd iterations per subspace
 SHORTLIST = 64  # ADC candidates kept per query before exact rerank
 TOP_K = 3  # final neighbors per query (matches the other ann_* ops)
 
+# r12: ann_pq_search_int8's quantize/encode/ADC run as one bit-exact
+# Arrow pass (integer arithmetic is order-free-exact; see the kernel
+# in _register_pq_int8).  A/B + parity hook: scripts/ab_pq_numpy.py.
+_PQ_NUMPY = True
+
 
 def _pq_codes(Xs, books):
     """codes[i, m] = argmin_j ||Xs[i, m, :] - books[m, j, :]||^2,
@@ -503,11 +508,16 @@ def _register_pq_int8() -> None:
             "(score = intdot(q_sub, book[code]) summed over subspaces, "
             "normalized by one mirrored IEEE sqrt/divide), shortlist "
             f"of {SHORTLIST} then exact sequential-fold cosine rerank "
-            f"to top {TOP_K}. Proves the full encode->ADC->rerank "
-            "structure bit-for-bit at sf0.01; ann_pq_search (numpy "
-            "Lloyd codebooks over Arrow batches) remains the 100 TB "
-            "throughput path. Codebook/query broadcasts are KB-sized; "
-            "the only shuffles are the encode argmin and the two "
+            f"to top {TOP_K}. Since r12 the quantize/encode/ADC run "
+            "as ONE bit-exact Arrow pass over the corpus scan "
+            "(codebook sample and queries are bounded collects; "
+            "integer arithmetic is order-free-exact, so the kernel "
+            "may use matmul expansions — verified bit-equal to the "
+            "fold pipeline at three SFs). Proves the full "
+            "encode->ADC->rerank structure bit-for-bit at sf0.01; "
+            "ann_pq_search (numpy Lloyd codebooks over Arrow batches) "
+            "remains the 100 TB throughput path. Codebook/query "
+            "broadcasts are KB-sized; the only shuffles are the two "
             "per-query top-k windows."
         ),
     )
@@ -517,6 +527,93 @@ def _register_pq_int8() -> None:
         e = t(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
+        n_corpus = _emb_count(spark, sf_dir, corpus_only=True)
+        stride = max(1, math.ceil(n_corpus / K_CODES))
+        if _PQ_NUMPY:
+            # Quantize + encode + ADC in ONE Arrow pass (r12, guide
+            # §4.2 — the _assign_cells_numpy discipline).  Codebook
+            # sample (K_CODES rows) and queries are bounded: collected,
+            # quantized driver-side with the exact scalar sequence
+            # (_np_int8_quant), broadcast.  Everything after the
+            # quantization is INTEGER arithmetic, exact in any
+            # evaluation order: the encode d2 uses the algebraic
+            # expansion cn2 - 2*Cs@B.T + bn2 (bit-equal to the
+            # zip_with fold on integers), argmin ties break to the
+            # first index = lowest code_id over the sorted collect
+            # (the min_by struct(d2, code_id) tie-break), and the ADC
+            # int-dot partial sums become one per-subspace integer
+            # gather.  Replaces: the interpreted quantize HOF + its
+            # localCheckpoint, the 8x subspace explode, the broadcast
+            # codebook join + groupBy(cand, m) argmin exchange, and
+            # the groupBy(query, cand) ADC exchange.
+            import numpy as np
+            import pandas as pd
+
+            from barco_spark.operators.similarity import _np_int8_quant
+
+            book_rows = e.filter(
+                (F.col("vec_id") >= N_QUERY)
+                & ((F.col("vec_id") - N_QUERY) % stride == 0)
+            ).collect()
+            book_rows.sort(key=lambda r: r[0])
+            B8, _ = _np_int8_quant(
+                np.stack(
+                    [np.asarray(r[1], dtype=np.float64) for r in book_rows]
+                )
+            )
+            q_rows = e.filter(F.col("vec_id") < N_QUERY).collect()
+            q_rows.sort(key=lambda r: r[0])
+            q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+            Q8, qn2 = _np_int8_quant(
+                np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+            )
+            Bm = [B8[:, m * PQ_SUB : (m + 1) * PQ_SUB] for m in range(M_SUB)]
+            bn2m = [(b * b).sum(axis=1) for b in Bm]
+            QBm = [
+                Q8[:, m * PQ_SUB : (m + 1) * PQ_SUB] @ b.T
+                for m, b in enumerate(Bm)
+            ]
+            bc = spark.sparkContext.broadcast((q_ids, qn2, Bm, bn2m, QBm))
+
+            def adc_scores(batches):
+                q_ids_, qn2_, Bm_, bn2m_, QBm_ = bc.value
+                nq = len(q_ids_)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    M = np.stack(pdf["v"].map(np.asarray).values)
+                    C8, _ = _np_int8_quant(M)
+                    n = len(pdf)
+                    adc_int = np.zeros((n, nq), dtype=np.int64)
+                    an2 = np.zeros(n, dtype=np.int64)
+                    for m in range(len(Bm_)):
+                        Cs = C8[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                        cn2 = (Cs * Cs).sum(axis=1)
+                        d2 = cn2[:, None] - 2 * (Cs @ Bm_[m].T) + bn2m_[m][None, :]
+                        k = np.argmin(d2, axis=1)
+                        adc_int += QBm_[m][:, k].T
+                        an2 += bn2m_[m][k]
+                    s = adc_int.astype(np.float64) / np.sqrt(
+                        (qn2_[None, :] * an2[:, None]).astype(np.float64)
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.tile(q_ids_, n),
+                            "cand_id": np.repeat(
+                                pdf["vec_id"].to_numpy(dtype=np.int64), nq
+                            ),
+                            "adc_cos": s.reshape(-1),
+                        }
+                    )
+
+            adc = e.filter(F.col("vec_id") >= N_QUERY).mapInPandas(
+                adc_scores, "query_id long, cand_id long, adc_cos double"
+            )
+            qn = e.filter(F.col("vec_id") < N_QUERY).select(
+                F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+            )
+            z = e  # rerank vectors come straight off the scan
+            return _pq_int8_tail(adc, qn, z)
         # quantize ONCE and in parallel (the kmeans_int8 discipline,
         # r12): z feeds books, csub and qn — without a lineage cut the
         # interpreted-HOF quantize re-ran for each consumer, and a
@@ -533,8 +630,6 @@ def _register_pq_int8() -> None:
             .withColumn("qv", _int8_quantize("v", "mx"))
             .localCheckpoint(eager=False)
         )
-        n_corpus = _emb_count(spark, sf_dir, corpus_only=True)
-        stride = max(1, math.ceil(n_corpus / K_CODES))
 
         def subspaces(col: str):
             return F.inline(
@@ -617,6 +712,13 @@ def _register_pq_int8() -> None:
                 ).alias("adc_cos"),
             )
         )
+        return _pq_int8_tail(adc, qn, z)
+
+    def _pq_int8_tail(adc: DataFrame, qn: DataFrame, z: DataFrame) -> DataFrame:
+        """Shared shortlist -> exact rerank tail of both
+        ann_pq_search_int8 arms.  `z` supplies the rerank vectors
+        (the quantize checkpoint in the fold arm; the raw scan in the
+        numpy arm — v rides along either way, no second scan)."""
         ws = Window.partitionBy("query_id").orderBy(
             F.col("adc_cos").desc(), F.col("cand_id")
         )
@@ -625,9 +727,6 @@ def _register_pq_int8() -> None:
             .filter(F.col("sr") <= SHORTLIST)
             .select("query_id", "cand_id")
         )
-
-        # rerank vectors come from the SAME checkpointed z (v rides
-        # along), not a second scan+repartition of the table
         c = z.filter(F.col("vec_id") >= N_QUERY).select(
             F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
         )

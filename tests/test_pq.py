@@ -133,3 +133,21 @@ def test_pq_int8_recall_and_determinism(spark, sf_dir):
 
     again = sorted((r.query_id, r.rank, r.cand_id) for r in build(spark, sf_dir).collect())
     assert again == sorted((r.query_id, r.rank, r.cand_id) for r in res)
+
+
+def test_pq_int8_numpy_arm_matches_fold_arm(spark, sf_dir):
+    """Both _PQ_NUMPY arms must produce IDENTICAL rows: the one-pass
+    Arrow quantize/encode/ADC kernel is bit-exact vs the fold pipeline
+    (integer arithmetic everywhere after the mirrored quantization)."""
+    from barco_spark.registry import load_all
+
+    build = load_all()["ann_pq_search_int8"].build
+    try:
+        pq._PQ_NUMPY = True
+        a = sorted(map(tuple, build(spark, sf_dir).collect()))
+        pq._PQ_NUMPY = False
+        b = sorted(map(tuple, build(spark, sf_dir).collect()))
+    finally:
+        pq._PQ_NUMPY = True
+    assert a == b
+    assert a
