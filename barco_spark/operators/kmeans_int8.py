@@ -38,6 +38,12 @@ KM_K = 8  # clusters
 KM_ITERS = 2  # fixed Lloyd rounds (unrolled in the SQL oracle)
 KM_DIM = 64  # embeddings table dimension
 
+# r12: the fit runs as one bit-exact Arrow pass per Lloyd round
+# (quantize + integer-L2 assign + per-cluster integer partial sums in
+# the kernel; integer arithmetic is order-free-exact).  Fold pipeline
+# kept below as the A/B + parity arm: scripts/ab_km_numpy.py.
+_KM_NUMPY = True
+
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from barco_spark.operators.similarity import _absmax, _int8_quantize
@@ -219,14 +225,20 @@ FROM a3 GROUP BY cid
         "Empty clusters keep their previous centroid on both sides. "
         "Output: per final cluster, member count, vec_id checksum and "
         "exact integer inertia — all integers, so the driver hash "
-        "check covers the entire fit. Assignments broadcast K x dim "
-        "long literals through one codegen pass (no corpus shuffle); "
-        "updates shuffle only map-combined partial sums."
+        "check covers the entire fit. Since r12 each Lloyd round is "
+        "ONE bit-exact Arrow pass over the corpus scan (quantize + "
+        "integer-L2 argmin + per-cluster integer partial sums in the "
+        "kernel; integer arithmetic is order-free-exact, verified "
+        "bit-equal to the fold pipeline at three SFs); centroids stay "
+        "a bounded K x dim broadcast and the only exchange is the "
+        "final K-row rollup."
     ),
 )
 def kmeans_int8_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
+    if _KM_NUMPY:
+        return _kmeans_int8_numpy(spark, sf_dir)
     z = _quantized(spark, sf_dir)
     n = z.count()  # bounded driver scalar, mirrors the oracle's st CTE
     stride = max(1, math.ceil(n / KM_K))
@@ -242,4 +254,135 @@ def kmeans_int8_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
         F.sum("d2").cast("bigint").alias("inertia_int"),
+    )
+
+
+def _kmeans_int8_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fixed-iteration integer Lloyd fit as ONE bit-exact
+    Arrow pass per round (r12, guide §4.2): each pass quantizes the
+    batch in-kernel (_np_int8_quant — the exact _absmax/_int8_quantize
+    scalar sequence), assigns by integer-L2 argmin (matmul expansion
+    qn2 - 2*Q@C.T + cn2, bit-equal to the fold on integers; argmin
+    first-index tie = lowest cid over the sorted centroid list = the
+    array_min struct tie-break) and emits per-cluster integer partial
+    sums.  Integer sums are associative, so driver-side accumulation
+    over batches in any order is exact; the centroid update mirrors
+    the fold arm's floor(double(sum) / count) exactly.  Replaces the
+    quantize HOF + localCheckpoint, the per-round interpreted assign
+    projections and the posexplode + groupBy(cid, pos) update
+    exchanges; the only remaining exchange is the final K-row rollup."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from barco_spark.operators.similarity import _emb_count, _np_int8_quant
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = _emb_count(spark, sf_dir)  # cached parquet-metadata count
+    stride = max(1, math.ceil(n / KM_K))
+    init_rows = e.filter(F.col("vec_id") % stride == 0).collect()
+    init_rows.sort(key=lambda r: r[0])
+    Q0, _ = _np_int8_quant(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    )
+    cents = sorted(
+        (int(r[0] // stride), [int(x) for x in Q0[i]])
+        for i, r in enumerate(init_rows)
+    )
+
+    def _pass(cents_list, final: bool) -> DataFrame:
+        cids = np.array([c for c, _ in cents_list], dtype=np.int64)
+        C = np.stack(
+            [np.asarray(v, dtype=np.int64) for _, v in cents_list]
+        )
+        cn2 = (C * C).sum(axis=1)
+        bc = spark.sparkContext.broadcast((cids, C, cn2))
+        schema = (
+            "cid int, cnt long, svid long, inertia long"
+            if final
+            else "cid int, cnt long, s array<long>"
+        )
+
+        def kern(batches):
+            cids_, C_, cn2_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf["v"].map(np.asarray).values)
+                Q, _ = _np_int8_quant(M)
+                qn2 = (Q * Q).sum(axis=1)
+                d2 = qn2[:, None] - 2 * (Q @ C_.T) + cn2_[None, :]
+                j = np.argmin(d2, axis=1)
+                vids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                out = []
+                for idx in range(len(cids_)):
+                    mask = j == idx
+                    if not mask.any():
+                        continue
+                    if final:
+                        out.append(
+                            (
+                                int(cids_[idx]),
+                                int(mask.sum()),
+                                int(vids[mask].sum()),
+                                int(d2[mask, idx].sum()),
+                            )
+                        )
+                    else:
+                        out.append(
+                            (
+                                int(cids_[idx]),
+                                int(mask.sum()),
+                                [int(x) for x in Q[mask].sum(axis=0)],
+                            )
+                        )
+                cols = (
+                    ["cid", "cnt", "svid", "inertia"]
+                    if final
+                    else ["cid", "cnt", "s"]
+                )
+                yield pd.DataFrame(out, columns=cols)
+
+        return e.mapInPandas(kern, schema)
+
+    for _ in range(KM_ITERS):
+        sums: dict[int, np.ndarray] = {}
+        cnts: dict[int, int] = {}
+        for r in _pass(cents, final=False).collect():
+            a = np.asarray(r.s, dtype=np.int64)
+            if r.cid in sums:
+                sums[r.cid] = sums[r.cid] + a
+                cnts[r.cid] += r.cnt
+            else:
+                sums[r.cid] = a
+                cnts[r.cid] = r.cnt
+        cents = [
+            (
+                cid,
+                [
+                    int(x)
+                    for x in np.floor(
+                        sums[cid].astype(np.float64) / cnts[cid]
+                    ).astype(np.int64)
+                ]
+                if cid in sums
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return (
+        _pass(cents, final=True)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            # coalesce keeps the column non-nullable, matching the fold
+            # arm's count() schema exactly (a group always has >=1 row)
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+                "n_members"
+            ),
+            F.sum("svid").cast("bigint").alias("sum_vec_id"),
+            F.sum("inertia").cast("bigint").alias("inertia_int"),
+        )
     )

@@ -357,3 +357,24 @@ def test_numpy_score_path_matches_jvm_fold_path(spark, sf_dir):
             similarity._SCORE_NUMPY = True
         assert a == b, name
         assert a, name  # non-empty at every test SF
+
+
+def test_kmeans_int8_numpy_arm_matches_fold_arm(spark, sf_dir):
+    """Both _KM_NUMPY arms must produce IDENTICAL rows AND schema: the
+    per-round Arrow kernel (quantize + integer-L2 assign + integer
+    partial sums) is bit-exact vs the fold pipeline."""
+    from barco_spark.operators import kmeans_int8 as km
+
+    build = QUERIES["kmeans_int8_clusters"].build
+    try:
+        km._KM_NUMPY = True
+        da = build(spark, sf_dir)
+        a = sorted(map(tuple, da.collect()))
+        km._KM_NUMPY = False
+        db = build(spark, sf_dir)
+        b = sorted(map(tuple, db.collect()))
+    finally:
+        km._KM_NUMPY = True
+    assert da.schema == db.schema
+    assert a == b
+    assert a
