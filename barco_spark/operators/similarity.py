@@ -2206,6 +2206,84 @@ MMR_POOL = 8  # relevance pool per query the greedy selects from
 # literals on BOTH sides (never 1-lambda in Python, which is not 0.3
 # in binary) so the IEEE arithmetic is op-identical.
 
+# r12: the unrolled greedy runs on the DRIVER over the collected pool
+# (N_QUERY x MMR_POOL rows — bounded at ANY scale by construction, the
+# session-4 pagerank fixed-point pattern). The DataFrame greedy is
+# kept below as the A/B + parity arm.
+_MMR_LOCAL = True
+
+
+def _mmr_greedy_local(spark: SparkSession, pool_df: DataFrame) -> DataFrame:
+    """Driver-side unrolled MMR greedy over the collected pool.
+
+    Score arithmetic mirrors the Column ops EXACTLY: cosines fold
+    left-to-right (Python floats are IEEE doubles — the same op
+    sequence as aggregate(zip_with)), mmr = 0.7*rel - 0.3*max(cos...)
+    with the same two mults + subtract, argmax ties break on lowest
+    cand_id like the rn==1 windows. Result built through the Arrow
+    local-rows path (no Python-worker fan-out)."""
+    import math
+
+    from barco_spark.session import local_rows_df
+
+    def _seq_cos(a, b) -> float:
+        d = 0.0
+        for x, y in zip(a, b):
+            d = d + x * y
+        n2a = 0.0
+        for x in a:
+            n2a = n2a + x * x
+        n2b = 0.0
+        for y in b:
+            n2b = n2b + y * y
+        # math.sqrt is the correctly-rounded IEEE sqrt (matching the
+        # JVM's); x ** 0.5 routes through libm pow and is not
+        return d / math.sqrt(n2a * n2b)
+
+    by_query: dict[int, list] = {}
+    for r in pool_df.collect():
+        by_query.setdefault(r.query_id, []).append(r)
+    out = []
+    for qid in by_query:
+        rows = sorted(by_query[qid], key=lambda r: r.rnk)
+        s1 = rows[0]
+        out.append((qid, s1.cand_id, s1.rel, 0.7 * s1.rel, 1))
+        rest = rows[1:]
+        if not rest:
+            continue
+        mmr2 = {
+            r.cand_id: 0.7 * r.rel - 0.3 * _seq_cos(r.cv, s1.cv)
+            for r in rest
+        }
+        s2 = min(rest, key=lambda r: (-mmr2[r.cand_id], r.cand_id))
+        out.append((qid, s2.cand_id, s2.rel, mmr2[s2.cand_id], 2))
+        rest3 = [r for r in rest if r.cand_id != s2.cand_id]
+        if not rest3:
+            continue
+        mmr3 = {
+            r.cand_id: 0.7 * r.rel
+            - 0.3 * max(_seq_cos(r.cv, s1.cv), _seq_cos(r.cv, s2.cv))
+            for r in rest3
+        }
+        s3 = min(rest3, key=lambda r: (-mmr3[r.cand_id], r.cand_id))
+        out.append((qid, s3.cand_id, s3.rel, mmr3[s3.cand_id], 3))
+    out.sort(key=lambda t: (t[0], t[4]))
+    df = local_rows_df(
+        spark,
+        out,
+        "query_id long, cand_id long, relevance double, "
+        "mmr_score double, mmr_rank int",
+    )
+    return df.select(
+        "query_id",
+        "cand_id",
+        "relevance",
+        "mmr_score",
+        # coalesce restores the non-nullable int the F.lit(rank)
+        # columns of the DataFrame arm carry (values are never null)
+        F.coalesce(F.col("mmr_rank"), F.lit(0)).alias("mmr_rank"),
+    ).orderBy("query_id", "mmr_rank")
+
 
 @register(
     "mmr_diverse_rerank",
@@ -2274,12 +2352,12 @@ MMR_POOL = 8  # relevance pool per query the greedy selects from
         "proven sequential-fold cosine plus two IEEE mults and a "
         "subtract, ties break on candidate id. Plan shape at 100 TB: "
         "the pool stage is the proven broadcast-query scoring pass "
-        "(one corpus scan, top-k window), and every greedy step after "
-        "it runs on k*pool rows per query — driver-free, join keys "
-        "are the query id, the selected-set sides are broadcast. The "
-        "pool is persisted (N_QUERY x pool rows) because the unrolled "
-        "steps reference it three times; it is node-sized by "
-        "construction."
+        "(one corpus scan, top-k window); the pool itself is "
+        "N_QUERY x pool rows — bounded by construction at ANY scale — "
+        "so since r12 the unrolled greedy runs on the DRIVER over the "
+        "collected pool (the bounded fixed-point pattern), mirroring "
+        "the Column arithmetic op-for-op; the DataFrame greedy is "
+        "kept as the verification arm."
     ),
 )
 def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2308,16 +2386,17 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrel = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("cand_id")
     )
+    pool_df = scored.select(
+        "*", F.row_number().over(wrel).alias("rnk")
+    ).filter(F.col("rnk") <= MMR_POOL)
+    if _MMR_LOCAL:
+        return _mmr_greedy_local(spark, pool_df)
     # tiny (N_QUERY x MMR_POOL rows) but referenced by all three greedy
     # steps; persisting keeps the corpus scoring pass single-run (same
     # discipline as _lsh_pairs' signature cache, LRU-evicted)
     from barco_spark.session import eager_persist
 
-    pool = eager_persist(
-        scored.select("*", F.row_number().over(wrel).alias("rnk")).filter(
-            F.col("rnk") <= MMR_POOL
-        )
-    )
+    pool = eager_persist(pool_df)
     s1 = pool.filter(F.col("rnk") == 1).select(
         "query_id",
         F.col("cand_id").alias("s1_id"),

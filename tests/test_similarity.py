@@ -378,3 +378,24 @@ def test_kmeans_int8_numpy_arm_matches_fold_arm(spark, sf_dir):
     assert da.schema == db.schema
     assert a == b
     assert a
+
+
+def test_mmr_local_arm_matches_dataframe_arm(spark, sf_dir):
+    """Both _MMR_LOCAL arms must produce IDENTICAL rows AND schema:
+    the driver-side greedy mirrors the Column arithmetic exactly
+    (sequential fold cosines, same literal mults, math.sqrt)."""
+    from barco_spark.operators import similarity
+
+    build = QUERIES["mmr_diverse_rerank"].build
+    try:
+        similarity._MMR_LOCAL = True
+        da = build(spark, sf_dir)
+        a = sorted(map(tuple, da.collect()))
+        similarity._MMR_LOCAL = False
+        db = build(spark, sf_dir)
+        b = sorted(map(tuple, db.collect()))
+    finally:
+        similarity._MMR_LOCAL = True
+    assert da.schema == db.schema
+    assert a == b
+    assert a
