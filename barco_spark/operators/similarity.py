@@ -2251,11 +2251,21 @@ def _mmr_greedy_local(spark: SparkSession, pool_df: DataFrame) -> DataFrame:
         rest = rows[1:]
         if not rest:
             continue
+        # NaN-greatest key (zero-norm vector -> NaN cosine): the
+        # DataFrame arm's ORDER BY mmr DESC and the DuckDB oracle both
+        # order NaN as the greatest double, while bare Python NaN
+        # comparisons are order-dependent — mirror it explicitly.
+        def _desc_key(m: float, cid):
+            # NaN sorts as one greatest-value class, ties on cand_id;
+            # the score slot must be a CONSTANT for NaNs (a bare -nan
+            # is unorderable and would poison the tuple comparison).
+            return (0, 0.0, cid) if math.isnan(m) else (1, -m, cid)
+
         mmr2 = {
             r.cand_id: 0.7 * r.rel - 0.3 * _seq_cos(r.cv, s1.cv)
             for r in rest
         }
-        s2 = min(rest, key=lambda r: (-mmr2[r.cand_id], r.cand_id))
+        s2 = min(rest, key=lambda r: _desc_key(mmr2[r.cand_id], r.cand_id))
         out.append((qid, s2.cand_id, s2.rel, mmr2[s2.cand_id], 2))
         rest3 = [r for r in rest if r.cand_id != s2.cand_id]
         if not rest3:
@@ -2265,7 +2275,7 @@ def _mmr_greedy_local(spark: SparkSession, pool_df: DataFrame) -> DataFrame:
             - 0.3 * max(_seq_cos(r.cv, s1.cv), _seq_cos(r.cv, s2.cv))
             for r in rest3
         }
-        s3 = min(rest3, key=lambda r: (-mmr3[r.cand_id], r.cand_id))
+        s3 = min(rest3, key=lambda r: _desc_key(mmr3[r.cand_id], r.cand_id))
         out.append((qid, s3.cand_id, s3.rel, mmr3[s3.cand_id], 3))
     out.sort(key=lambda t: (t[0], t[4]))
     df = local_rows_df(
@@ -2390,6 +2400,10 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", F.row_number().over(wrel).alias("rnk")
     ).filter(F.col("rnk") <= MMR_POOL)
     if _MMR_LOCAL:
+        # NOTE: this arm is EAGER — collecting the bounded pool runs
+        # the scoring job inside build(); explain() of the returned
+        # frame shows only the driver-local result relation. bench.py
+        # times build()+action together, so the cost is fully counted.
         return _mmr_greedy_local(spark, pool_df)
     # tiny (N_QUERY x MMR_POOL rows) but referenced by all three greedy
     # steps; persisting keeps the corpus scoring pass single-run (same

@@ -148,8 +148,28 @@ def local_rows_df(spark: SparkSession, rows, ddl: str):
     flat numeric/string schemas (DDL "name type, ..."); rows may be
     tuples or Rows.
     """
-    import pandas as pd
+    import pyarrow as pa
 
-    names = [c.strip().split()[0] for c in ddl.split(",")]
-    pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
-    return spark.createDataFrame(pdf, schema=ddl)
+    # A pyarrow Table (not pandas): Spark 4 reads it directly, and —
+    # unlike the pandas path, which follows the pandas missing-value
+    # convention — a float NaN stays NaN instead of becoming null
+    # (r13: mmr degenerate-data arm equality depends on this).
+    _pa_types = {
+        "long": pa.int64(),
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+    }
+    fields = [c.strip().split() for c in ddl.split(",")]
+    data = [tuple(r) for r in rows]
+    tbl = pa.table(
+        {
+            name: pa.array([r[i] for r in data], _pa_types[typ.lower()])
+            for i, (name, typ) in enumerate(fields)
+        }
+    )
+    return spark.createDataFrame(tbl, schema=ddl)

@@ -500,15 +500,31 @@ def test_compressed_recall_is_two_codegen_corpus_passes(spark, sf_dir, name):
 
 
 def test_mmr_greedy_steps_are_broadcast_joins(spark, sf_dir):
-    """mmr_diverse_rerank: every unrolled greedy step joins the
-    persisted pool (N_QUERY x MMR_POOL rows) against a one-row-per-
-    query selected set — all broadcast hash joins; a sort-merge join
-    would mean Catalyst saw a corpus-sized side."""
+    """mmr_diverse_rerank: the default (r12) arm collects the bounded
+    pool and runs the greedy on the driver — the returned frame is a
+    driver-local Arrow relation with NO joins at all; the kept
+    DataFrame verification arm must still join the persisted pool
+    against one-row-per-query selected sets via broadcast hash joins
+    only (a sort-merge join would mean Catalyst saw a corpus-sized
+    side)."""
+    from barco_spark.operators import similarity
+
     df = QUERIES["mmr_diverse_rerank"].build(spark, sf_dir)
     plan = explain_str(df)
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
-    assert "InMemoryTableScan" in plan  # pool persisted, scored once
+    assert "Join" not in plan  # driver-local greedy: no joins anywhere
+    assert "LocalTableScan" in plan
+
+    old = similarity._MMR_LOCAL
+    similarity._MMR_LOCAL = False
+    try:
+        df2 = QUERIES["mmr_diverse_rerank"].build(spark, sf_dir)
+        plan2 = explain_str(df2)
+        assert "SortMergeJoin" not in plan2
+        assert "BroadcastHashJoin" in plan2
+        assert "InMemoryTableScan" in plan2  # pool persisted, scored once
+    finally:
+        similarity._MMR_LOCAL = old
 
 
 def test_hybrid_rrf_is_takeordered_fusion_no_shuffle(spark, sf_dir):

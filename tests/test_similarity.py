@@ -399,3 +399,41 @@ def test_mmr_local_arm_matches_dataframe_arm(spark, sf_dir):
     assert da.schema == db.schema
     assert a == b
     assert a
+
+
+def test_mmr_local_arm_nan_greatest_matches_dataframe_arm(spark, tmp_path):
+    """Degenerate corpus: a NaN embedding component makes a candidate's
+    cosine (and hence its mmr score) NaN (a zero-norm vector instead
+    raises loudly under ANSI division). The DataFrame arm's ORDER BY mmr DESC
+    (and the DuckDB oracle) order NaN as the GREATEST double; the
+    driver greedy must mirror that explicitly - bare Python NaN
+    comparisons are order-dependent."""
+    from barco_spark.operators import similarity
+
+    data = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (5, [4.0, 3.0, 0.0], 0),
+        (6, [float("nan"), 0.0, 1.0], 0),  # NaN component: NaN cosine
+        (7, [3.0, -1.0, 4.0], 0),
+        (8, [2.0, 2.0, 1.0], 0),
+    ]
+    df = spark.createDataFrame(
+        data, "vec_id: bigint, embedding: array<float>, label: int"
+    )
+    d = str(tmp_path / "mmr_nan")
+    df.write.parquet(d + "/embeddings.parquet")
+    build = QUERIES["mmr_diverse_rerank"].build
+    try:
+        similarity._MMR_LOCAL = True
+        a = sorted(map(tuple, build(spark, d).collect()))
+        similarity._MMR_LOCAL = False
+        b = sorted(map(tuple, build(spark, d).collect()))
+    finally:
+        similarity._MMR_LOCAL = True
+
+    def _norm(rows):
+        # NaN != NaN; compare on a repr that makes NaN == NaN
+        return [tuple(map(repr, r)) for r in rows]
+
+    assert _norm(a) == _norm(b)
+    assert a
