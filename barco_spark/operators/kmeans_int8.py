@@ -43,6 +43,10 @@ KM_DIM = 64  # embeddings table dimension
 # the kernel; integer arithmetic is order-free-exact).  Fold pipeline
 # kept below as the A/B + parity arm: scripts/ab_km_numpy.py.
 _KM_NUMPY = True
+# r13 (ADVICE r12 item 4): see pq.py — spread of the numpy kernel's
+# scan input A/B-measured NEGATIVE (scripts/ab_numpy_spread.py);
+# kept as an A/B hook, default OFF.
+_NUMPY_SPREAD = False
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +288,14 @@ def _kmeans_int8_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _emb_count(spark, sf_dir)  # cached parquet-metadata count
     stride = max(1, math.ceil(n / KM_K))
     init_rows = e.filter(F.col("vec_id") % stride == 0).collect()
+    # r13 (ADVICE r12): the numpy arm bypassed _quantized's narrow-scan
+    # repartition, so every Lloyd pass ran its kernel on the raw 1-3
+    # parquet splits.  Row-guarded hash spread — no-op at the driver's
+    # correctness SFs and at warehouse scan widths.
+    from barco_spark.tables import spread_rows
+
+    if _NUMPY_SPREAD:
+        e = spread_rows(e, spark, sf_dir, "vec_id", name="embeddings")
     init_rows.sort(key=lambda r: r[0])
     Q0, _ = _np_int8_quant(
         np.stack([np.asarray(r[1], dtype=np.float64) for r in init_rows])

@@ -65,6 +65,16 @@ TOP_K = 3  # final neighbors per query (matches the other ann_* ops)
 # Arrow pass (integer arithmetic is order-free-exact; see the kernel
 # in _register_pq_int8).  A/B + parity hook: scripts/ab_pq_numpy.py.
 _PQ_NUMPY = True
+# r13 (ADVICE r12 item 4): row-guarded spread of the numpy kernels'
+# scan input — A/B MEASURED NEGATIVE (scripts/ab_numpy_spread.py:
+# ann_pq_search_int8 spread min 1.129 vs plain 0.882; kmeans
+# 1.389 vs 1.133, spread loses nearly every paired position): the
+# vectorized Arrow kernels are cheap enough per row that the added
+# exchange + per-task Python worker setup never pays at bench scale,
+# and the row guard makes the spread a no-op at warehouse scan widths
+# anyway — so there is no scale story for it either.  Kept as an
+# A/B hook, default OFF.
+_NUMPY_SPREAD = False
 
 
 def _pq_codes(Xs, books):
@@ -606,7 +616,19 @@ def _register_pq_int8() -> None:
                         }
                     )
 
-            adc = e.filter(F.col("vec_id") >= N_QUERY).mapInPandas(
+            # r13 (ADVICE r12): the numpy arm bypassed the fold arm's
+            # narrow-scan repartition, so the one-pass ADC kernel ran
+            # on the raw 1-3 parquet splits — single-core for the
+            # dominant kernel.  Row-guarded spread (no-op at the
+            # driver's correctness SFs and at warehouse scan widths).
+            from barco_spark.tables import spread_rows
+
+            cand = e.filter(F.col("vec_id") >= N_QUERY)
+            if _NUMPY_SPREAD:
+                cand = spread_rows(
+                    cand, spark, sf_dir, "vec_id", name="embeddings"
+                )
+            adc = cand.mapInPandas(
                 adc_scores, "query_id long, cand_id long, adc_cos double"
             )
             qn = e.filter(F.col("vec_id") < N_QUERY).select(

@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for headline queries into plans/r12/.
+"""Capture .explain("formatted") for headline queries into plans/$PLANS_ROUND (default r13)/.
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
 Writes plans/r12/<query>_<suffix>.txt for each query (default: every
@@ -23,7 +23,7 @@ def main() -> None:
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r13")
     )
     os.makedirs(out_dir, exist_ok=True)
     queries = load_all()
