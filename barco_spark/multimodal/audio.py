@@ -68,9 +68,10 @@ def synthetic_audio(spark: SparkSession, n: int = 60) -> DataFrame:
                 ("audio/wav", None, None, dur),
             )
         )
-    from barco_spark.multimodal.media import MEDIA_SCHEMA
+    from barco_spark.multimodal.media import media_rows_df
 
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
+    # pyarrow local-table path (r13): no Python-worker unpickle fan-out
+    return media_rows_df(spark, rows, n)
 
 
 def _parse_wav(blob: bytes) -> tuple[int, int, int, int, int]:

@@ -67,6 +67,54 @@ except ImportError:
     _HAS_PIL = False
 
 
+def media_rows_df(spark: SparkSession, rows, n: int) -> DataFrame:
+    """Driver-local MEDIA_SCHEMA rows -> DataFrame via pyarrow.
+
+    ``spark.createDataFrame(rows, MEDIA_SCHEMA)`` pickles the rows into
+    an RDD and starts one Python worker per slice just to unpickle them
+    — measured r13: the decode stages behind phash_image_dedup burned
+    ~1.4 s/task of worker+unpickle setup on ~9-row partitions (the same
+    pathology session.local_rows_df fixed in r12, unconverted here
+    because of the binary+struct columns).  A pyarrow Table is read by
+    the JVM directly; rows and schema are bit-identical (verified
+    against the old path before the swap).  coalesce keeps the old
+    ~16-rows-per-task geometry so downstream Python stages pay a
+    bounded number of worker setups; real media tables come from
+    storage with size-based splits (media_from_files)."""
+    import pyarrow as pa
+
+    meta_t = pa.struct(
+        [
+            ("format", pa.string()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("duration_ms", pa.int32()),
+        ]
+    )
+    tbl = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "blob": pa.array([bytes(r[2]) for r in rows], pa.binary()),
+            "meta": pa.array(
+                [
+                    {
+                        "format": r[3][0],
+                        "width": r[3][1],
+                        "height": r[3][2],
+                        "duration_ms": r[3][3],
+                    }
+                    for r in rows
+                ],
+                meta_t,
+            ),
+        }
+    )
+    return spark.createDataFrame(tbl, schema=MEDIA_SCHEMA).coalesce(
+        max(1, n // 16)
+    )
+
+
 def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
     """Deterministic fake media table for tests (seeded by media_id)."""
     kinds = ["image", "audio", "video"]
@@ -80,12 +128,8 @@ def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
             64 + (i % 5) * 32 if kind != "audio" else None,
             1000 * (1 + i % 30) if kind != "image" else None,
         )
-        rows.append((i, kind, bytearray(blob), meta))
-    # a driver-built demo table lands in default-parallelism slices (32
-    # partitions for ~100 rows); every Python stage downstream would pay
-    # worker+Arrow setup per near-empty partition. Real media tables
-    # come from storage with size-based splits.
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(max(1, n // 16))
+        rows.append((i, kind, blob, meta))
+    return media_rows_df(spark, rows, n)
 
 
 def media_from_files(
