@@ -827,20 +827,27 @@ def cdc_chunk_array(text_col: str = "text") -> Column:
     aggregate() fold; shared by dedup_cdc_chunks and the differential
     fuzz test so the Spark chunker and the DuckDB positional oracle
     cannot drift apart silently."""
-    bnd = (
-        f"cast(conv(substring(md5(w), 1, 7), 16, 10) as bigint) "
-        f"% {_CDC_DIV} = 0"
-    )
-    step = "if(acc.cur is null, w, concat(acc.cur, ' ', w))"
+    # r13 (guide §1.2 per-task work): the fold is interpreted
+    # (CodegenFallback), and its original form evaluated the md5
+    # boundary test AND the concat step TWICE per word (once in each
+    # struct field).  Hash once per word in a preceding transform, and
+    # branch with if(cond, struct_a, struct_b) so only the taken
+    # branch's concat evaluates — same chunks bit-for-bit (pinned by
+    # the differential fuzz test and the oracle pairing).
+    step = "if(acc.cur is null, x.w, concat(acc.cur, ' ', x.w))"
     return F.expr(
         f"""
         aggregate(
-          split({text_col}, ' '),
+          transform(split({text_col}, ' '), w -> struct(
+            w as w,
+            cast(conv(substring(md5(w), 1, 7), 16, 10) as bigint)
+              % {_CDC_DIV} = 0 as b)),
           struct(cast(array() as array<string>) as done,
                  cast(null as string) as cur),
-          (acc, w) -> struct(
-            if({bnd}, array_append(acc.done, {step}), acc.done) as done,
-            if({bnd}, cast(null as string), {step}) as cur),
+          (acc, x) -> if(x.b,
+            struct(array_append(acc.done, {step}) as done,
+                   cast(null as string) as cur),
+            struct(acc.done as done, {step} as cur)),
           acc -> if(acc.cur is null, acc.done,
                     array_append(acc.done, acc.cur)))
         """
