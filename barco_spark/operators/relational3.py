@@ -1662,6 +1662,18 @@ def discount_band_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# market_basket_lift: persist the distinct (order, part) list only when
+# the fact table is big enough that its four scan pipelines are real
+# I/O (r12 A/B: persist loses at sf0.1 where the scans schedule
+# concurrently on idle cores).  Row threshold ~= a few GB of lineitem;
+# overridable for cluster profiles (same env pattern as the bench).
+import os as _os
+
+_MB_PERSIST_MIN_ROWS = int(
+    _os.environ.get("BARCO_MB_PERSIST_MIN_ROWS", 50_000_000)
+)
+
+
 @register(
     "market_basket_lift",
     """
@@ -1713,6 +1725,22 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
     )
+    # r13 (closing the r12 "Not yet optimized" debt, guide §5): the
+    # distinct item list feeds four consumers.  At bench scale the
+    # four scan pipelines schedule CONCURRENTLY on idle cores and an
+    # explicit persist measured WORSE (r12, twice: 5.41 vs 3.90 and
+    # the session-6 marg-reuse wash) — but at warehouse scale four
+    # full fact-table scans are real I/O and materializing the
+    # distinct once wins.  Footer-count guard (metadata-cheap, the
+    # dsir/dedup_clusters adaptive pattern): persist only above
+    # MB_PERSIST_MIN_ROWS; inert at the driver's bench/correctness
+    # SFs so the measured-fastest small shape is unchanged.
+    from barco_spark.tables import scan_rows
+
+    if scan_rows(spark, sf_dir, "lineitem") >= _MB_PERSIST_MIN_ROWS:
+        from barco_spark.session import eager_persist
+
+        items = eager_persist(items)
     n = items.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
     marg = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
     a, b = items.alias("a"), items.alias("b")

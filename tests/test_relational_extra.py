@@ -394,3 +394,26 @@ def test_kmv_dense_rank_build_equals_distinct_row_number(spark):
     assert sorted(map(tuple, old.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_market_basket_persist_guard_arms_equal(spark, sf_dir):
+    """The r13 footer-count persist guard (items materialized once
+    above _MB_PERSIST_MIN_ROWS) must not change a single row: force
+    the guard on and compare against the default (guard-off) arm."""
+    from barco_spark.operators import relational3
+    from barco_spark.registry import QUERIES
+
+    build = QUERIES["market_basket_lift"].build
+    old = relational3._MB_PERSIST_MIN_ROWS
+    try:
+        relational3._MB_PERSIST_MIN_ROWS = 1 << 60  # off
+        a_df = build(spark, sf_dir)
+        a = [tuple(r) for r in a_df.collect()]
+        relational3._MB_PERSIST_MIN_ROWS = 0  # forced on
+        b_df = build(spark, sf_dir)
+        b = [tuple(r) for r in b_df.collect()]
+    finally:
+        relational3._MB_PERSIST_MIN_ROWS = old
+    assert a_df.schema == b_df.schema
+    assert a == b
+    assert a
