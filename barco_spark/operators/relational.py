@@ -372,9 +372,20 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ROLLUP hierarchy totals in one pass (Expand), not one scan per level.",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.tables import spread
+
+    # r13 (guide §2.5, the lineitem_unpivot_stats precedent): the
+    # Expand x3 + decimal partial aggs rode the 3-split scan; exchange
+    # the three pre-projected columns (project early, §2.3) and run
+    # the Expand at ceil(rows/20k) width. ABBA both orders: spread min
+    # 0.931/1.070 vs plain 1.072/1.242, winning 6/8 paired positions.
+    # No-op at the driver's correctness SFs and warehouse scan widths.
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    li = spread(li, spark, sf_dir, "lineitem", rows_per_task=20_000)
     return (
-        t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+        li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
@@ -395,9 +406,16 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CUBE over two dims: all 4 grouping sets from a single Expand pass.",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from barco_spark.tables import spread
+
+    # r13: same row-guarded pre-Expand spread as agg_rollup (ABBA:
+    # spread min 0.464 vs plain 0.511, 3/4 positions)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    o = spread(o, spark, sf_dir, "orders", rows_per_task=20_000)
     return (
-        t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
+        o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(_dec2("o_totalprice")).cast("double").alias("total"),
