@@ -147,15 +147,25 @@ def test_q17_two_shuffles(spark, sf_dir):
     assert shuffle_count(df) <= 2
 
 
-def test_q21_two_scans_not_three(spark, sf_dir):
-    # classic Q21 needs l1/l2/l3 self-joins (3 lineitem scans); the
-    # groupBy-join-back formulation needs 2, co-partitioned on l_orderkey
+def test_q21_single_scan_no_expand(spark, sf_dir):
+    """classic Q21 needs l1/l2/l3 self-joins (3 lineitem scans); the r13
+    pair-rollup formulation scans lineitem ONCE at runtime — the
+    per-order counts branch reuses the pairs branch's l_orderkey
+    exchange (AQE stage reuse, only visible in the FINAL adaptive
+    plan) — and the double COUNT(DISTINCT) Expand never materializes."""
+    import re
+
     from barco_spark.plans import explain_str
 
     df = QUERIES["q21_waiting_suppliers"].build(spark, sf_dir)
-    li_scans = [cols for cols in read_schema_columns(df) if "l_suppkey" in cols]
-    assert len(li_scans) <= 2, li_scans
-    assert "TakeOrderedAndProject" in explain_str(df)
+    assert "Expand" not in explain_str(df)
+    df.collect()  # finalize the adaptive plan
+    final = explain_str(df, "simple").split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    li_scans = re.findall(r"FileScan parquet \[[^\]]*l_suppkey[^\]]*\]", final)
+    assert len(li_scans) == 1, li_scans
+    assert "ReusedExchange" in final
+    assert "TakeOrderedAndProject" in final
 
 
 def test_simhash_pairs_no_cartesian(spark, sf_dir):
