@@ -33,6 +33,36 @@ def _dec4(c: str) -> F.Column:
     return F.col(c).cast("decimal(18,4)")
 
 
+# Domain-bounded narrow casts (r13, guide §2.3 "narrower types"): the
+# money columns are bounded by the DATA DOMAIN (l_extendedprice <=
+# ~104,950.00 — 3 spare integer digits in decimal(11,2)), discount/tax
+# by construction <= 0.10 (decimal(5,4)); sums still get Spark's +10
+# precision headroom ON TOP of the domain bound, so the narrowing is
+# scale-safe, and ANSI mode raises loudly if a bound is ever violated.
+# Why it matters: ep(11,2) * (1-d)(6,4) -> decimal(18,6) stays inside
+# Spark's 18-digit compact-long decimal, while the old (18,2) x (19,4)
+# -> (38,6) widths forced the per-row product through JavaBigDecimal.
+# Values are bit-identical at both widths (decimal math is exact, the
+# ROUND(x,2)/DOUBLE casts downstream are unchanged); measured on q1:
+# min 1.151/1.176/1.236 vs 1.248/1.230/1.336 across three ABBA
+# sittings (scripts/ab_q1_decimal.py).
+def _m2(c: str) -> F.Column:
+    return F.col(c).cast("decimal(11,2)")
+
+
+def _r4(c: str) -> F.Column:
+    return F.col(c).cast("decimal(5,4)")
+
+
+def _one4() -> F.Column:
+    return F.lit(1).cast("decimal(5,4)")
+
+
+def _rev2(ep: str = "l_extendedprice", disc: str = "l_discount") -> F.Column:
+    """ep * (1 - disc) as a compact decimal(18,6) product (see above)."""
+    return _m2(ep) * (_one4() - _r4(disc))
+
+
 # --------------------------------------------------------------------------
 # Aggregation: TPC-H Q1 style pricing summary (partial+final hash agg)
 # --------------------------------------------------------------------------
@@ -56,31 +86,24 @@ def _dec4(c: str) -> F.Column:
     doc="Full-scan hash aggregation with exact decimal money math.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    one = F.lit(1).cast("decimal(18,4)")
+    # all casts domain-bound narrowed (see _m2/_r4/_rev2 above): the
+    # disc_price product is compact decimal(18,6) per row, and the
+    # discount sum buffer decimal(15,4) fits the compact-long path.
     cnt = F.count(F.lit(1))
     return (
         t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    _dec2("l_extendedprice")
-                    * (one - _dec4("l_discount"))
-                    * (one + _dec4("l_tax"))
-                ),
-                2,
-            )
+            F.sum(_m2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_m2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_rev2()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_rev2() * (_one4() + _r4("l_tax"))), 2)
             .cast("double")
             .alias("sum_charge"),
-            (F.sum(_dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(_dec2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-            (F.sum(_dec4("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            (F.sum(_m2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_m2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_r4("l_discount")).cast("double") / cnt).alias("avg_disc"),
             cnt.alias("count_order"),
         )
     )
@@ -111,7 +134,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale shape: customer is the only broadcast side; orders+lineitem
     # are fact tables and join via shuffle (AQE upgrades to broadcast at
     # small SF automatically — never hint a fact-table broadcast)
-    one = F.lit(1).cast("decimal(18,4)")
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
@@ -126,9 +148,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue")
+            F.round(F.sum(_rev2()), 2).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -159,7 +179,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Six-way star join; all dims broadcast so the fact scan shuffles once.",
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    one = F.lit(1).cast("decimal(18,4)")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = t(spark, sf_dir, "nation")
     supplier = t(spark, sf_dir, "supplier")
@@ -184,9 +203,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
-            .cast("double")
-            .alias("revenue")
+            F.round(F.sum(_rev2()), 2).cast("double").alias("revenue")
         )
     )
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from barco_spark.operators.relational import _m2, _r4, _rev2
 from barco_spark.registry import register
 from barco_spark.tables import t
 
@@ -47,7 +48,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(_dec2("l_extendedprice") * _dec4("l_discount")), 2)
+            F.round(F.sum(_m2("l_extendedprice") * _r4("l_discount")), 2)
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -74,7 +75,6 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q10 shape: returned-item revenue per customer, top 20.",
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    one = F.lit(1).cast("decimal(18,4)")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -85,7 +85,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
+            F.round(F.sum(_rev2()), 2)
             .cast("double")
             .alias("revenue")
         )
@@ -140,12 +140,11 @@ def q12_priority_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q14 shape: promo revenue share; part dim broadcast.",
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    one = F.lit(1).cast("decimal(18,4)")
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
-    disc = _dec2("l_extendedprice") * (one - _dec4("l_discount"))
+    disc = _rev2()
     return (
         li.join(F.broadcast(t(spark, sf_dir, "part")), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
@@ -211,7 +210,6 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q19 shape: OR-of-ANDs join predicates.",
 )
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    one = F.lit(1).cast("decimal(18,4)")
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
@@ -224,7 +222,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.filter(cond).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
+        F.round(F.sum(_rev2()), 2)
         .cast("double")
         .alias("revenue"),
     )
@@ -477,7 +475,6 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q7 shape: supplier-nation volume by ship year.",
 )
 def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    one = F.lit(1).cast("decimal(18,4)")
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -496,7 +493,7 @@ def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("ship_year"),
         )
         .agg(
-            F.round(F.sum(_dec2("l_extendedprice") * (one - _dec4("l_discount"))), 2)
+            F.round(F.sum(_rev2()), 2)
             .cast("double")
             .alias("volume")
         )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from barco_spark.operators.relational import _rev2
 from barco_spark.registry import register
 from barco_spark.tables import t
 
@@ -26,10 +27,6 @@ def _dec2(c: str) -> F.Column:
 
 def _dec4(c: str) -> F.Column:
     return F.col(c).cast("decimal(18,4)")
-
-
-def _one() -> F.Column:
-    return F.lit(1).cast("decimal(18,4)")
 
 
 @register(
@@ -74,7 +71,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     part = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
-    volume = _dec2("l_extendedprice") * (_one() - _dec4("l_discount"))
+    volume = _rev2()
     nation_vol = F.when(
         F.col("supp_nation") == "NATION_2", volume
     ).otherwise(F.lit(0).cast("decimal(18,6)"))
@@ -141,7 +138,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(
-            F.round(F.sum(_dec2("l_extendedprice") * (_one() - _dec4("l_discount"))), 2)
+            F.round(F.sum(_rev2()), 2)
             .cast("double")
             .alias("profit")
         )
@@ -191,7 +188,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(suppliers), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
-            F.sum(_dec2("l_extendedprice") * (_one() - _dec4("l_discount"))).alias("val")
+            F.sum(_rev2()).alias("val")
         )
     )
     threshold = value_per_part.agg(

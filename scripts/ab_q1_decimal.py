@@ -45,6 +45,46 @@ def _pct(c: str) -> F.Column:  # discount/tax: <= 0.10
     return F.col(c).cast("decimal(5,4)")
 
 
+def build_old(spark, sf_dir):
+    """The pre-r13 wide-decimal arm (decimal(18,2)/(18,4) casts), kept
+    inline so the A/B stays re-runnable after the narrow arm landed as
+    the registry build."""
+    one = F.lit(1).cast("decimal(18,4)")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    cnt = F.count(F.lit(1))
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d2("l_extendedprice")).cast("double").alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(d2("l_extendedprice") * (one - d4("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    d2("l_extendedprice")
+                    * (one - d4("l_discount"))
+                    * (one + d4("l_tax"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(d2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(d2("l_extendedprice")).cast("double") / cnt).alias(
+                "avg_price"
+            ),
+            (F.sum(d4("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
 def build_new(spark, sf_dir):
     one = F.lit(1).cast("decimal(5,4)")
     cnt = F.count(F.lit(1))
@@ -99,7 +139,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    old_build = queries[name].build
+    old_build = build_old
     run_once(queries["q3_shipping_priority"].build)  # warmup
 
     a = build_new(spark, sf_dir)
