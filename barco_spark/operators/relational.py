@@ -401,10 +401,16 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus", "l_quantity"
     )
     li = spread(li, spark, sf_dir, "lineitem", rows_per_task=20_000)
+    # decimal(4,2): l_quantity <= 50 by domain, so SUM plans at (14,2)
+    # — within the 18-digit bound where Spark rewrites the sum to
+    # sum(UnscaledValue(..)), pure long adds across the Expand x3
+    # (r13 ABBA: min 0.947/1.118 vs 1.097/1.194 wide, two sittings).
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(4,2)"))
+            .cast("double")
+            .alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -431,11 +437,17 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", "o_orderpriority", "o_totalprice"
     )
     o = spread(o, spark, sf_dir, "orders", rows_per_task=20_000)
+    # decimal(8,2): o_totalprice <= ~555,285 by domain (6 integer
+    # digits), so SUM plans at exactly (18,2) — the UnscaledValue
+    # long-add path, across the Expand x4 (r13 ABBA: min 0.611/0.531
+    # vs 0.642/0.612 wide, 6/8 paired positions over two sittings).
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec2("o_totalprice")).cast("double").alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(8,2)"))
+            .cast("double")
+            .alias("total"),
         )
     )
 
