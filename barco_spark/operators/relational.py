@@ -342,7 +342,12 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_shipped_30d"),
-            F.sum(_dec2("l_quantity")).cast("double").alias("qty_30d"),
+            # decimal(4,2): l_quantity <= 50 by domain -> SUM plans at
+            # (14,2) = the sum(UnscaledValue(..)) long-add path (r13
+            # ABBA: min 0.973 vs 1.055 wide, 3/4 paired positions)
+            F.sum(F.col("l_quantity").cast("decimal(4,2)"))
+            .cast("double")
+            .alias("qty_30d"),
         )
     )
 
