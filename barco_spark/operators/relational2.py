@@ -182,7 +182,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .join(t(spark, sf_dir, "lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_custkey", "o_totalprice")
-        .agg(F.sum(_dec2("l_quantity")).alias("_qty"))
+        # decimal(4,2): l_quantity <= 50 by domain -> the sum plans at
+        # (14,2), the sum(UnscaledValue(..)) long-add path (r13; same
+        # mechanism A/B-proven on agg_rollup/join_range_interval)
+        .agg(F.sum(F.col("l_quantity").cast("decimal(4,2)")).alias("_qty"))
         .filter(F.col("_qty") > 150)
         .select(
             "o_orderkey",

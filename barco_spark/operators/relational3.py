@@ -271,7 +271,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_partkey")
     threshold = F.lit(0.5) * (
-        F.sum(_dec2("l_quantity")).over(w).cast("double")
+        # decimal(4,2): quantity window sum at (14,2) -> long adds (r13)
+        F.sum(F.col("l_quantity").cast("decimal(4,2)")).over(w).cast("double")
         / F.count(F.lit(1)).over(w)
     )
     return (
